@@ -1,0 +1,73 @@
+"""Benchmark harness: run the engine's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is materialized via a count-collect of the full result (no
+driver-side row materialization beyond the aggregate outputs). A warmup pass
+on sf0.001 triggers JVM/codegen warmup so the measured numbers reflect steady
+state rather than JIT cold start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+# Headline set: updated as operators land. Keep it representative — one per
+# operator family — not exhaustive; the full registry runs in tests.
+HEADLINE: list[str] = [
+    "q1_pricing_summary",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from poc_juma_etl_spark import all_queries
+    from poc_juma_etl_spark.session import get_spark
+
+    specs = all_queries()
+    requested = sys.argv[1:] or HEADLINE
+    unknown = [n for n in requested if n not in specs]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}; known: {sorted(specs)}")
+    names = requested
+    spark = get_spark("bench")
+
+    # warmup at the smallest SF (codegen + class loading, not data)
+    for name in names:
+        try:
+            specs[name].fn(spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        df.count()
+        timings[name] = time.perf_counter() - t0
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": {k: round(v, 4) for k, v in timings.items()},
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

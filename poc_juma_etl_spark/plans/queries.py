@@ -1,0 +1,139 @@
+"""The engine's analytical query surface.
+
+The reference delegates this entire layer to BigQuery (its only query texts
+are a DELETE, reference utils.py:266-269, and DROP+CTAS,
+materialize_gold.py:65-73; the Gold views' joins/aggregations run inside
+BigQuery). Our engine owns it: every relational capability a user of the
+reference exercises through BigQuery SQL is declared here as a Catalyst
+logical plan via the DataFrame API, with a DuckDB-runnable ANSI-SQL oracle
+string for the driver's correctness gate.
+
+Oracle-parity rules (see tests/test_oracle_parity.py):
+
+- Per-row arithmetic stays in DOUBLE: each IEEE op is deterministic and
+  identical across engines.
+- Aggregation of doubles is order-dependent, and Spark's partial aggregates
+  run in parallel — so every SUM first casts the per-row value to
+  DECIMAL(25,6) (exact, order-independent addition), then casts the total
+  back to DOUBLE. A double's binary expansion can never sit exactly on a
+  half-point of the 1e-6 grid, so round-to-nearest is unambiguous and both
+  engines produce the same decimal.
+- Averages are expressed as decimal-sum / count in DOUBLE division.
+- Every computed column is aliased identically in the DataFrame plan and the
+  oracle SQL (the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..session import tune_session
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=doc, tags=tags)
+        return wrapped
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# oracle-parity helpers
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent double SUM: cast per-row value to DECIMAL(25,6),
+    sum exactly, cast the total back to double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(25,6)")).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Order-independent double AVG = decimal-sum cast to double / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast("decimal(25,6)")).cast("double") / F.count(c)).alias(alias)
+
+
+SQL_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) AS {alias}"
+SQL_DAVG = "CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr}) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# M0 — flagship: TPC-H Q1-style pricing summary
+# Exercises: parquet scan w/ predicate pushdown, filter, hash aggregate with
+# partial (map-side) combine, sort. At 100 TB: no joins, single shuffle on a
+# 6-value grouping key — the canonical "scales linearly" aggregation.
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: scan→filter→agg→sort. The flagship "
+    "query (SURVEY.md §7.2 M0). Replaces the analytical aggregation layer the "
+    "reference delegated to BigQuery.",
+    tags=("aggregation", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
