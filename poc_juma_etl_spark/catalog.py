@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # -- explicit schemas -------------------------------------------------------
@@ -131,6 +132,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is parquet TIMESTAMP(NANOS): read as long nanos (session conf
+    # spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds —
+    # matching DuckDB, whose native precision is also microseconds.
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint" and name == "events":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     declared = [f.name for f in SCHEMAS[name].fields]
     if [c.lower() for c in df.columns] != declared:
         raise ValueError(

