@@ -24,6 +24,16 @@ if str(REPO) not in sys.path:
 # operator family — not exhaustive; the full registry runs in tests.
 HEADLINE: list[str] = [
     "q1_pricing_summary",
+    "q3_top_unshipped_revenue",
+    "q5_region_nation_revenue",
+    "q_broadcast_brand_volume",
+    "q_outer_join_order_counts",
+    "q_window_topk_per_brand",
+    "q_sessionize",
+    "q_rollup_returnflag",
+    "q_global_topk_orders",
+    "q_event_tumbling_hour",
+    "q_event_json_props",
 ]
 
 

@@ -118,8 +118,13 @@ if __name__ == "__main__":
 
     from .session import get_spark
 
+    from . import all_queries as _aq
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    known = set(_aq())
+    if only and (bad := [n for n in only if n not in known]):
+        sys.exit(f"unknown queries: {bad}; known: {sorted(known)}")
     spark = get_spark("oracle-gate")
     reports = run_gate(spark, sf_dir, only)
     ok = all(r.get("match") in (True, None) for r in reports.values())

@@ -1,0 +1,95 @@
+"""Event-time analytics over the ``events`` stream table (batch side; the
+Structured Streaming twin lives in streaming/events.py).
+
+The reference's nearest analog is the recent-refresh micro-batch (reference
+utils.py:406-451). The engine provides real event-time operators: tumbling
+windows, per-type daily rollups, and JSON property extraction (the events
+``props`` column is a JSON string — schema catalog.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .queries import dsum, register
+
+
+@register(
+    "q_event_tumbling_hour",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY window_start, event_type
+    """,
+    doc="Tumbling 1-hour event-time window per event type — the batch form "
+    "of the streaming windowed aggregation (streaming/events.py runs the "
+    "same plan incrementally with a watermark).",
+    tags=("events", "window-agg"),
+)
+def q_event_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "q_event_daily_user_activity",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           COUNT(DISTINCT user_id) AS active_users,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d')
+    ORDER BY event_date
+    """,
+    doc="Daily active users + conditional counts (FILTER ⇔ count of "
+    "when-expression).",
+    tags=("events", "aggregation"),
+)
+def q_event_daily_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        )
+        .orderBy("event_date")
+    )
+
+
+@register(
+    "q_event_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(json_extract_string(props, '$.k')) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Semi-structured extraction: parse the JSON props column "
+    "(get_json_object ⇔ json_extract_string) and aggregate a numeric "
+    "property. Integer sums are exact — no decimal dance needed.",
+    tags=("events", "json"),
+)
+def q_event_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k"))
+        .orderBy("event_type")
+    )
