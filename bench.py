@@ -34,6 +34,11 @@ HEADLINE: list[str] = [
     "q_global_topk_orders",
     "q_event_tumbling_hour",
     "q_event_json_props",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_text_quality",
+    "q_ann_bruteforce_topk",
+    "q_ann_lsh_topk",
 ]
 
 

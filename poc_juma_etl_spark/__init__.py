@@ -34,6 +34,8 @@ def all_queries():
         "poc_juma_etl_spark.operators.similarity",
         "poc_juma_etl_spark.operators.text",
         "poc_juma_etl_spark.operators.multimodal",
+        "poc_juma_etl_spark.streaming.events",
+        "poc_juma_etl_spark.sources.rest_api",
     ):
         import importlib
         import importlib.util

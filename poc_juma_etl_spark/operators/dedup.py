@@ -1,0 +1,428 @@
+"""Deduplication operators for LLM training-data pipelines (extension
+surface, BASELINE.json north_star).
+
+Five dedup families over the ``documents`` / ``embeddings`` tables, each
+expressed as a distributed DataFrame plan whose candidate generation avoids
+the O(n²) cross join — that is the entire game at 100 TB:
+
+- exact           — content-hash groupBy (one shuffle on a 60-bit key)
+- n-gram Jaccard  — inverted shingle index self-join (pairs share ≥1 shingle)
+- MinHash + LSH   — k-permutation signatures, banded bucket join, verify
+- SimHash         — bitwise fingerprint, pigeonhole block join, hamming filter
+- embedding cosine— decimal-exact dot products (LSH-bucketed variant in
+                    operators/similarity.py)
+
+Every operator's DuckDB oracle runs the same *semantics* (for candidate
+generation the oracle may brute-force all pairs — superset — because the
+final exact-threshold filter makes candidate-set differences invisible in
+the output).
+
+Skew note: an inverted-index join over shingles is skewed by frequent
+shingles (stop-phrase problem). The standard mitigation — drop shingles with
+document frequency above a cutoff — is both a quality and a scale fix; here
+the synthetic corpus is uniform so the cutoff is left to the caller. AQE
+skew-join splitting is enabled session-wide as the backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.queries import register
+from .text import MOD_P, SQL_MD5_LONG, md5_long, tokens
+
+# MinHash parameters: k = BANDS * ROWS permutations h_i(x) = (a_i·x + b_i) mod P
+# over 60-bit base hashes reduced mod P (P < 2^31 keeps a_i·x inside int64).
+MH_BANDS = 8
+MH_ROWS = 4
+MH_K = MH_BANDS * MH_ROWS
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct n-token shingles per document."""
+    ts = tokens("text")
+    idx = F.sequence(F.lit(0), F.size(ts) - n)  # empty when size < n
+    parts = [F.element_at(F.col("ts"), F.col("i") + j + 1) for j in range(n)]
+    return (
+        df.select("doc_id", F.explode(idx).alias("i"), ts.alias("ts"))
+        .select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
+        .distinct()
+    )
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(array_to_string(string_split_regex(trim(text), '\\s+'), ' ')) AS content_key,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY content_key
+    """,
+    doc="Exact dedup on a whitespace-normalized content hash: groupBy the "
+    "60-bit key, keep min doc_id. One shuffle on the hash — the linear-scale "
+    "baseline every fuzzy method falls back on.",
+    tags=("dedup", "exact"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.array_join(tokens("text"), " "))
+    return (
+        d.groupBy(key.alias("content_key"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("content_key")
+    )
+
+
+_SQL_SHINGLES = """
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+      FROM tok
+    )
+"""
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) >= 0.10
+    ORDER BY doc_a, doc_b
+    """,
+    doc="N-gram Jaccard near-dup: inverted 3-shingle index self-join — only "
+    "pairs sharing ≥1 shingle are generated (never the n² cross join), then "
+    "|A∩B|/|A∪B| ≥ 0.10. Integer counts ⇒ exact double ratios.",
+    tags=("dedup", "jaccard"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.10)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SQL_BASE_HASH = f"({SQL_MD5_LONG.format(x='shingle')} % {MOD_P})"
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    hashed AS (SELECT doc_id, {_SQL_BASE_HASH} AS h FROM sh),
+    sig AS (
+      SELECT doc_id, i,
+             MIN(((2*i + 1) * h + 7919 * i) % {MOD_P}) AS mh
+      FROM hashed, range(0, {MH_K}) r(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {MH_ROWS} AS band,
+             md5(array_to_string(list(mh ORDER BY i), ',')) AS band_key
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(s2.shingle) AS n_shared
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.doc_a
+      LEFT JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT v.doc_a, v.doc_b,
+           CAST(v.n_shared AS DOUBLE) / (sa.n + sb.n - v.n_shared) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.doc_a
+    JOIN sizes sb ON sb.doc_id = v.doc_b
+    WHERE CAST(v.n_shared AS DOUBLE) / (sa.n + sb.n - v.n_shared) >= 0.10
+    ORDER BY doc_a, doc_b
+    """,
+    doc=f"MinHash+LSH near-dup: {MH_K} permutations h_i(x)=((2i+1)x+7919i) "
+    f"mod P over shingle hashes, {MH_BANDS} bands × {MH_ROWS} rows, "
+    "band-bucket join for candidates, exact-Jaccard verification ≥ 0.10. "
+    "The sub-quadratic scale path: only band collisions are compared.",
+    tags=("dedup", "minhash", "lsh"),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d).cache()
+    hashed = sh.select("doc_id", (md5_long(F.col("shingle")) % MOD_P).alias("h"))
+    # one wide aggregation computes the whole signature — 32 min() columns
+    # with map-side partial combine; no 32× row explosion, one shuffle
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(((2 * i + 1) * F.col("h") + 7919 * i) % MOD_P).alias(f"mh{i}")
+            for i in range(MH_K)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"mh{b * MH_ROWS + r}") for r in range(MH_ROWS)])
+            ).alias("band_key"),
+        )
+        for b in range(MH_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    inter = (
+        cand.join(s1, F.col("doc_a") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("doc_b") == F.col("s2.doc_id")) & (F.col("s1.shingle") == F.col("s2.shingle")),
+            "left",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.col("s2.shingle")).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.10)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# SimHash: 32-bit fingerprint; hamming radius 6; pigeonhole over 4 blocks of
+# 8 bits (radius 6 < 7 blocks-1... with 4 blocks and radius 6, a colliding
+# pair may differ in every block — so Spark uses 7 blocks? No: pigeonhole
+# needs blocks > radius to guarantee a shared block. We use radius 3 with 4
+# blocks: any pair within hamming 3 shares at least one exact 8-bit block.)
+SIM_BITS = 48
+SIM_BLOCKS = 6
+SIM_RADIUS = 3
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    tokh AS (
+      SELECT DISTINCT doc_id, {SQL_MD5_LONG.format(x="t.tok")} AS h
+      FROM tok, unnest(ts) AS t(tok)
+    ),
+    bits AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS w
+      FROM tokh, range(0, {SIM_BITS}) r(i)
+      GROUP BY doc_id, i
+    ),
+    simh AS (
+      SELECT doc_id,
+             SUM(CASE WHEN w > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIM_RADIUS}
+    ORDER BY doc_a, doc_b
+    """,
+    doc=f"SimHash near-dup: {SIM_BITS}-bit sign fingerprint of token-hash "
+    f"bit votes; pairs within hamming ≤ {SIM_RADIUS}. Spark generates "
+    f"candidates by the pigeonhole block join ({SIM_BLOCKS} blocks of 8 bits "
+    f"— any pair within radius {SIM_RADIUS} shares an exact block), oracle "
+    "brute-forces; the exact hamming filter makes both sets identical.",
+    tags=("dedup", "simhash"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tokh = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+        .select("doc_id", md5_long(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    bits = tokh.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(SIM_BITS - 1))).alias("i"), "h"
+    ).groupBy("doc_id", "i").agg(
+        F.sum(F.expr("CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END")).alias("w")
+    )
+    simh = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END")
+        ).alias("simhash")
+    )
+    # pigeonhole candidate generation: explode each doc into its 8-bit blocks
+    blocks = simh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIM_BLOCKS - 1))).alias("blk"),
+    ).withColumn("blk_val", F.expr("(simhash >> (blk * 8)) & 255"))
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIM_RADIUS)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# Embedding cosine near-dup over quantized integer vectors.
+#
+# Cross-engine float math hazard: DuckDB's double→DECIMAL cast re-rounds via a
+# double multiply by 10^scale while Spark expands the exact binary value, so
+# at high decimal scales the two casts disagree on ~1% of float32-derived
+# products (observed, tests/test_oracle_parity.py history). Instead we
+# quantize each float32 component to an integer at 2^22 — scaling by a power
+# of TWO is exact in IEEE arithmetic, round() of identical doubles is
+# identical — and compute dot products in pure int64 (|q| < 2^23 ⇒ 64-element
+# dot < 2^52, no overflow). Cosine over the quantized vectors differs from
+# float cosine by < 1e-6, which is noise for near-dup semantics, and it is
+# bit-identical across engines and cluster sizes.
+COS_THRESHOLD = 0.30
+Q_SCALE = 4194304  # 2^22
+
+SQL_QVEC = "list_transform({a}, x -> CAST(round(CAST(x AS DOUBLE) * 4194304) AS BIGINT))"
+SQL_QDOT = "CAST(list_sum(list_transform(list_zip({qa}, {qb}), x -> x[1] * x[2])) AS BIGINT)"
+SQL_QNORM = "sqrt(CAST(list_sum(list_transform({qa}, x -> x * x)) AS BIGINT))"
+
+SPARK_QVEC = "transform({a}, x -> CAST(round(CAST(x AS DOUBLE) * 4194304) AS BIGINT))"
+SPARK_QDOT = (
+    "aggregate(zip_with({qa}, {qb}, (x,y) -> x * y), CAST(0 AS BIGINT), (acc,v) -> acc + v)"
+)
+SPARK_QNORM = (
+    "sqrt(aggregate(transform({qa}, x -> x * x), CAST(0 AS BIGINT), (acc,v) -> acc + v))"
+)
+
+
+def spark_cosine_expr(a: str, b: str) -> str:
+    qa, qb = SPARK_QVEC.format(a=a), SPARK_QVEC.format(a=b)
+    return (
+        f"CAST({SPARK_QDOT.format(qa=qa, qb=qb)} AS DOUBLE) / "
+        f"({SPARK_QNORM.format(qa=qa)} * {SPARK_QNORM.format(qa=qb)})"
+    )
+
+
+def spark_cosine_prequantized(qa: str, qb: str, na: str, nb: str) -> str:
+    """Cosine over pre-quantized bigint arrays + precomputed norms — same
+    IEEE op sequence as spark_cosine_expr/sql_cosine_expr (dot→double,
+    divide by norm product), so results stay bit-identical while each
+    vector is quantized and normed once instead of once per pair."""
+    return f"CAST({SPARK_QDOT.format(qa=qa, qb=qb)} AS DOUBLE) / ({na} * {nb})"
+
+
+def sql_cosine_expr(a: str, b: str) -> str:
+    qa, qb = SQL_QVEC.format(a=a), SQL_QVEC.format(a=b)
+    return (
+        f"CAST({SQL_QDOT.format(qa=qa, qb=qb)} AS DOUBLE) / "
+        f"({SQL_QNORM.format(qa=qa)} * {SQL_QNORM.format(qa=qb)})"
+    )
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label_a, b.label AS label_b,
+           {sql_cosine_expr("a.embedding", "b.embedding")} AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {sql_cosine_expr("a.embedding", "b.embedding")} >= {COS_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding near-dup: pairwise cosine ≥ 0.30 over a 200-vector slice. "
+    "Dot products sum per-element double products in DECIMAL — exact and "
+    "order-independent, so Spark and DuckDB agree bitwise. The demo slice "
+    "brute-forces; the production path is the LSH-bucketed variant in "
+    "operators/similarity.py (identical math, sub-quadratic candidates).",
+    tags=("dedup", "embedding"),
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "label", "embedding")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.expr(spark_cosine_expr("a.embedding", "b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COS_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )

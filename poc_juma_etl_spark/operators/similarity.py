@@ -1,0 +1,187 @@
+"""Similarity search over embedding vectors (extension surface,
+BASELINE.json north_star).
+
+Two paths, same quantized-integer cosine math as operators/dedup.py (exact
+and engine-portable by construction):
+
+- brute-force top-k  — the correctness baseline: broadcast the query set,
+  score every (query, candidate) pair, window top-k. At 100 TB of vectors
+  this is one pass over the corpus per query batch — linear, no index, and
+  still the right answer for small query sets.
+- SRP-LSH top-k      — the scale path: random-hyperplane signatures bucket
+  both sides; only same-bucket pairs are scored. Hyperplanes are derived
+  from a deterministic LCG so the operator (and its oracle) is reproducible
+  with no stored model. Recall < 1 by design; the oracle runs the *same*
+  bucketing, so the gate checks the implementation, not the recall.
+
+An IVF variant (k-means cells) is the other classic scale path; SRP was
+chosen because its "model" is a formula — no training state to ship between
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.queries import register
+from .dedup import (
+    SPARK_QNORM,
+    SPARK_QVEC,
+    spark_cosine_prequantized,
+    sql_cosine_expr,
+)
+
+
+def _quantized(e: DataFrame, prefix: str) -> DataFrame:
+    """Quantize embedding → bigint array + norm once per vector (not per
+    candidate pair)."""
+    qv = F.expr(SPARK_QVEC.format(a="embedding"))
+    return e.withColumn(f"{prefix}_qv", qv).withColumn(
+        f"{prefix}_norm", F.expr(SPARK_QNORM.format(qa=f"{prefix}_qv"))
+    )
+
+TOP_K = 5
+N_QUERIES = 10  # demo query set: vec_id < 10
+
+# Signed-random-projection hyperplanes via an LCG: component d of hyperplane j
+# is lcg(j * DIM + d) mapped to [-0.5, 0.5). Integer arithmetic → identical
+# in every engine.
+SRP_PLANES = 8
+DIM = 64
+LCG_A = 1103515245
+LCG_C = 12345
+LCG_M = 2147483648  # 2^31
+
+
+def _sql_srp_bit(vec: str, j: int) -> str:
+    """1-bit sign of <vec, plane_j>, as portable SQL (shared dialect)."""
+    terms = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), d -> "
+        f"CAST(round(CAST({vec}[d] AS DOUBLE) * 4194304) AS BIGINT) * "
+        f"(((CAST({LCG_A} AS BIGINT) * ({j} * {DIM} + (d - 1)) + {LCG_C}) % {LCG_M}) - {LCG_M // 2})"
+        f"))"
+    )
+    return f"(CASE WHEN {terms} >= 0 THEN 1 ELSE 0 END)"
+
+
+def _spark_srp_bit(vec: str, j: int) -> str:
+    terms = (
+        f"aggregate(transform(sequence(1, {DIM}), d -> "
+        f"CAST(round(CAST(element_at({vec}, d) AS DOUBLE) * 4194304) AS BIGINT) * "
+        f"(((CAST({LCG_A} AS BIGINT) * ({j} * {DIM} + (d - 1)) + {LCG_C}) % {LCG_M}) - {LCG_M // 2})"
+        f"), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return f"(CASE WHEN {terms} >= 0 THEN 1 ELSE 0 END)"
+
+
+def sql_srp_bucket(vec: str) -> str:
+    return " + ".join(f"{_sql_srp_bit(vec, j)} * {1 << j}" for j in range(SRP_PLANES))
+
+
+def spark_srp_bucket(vec: str) -> str:
+    return " + ".join(f"{_spark_srp_bit(vec, j)} * {1 << j}" for j in range(SRP_PLANES))
+
+
+@register(
+    "q_ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             {sql_cosine_expr("q.embedding", "c.embedding")} AS cosine
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, rk
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+    doc=f"Brute-force cosine top-{TOP_K}: broadcast the {N_QUERIES}-query "
+    "set against every vector, exact quantized cosine, window top-k with "
+    "deterministic tie-break. One corpus scan per query batch — the ANN "
+    "correctness baseline.",
+    tags=("similarity", "ann", "topk"),
+)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(load_table(spark, sf_dir, "embeddings"), "v")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v_qv").alias("q_qv"),
+        F.col("v_norm").alias("q_norm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        "v_qv",
+        "v_norm",
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "cosine", F.expr(spark_cosine_prequantized("q_qv", "v_qv", "q_norm", "v_norm"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "q_ann_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding, {sql_srp_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket,
+             {sql_cosine_expr("q.embedding", "c.embedding")} AS cosine
+      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, bucket, cosine, rk
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+    doc=f"SRP-LSH approximate top-{TOP_K}: {SRP_PLANES} deterministic "
+    "random-hyperplane sign bits bucket all vectors; candidates come only "
+    "from the query's bucket (equi-join on bucket id — sub-linear scored "
+    "pairs), then exact quantized cosine re-ranks. The 100 TB path: the "
+    "bucket join shuffles ~1/2^planes of the pairs brute-force would.",
+    tags=("similarity", "ann", "lsh"),
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(load_table(spark, sf_dir, "embeddings"), "v")
+    b = e.withColumn("bucket", F.expr(spark_srp_bucket("embedding")))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v_qv").alias("q_qv"),
+        F.col("v_norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = b.select(F.col("vec_id").alias("neighbor_id"), "v_qv", "v_norm", "bucket")
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn(
+        "cosine", F.expr(spark_cosine_prequantized("q_qv", "v_qv", "q_norm", "v_norm"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "bucket", "cosine", "rk")
+        .orderBy("query_id", "rk")
+    )

@@ -1,0 +1,235 @@
+"""Text-analysis operators for LLM training-data pipelines (extension
+surface, BASELINE.json north_star; not present in the reference, which has no
+text processing at all — SURVEY.md §2.5).
+
+All operators are pure Catalyst column expressions over the ``documents``
+table — tokenization, quality scoring, language ID, and fingerprinting run
+JVM-side with no Python in the row path. At 100 TB each is an embarrassingly
+parallel map over document partitions: no shuffle, no skew surface, scales
+linearly with executors.
+
+Cross-engine determinism: token counts and code-point sums are integers;
+ratios are single double divisions of integers; hashes go through md5 (both
+engines implement RFC 1321) truncated to 60 bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.queries import register
+
+# Whitespace tokenizer — the BPE-ish fallback for token *counting* is a
+# regex over word pieces; for the synthetic corpus whitespace is exact.
+TOKEN_SPLIT = r"\s+"
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deliberately small: the operator demonstrates the scoring
+# plumbing; swapping in real lexicons is a data change, not a code change.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "value", "fast"),
+    "es": ("el", "la", "los", "de", "que", "y"),
+    "fr": ("le", "la", "les", "des", "et", "une"),
+    "de": ("der", "die", "das", "und", "ein", "nicht"),
+    "zh": ("的", "是", "了", "在", "和", "有"),
+}
+
+MOD_P = 1_000_000_007  # hash-space modulus for minhash-style fingerprints
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_SPLIT)
+
+
+def md5_long(col: Column) -> Column:
+    """60-bit integer hash from md5 — cross-engine-stable base hash
+    (DuckDB twin: CAST(('0x' || substr(md5(x),1,15)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+SQL_MD5_LONG = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "q_text_token_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ts)) AS BIGINT) AS n_unique,
+           CAST(list_sum(list_transform(ts, x -> length(x))) AS BIGINT) AS n_token_chars,
+           CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE)
+             / len(ts) AS avg_token_len,
+           CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS type_token_ratio
+    FROM tok
+    ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace tokens, vocabulary size, char totals, "
+    "type-token ratio. Array ops stay in-row — zero shuffle at any scale.",
+    tags=("text", "tokens"),
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens("text")
+    n_chars = F.aggregate(
+        F.transform(ts, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.size(ts).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(ts)).cast("bigint").alias("n_unique"),
+        n_chars.alias("n_token_chars"),
+        (n_chars.cast("double") / F.size(ts)).alias("avg_token_len"),
+        (F.size(F.array_distinct(ts)).cast("double") / F.size(ts)).alias(
+            "type_token_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, n_chars, string_split_regex(trim(text), '\\s+') AS ts
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(ts, x -> x IN ('the','a','and','of','value','fast'))) AS DOUBLE)
+               / len(ts) AS stopword_ratio,
+             CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS type_token_ratio
+      FROM tok
+    )
+    SELECT doc_id, n_chars, n_tokens, stopword_ratio, type_token_ratio,
+           (0.4 * type_token_ratio) + (0.3 * stopword_ratio)
+             + (0.3 * (CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN 1.0 ELSE 0.0 END))
+             AS quality_score
+    FROM feat
+    ORDER BY doc_id
+    """,
+    doc="Quality scoring: stopword ratio, lexical diversity, length gate, "
+    "combined into a fixed-weight score (the C4/Gopher-style rule family). "
+    "Fixed double op order keeps both engines bitwise-equal.",
+    tags=("text", "quality"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens("text")
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_tokens = F.size(ts).cast("bigint")
+    stopword_ratio = (
+        F.size(F.filter(ts, lambda x: F.array_contains(stop, x))).cast("double") / F.size(ts)
+    )
+    ttr = F.size(F.array_distinct(ts)).cast("double") / F.size(ts)
+    length_ok = F.when((n_tokens >= 20) & (n_tokens <= 200), 1.0).otherwise(0.0)
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        stopword_ratio.alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        ((0.4 * ttr) + (0.3 * stopword_ratio) + (0.3 * length_ok)).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"CAST(len(list_filter(ts, x -> x IN ({words}))) AS BIGINT)"
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang AS labeled_lang,
+             string_split_regex(trim(text), '\\s+') AS ts
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, labeled_lang,
+             {_lang_score_sql("en")} AS score_en,
+             {_lang_score_sql("es")} AS score_es,
+             {_lang_score_sql("fr")} AS score_fr,
+             {_lang_score_sql("de")} AS score_de,
+             {_lang_score_sql("zh")} AS score_zh
+      FROM tok
+    )
+    SELECT doc_id, labeled_lang, score_en, score_es, score_fr, score_de, score_zh,
+           CASE greatest(score_en, score_es, score_fr, score_de, score_zh)
+             WHEN score_en THEN 'en' WHEN score_es THEN 'es' WHEN score_fr THEN 'fr'
+             WHEN score_de THEN 'de' ELSE 'zh' END AS predicted_lang
+    FROM scores
+    ORDER BY doc_id
+    """,
+    doc="Language ID: marker-lexicon hit counts per language, argmax with a "
+    "fixed tie-break order (en>es>fr>de>zh). The scoring plumbing of a "
+    "fastText-style classifier with the model swapped for a lexicon.",
+    tags=("text", "langid"),
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens("text")
+    scores = {}
+    for lang, words in LANG_MARKERS.items():
+        arr = F.array([F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(ts, lambda x: F.array_contains(arr, x))).cast("bigint")
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(scores["en"] == best, "en")
+        .when(scores["es"] == best, "es")
+        .when(scores["fr"] == best, "fr")
+        .when(scores["de"] == best, "de")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+      FROM tok
+    )
+    SELECT d.doc_id,
+           md5(d.text) AS content_md5,
+           min({SQL_MD5_LONG.format(x="s.shingle")} % {MOD_P}) AS min_shingle_hash
+    FROM documents d JOIN sh s ON s.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.text
+    ORDER BY d.doc_id
+    """,
+    doc="Document fingerprinting: exact content md5 + a 1-permutation "
+    "MinHash over 3-token shingles (the rolling-window fingerprint family; "
+    "full k-permutation signatures in operators/dedup.py).",
+    tags=("text", "fingerprint"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens("text")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - 3, F.lit(0)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(ts, i + 1), F.element_at(ts, i + 2), F.element_at(ts, i + 3)
+        ),
+    )
+    sh = d.select("doc_id", F.md5("text").alias("content_md5"), F.explode(shingles).alias("shingle"))
+    return (
+        sh.groupBy("doc_id", "content_md5")
+        .agg(F.min(md5_long(F.col("shingle")) % MOD_P).alias("min_shingle_hash"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,230 @@
+"""Paginated-REST source as a Spark 4 Python DataSource (reference parity:
+S1 paginated scan, S2 source-side predicate pushdown, S3 token cache).
+
+The reference extracts by POSTing page numbers in a loop and accumulating
+every row in driver memory (reference utils.py:150-235, the ``all_records``
+list at utils.py:221) — the exact pattern that cannot scale. Here the same
+protocol becomes a *distributed* scan: each page range is an InputPartition,
+so executors fetch pages in parallel and rows stream straight into Arrow
+batches without ever collecting on the driver.
+
+There is no live CISSPoder-like API in this environment, so the transport is
+pluggable: ``FixtureTransport`` serves pages out of a parquet file (pyarrow,
+no Spark) with server-side date filtering — simulating the reference API's
+``clausulas`` BETWEEN payload (utils.py:177-183). A requests-based transport
+would implement the same three methods against HTTP; everything Spark-side
+is transport-agnostic.
+
+Usage::
+
+    spark.dataSource.register(PaginatedRestDataSource)
+    df = (spark.read.format("paginated_rest")
+          .option("path", ".../events.parquet")   # fixture transport
+          .option("page_size", "1000")
+          .option("filter_field", "ts")           # optional S2 pushdown
+          .option("filter_start", "2024-01-01")
+          .option("filter_end", "2024-01-31")
+          .load())
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+try:  # Spark 4 Python DataSource API
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    HAVE_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - pyspark < 4
+    HAVE_DATASOURCE_API = False
+
+    class DataSource:  # type: ignore[no-redef]
+        def __init__(self, options=None):
+            self.options = options or {}
+
+    class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    @dataclass
+    class InputPartition:  # type: ignore[no-redef]
+        value: int
+
+
+# --------------------------------------------------------------------- S3
+# Token provider with TTL cache (reference get_auth_token + TOKEN_CACHE,
+# utils.py:24-28, 90-144). No network here: the shape is the contract.
+
+TOKEN_TTL_SECONDS = 600
+_token_cache: dict[str, tuple[str, float]] = {}
+
+
+def get_auth_token(realm: str = "default") -> str:
+    tok = _token_cache.get(realm)
+    now = time.monotonic()
+    if tok and now - tok[1] < TOKEN_TTL_SECONDS:
+        return tok[0]
+    fresh = f"token-{realm}-{time.monotonic_ns()}"  # a real transport would POST here
+    _token_cache[realm] = (fresh, now)
+    return fresh
+
+
+# --------------------------------------------------------------------- S1/S2
+
+
+class FixtureTransport:
+    """Serves the paginated-API protocol from a local parquet file.
+
+    Mirrors the reference API's behavior: rows come back page by page
+    (``registros`` array), and a date-range clause filters *server-side*
+    before pagination (S2) — so the client never sees out-of-range rows."""
+
+    def __init__(
+        self,
+        path: str,
+        page_size: int,
+        filter_field: str | None = None,
+        filter_start: str | None = None,
+        filter_end: str | None = None,
+    ):
+        self.path = path
+        self.page_size = page_size
+        self.filter_field = filter_field
+        self.filter_start = filter_start
+        self.filter_end = filter_end
+
+    def _table(self):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self.path)
+        # API contract serves microsecond timestamps (Spark cannot ingest ns)
+        fields = [
+            pa.field(f.name, pa.timestamp("us")) if pa.types.is_timestamp(f.type) else f
+            for f in t.schema
+        ]
+        t = t.cast(pa.schema(fields), safe=False)  # truncate ns → us
+        if self.filter_field and self.filter_start and self.filter_end:
+            import datetime as dt
+
+            col = t[self.filter_field]
+            lo = pc.strptime(f"{self.filter_start} 00:00:00", "%Y-%m-%d %H:%M:%S", "us")
+            # day-granular inclusive end (reference widens to 23:59:59.999999,
+            # utils.py:427-428): half-open [start, end+1d) is the robust form
+            end_next = dt.date.fromisoformat(self.filter_end) + dt.timedelta(days=1)
+            hi = pc.strptime(f"{end_next} 00:00:00", "%Y-%m-%d %H:%M:%S", "us")
+            mask = pc.and_(pc.greater_equal(col, lo), pc.less(col, hi))
+            t = t.filter(mask)
+        return t
+
+    def n_pages(self) -> int:
+        n_rows = self._table().num_rows
+        return max((n_rows + self.page_size - 1) // self.page_size, 1)
+
+    def fetch_page(self, page: int):
+        """Returns the page's rows as a pyarrow Table ('registros')."""
+        get_auth_token()  # S3: token fetched (cached) per worker
+        t = self._table()
+        return t.slice(page * self.page_size, self.page_size)
+
+
+if HAVE_DATASOURCE_API:
+
+    class PaginatedRestReader(DataSourceReader):
+        def __init__(self, schema, options):
+            self.schema_ = schema
+            self.options = options
+
+        def _transport(self) -> FixtureTransport:
+            o = self.options
+            return FixtureTransport(
+                path=o["path"],
+                page_size=int(o.get("page_size", "1000")),
+                filter_field=o.get("filter_field"),
+                filter_start=o.get("filter_start"),
+                filter_end=o.get("filter_end"),
+            )
+
+        def partitions(self):
+            # one partition per page → executors fetch pages concurrently
+            # (the reference's sequential page loop, distributed)
+            return [InputPartition(p) for p in range(self._transport().n_pages())]
+
+        def read(self, partition):
+            table = self._transport().fetch_page(partition.value)
+            for row in table.to_pylist():
+                yield tuple(row.values())
+
+    class PaginatedRestDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "paginated_rest"
+
+        def schema(self):
+            import pyarrow.parquet as pq
+
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            schema = pq.read_schema(self.options["path"])
+            # nanosecond timestamps are not Spark-readable; the transport
+            # casts to microseconds, declare accordingly
+            import pyarrow as pa
+
+            fields = [
+                pa.field(f.name, pa.timestamp("us"))
+                if pa.types.is_timestamp(f.type)
+                else f
+                for f in schema
+            ]
+            return from_arrow_schema(pa.schema(fields))
+
+        def reader(self, schema):
+            return PaginatedRestReader(schema, self.options)
+
+
+def register_source(spark) -> bool:
+    """Register the connector on a session; returns False when the Python
+    DataSource API is unavailable (pyspark < 4)."""
+    if not HAVE_DATASOURCE_API:
+        return False
+    spark.dataSource.register(PaginatedRestDataSource)
+    return True
+
+
+def _register_query() -> None:
+    from ..plans.queries import register
+
+    @register(
+        "etl_rest_source_scan",
+        oracle="""
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+        ORDER BY event_id
+        """,
+        doc="S1/S2/S3 connector parity: the paginated-REST Python DataSource "
+        "(one InputPartition per page, server-side date filter, token cache) "
+        "must return exactly the rows a direct relational scan returns.",
+        tags=("etl", "source", "connector"),
+    )
+    def etl_rest_source_scan(spark, sf_dir: str):
+        from ..catalog import table_path
+
+        if not register_source(spark):  # pragma: no cover - pyspark < 4
+            raise RuntimeError("Python DataSource API unavailable")
+        df = (
+            spark.read.format("paginated_rest")
+            .option("path", table_path(sf_dir, "events"))
+            .option("page_size", "500")
+            .option("filter_field", "ts")
+            .option("filter_start", "2024-01-01")
+            .option("filter_end", "2024-01-10")
+            .load()
+        )
+        return df.orderBy("event_id")
+
+
+if HAVE_DATASOURCE_API:
+    _register_query()

@@ -1,0 +1,84 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming at all (SURVEY.md §2.5); its nearest analog
+is the recent-refresh micro-batch (reference utils.py:406-451). The engine
+provides the real thing: the same event-time tumbling aggregation as the
+batch query q_event_tumbling_hour, executed *incrementally* by Structured
+Streaming — file source, 1-hour event-time windows, 2-hour watermark for
+late data, availableNow trigger draining the backlog like a bounded stream.
+
+The driver-gate entry runs the stream to completion and returns the final
+result table, oracled against the same DuckDB SQL as the batch twin — the
+strongest check streaming can get: incremental execution must converge to
+the batch answer. On a real cluster the file source swaps for Kafka and the
+memory sink for a parquet/Delta sink via foreachBatch; the plan in between
+is unchanged (that symmetry is the point of Structured Streaming).
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.queries import dsum, register
+
+_MEMSINK_LOCK = threading.Lock()
+_SINK_SEQ = [0]
+
+
+def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the tumbling-window aggregation as a bounded stream; returns the
+    completed result as a batch DataFrame."""
+    # the fixture stores ts as TIMESTAMP(NANOS) → read as long, convert (same
+    # handling as catalog.load_table, which a stream source must do itself)
+    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(raw_schema)
+        # the file stream source wants a directory: stream the sf dir with a
+        # glob selecting just the events table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+        )
+    )
+    with _MEMSINK_LOCK:
+        _SINK_SEQ[0] += 1
+        sink = f"stream_tumbling_out_{_SINK_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "q_stream_tumbling_hour",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY window_start, event_type
+    """,
+    doc="Structured Streaming twin of q_event_tumbling_hour: identical "
+    "windows computed incrementally (watermark + availableNow) and oracled "
+    "against the batch SQL — streaming must converge to the batch answer.",
+    tags=("streaming", "events"),
+)
+def q_stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = streaming_tumbling_hour(spark, sf_dir)
+    return out.orderBy("window_start", "event_type")
