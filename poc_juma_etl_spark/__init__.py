@@ -24,6 +24,7 @@ def all_queries():
     from .plans import queries as _q  # noqa: F401
 
     for mod in (
+        "poc_juma_etl_spark.plans.advanced",
         "poc_juma_etl_spark.plans.joins",
         "poc_juma_etl_spark.plans.windows",
         "poc_juma_etl_spark.plans.setops",
