@@ -41,14 +41,24 @@ MH_K = MH_BANDS * MH_ROWS
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct n-token shingles per document."""
+    """(doc_id, shingle) — distinct n-token shingles per document.
+
+    Shingles are assembled *inside* the token array (transform over an index
+    sequence) and dededuplicated per-doc with array_distinct before the
+    explode — exploding first would duplicate the whole token array into
+    every (doc, position) row, a ~tokens× data amplification ahead of the
+    shuffle."""
     ts = tokens("text")
-    idx = F.sequence(F.lit(0), F.size(ts) - n)  # empty when size < n
-    parts = [F.element_at(F.col("ts"), F.col("i") + j + 1) for j in range(n)]
-    return (
-        df.select("doc_id", F.explode(idx).alias("i"), ts.alias("ts"))
-        .select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
-        .distinct()
+
+    def mk(i):  # noqa: ANN001 - Column lambda
+        return F.concat_ws(" ", *[F.element_at(F.col("ts"), i + j + 1) for j in range(n)])
+
+    sh_arr = F.when(
+        F.size(F.col("ts")) >= n,
+        F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(F.col("ts")) - n), mk)),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select("doc_id", ts.alias("ts")).select(
+        "doc_id", F.explode(sh_arr).alias("shingle")
     )
 
 

@@ -1,0 +1,111 @@
+"""End-to-end gate queries for the *write-path* operators.
+
+R1 (idempotent range replacement) and S7 (gold materialization) are writers,
+not queries — but their correctness is still SQL-expressible: run the real
+write pipeline into a scratch directory, read the result back, and compare
+against an oracle that computes what the final table must contain. This puts
+the reference's two hardest behaviors (delete-range+insert idempotency,
+CTAS partition/cluster respec) inside the driver's hash-checked gate instead
+of only unit tests.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_views
+from .queries import dsum, register
+
+
+@register(
+    "etl_range_replace_e2e",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(
+             CASE WHEN strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-14'
+                  THEN value * 2 ELSE value END
+             AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d')
+    ORDER BY day
+    """,
+    doc="R1 end-to-end: load events into a date-partitioned warehouse table, "
+    "atomically replace days 10–14 with corrected rows (value doubled) via "
+    "dynamic partition overwrite, read the table back and aggregate per day. "
+    "The oracle computes the must-be state directly — untouched days keep "
+    "original values, replaced days have doubled values (reference "
+    "delete+insert semantics, utils.py:255-283, 391-398).",
+    tags=("etl", "range-replace", "e2e"),
+)
+def etl_range_replace_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_replace import overwrite_table, read_table, replace_range
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="rr_e2e_")
+    path = f"{tmp}/events_wh"
+    try:
+        overwrite_table(ev, path, "ts")
+        corrected = ev.withColumn("value", F.col("value") * 2)
+        replace_range(spark, path, corrected, "ts", "2024-01-10", "2024-01-14")
+        # replay the same replacement — R1 idempotency means no change
+        replace_range(spark, path, corrected, "ts", "2024-01-10", "2024-01-14")
+        out = (
+            read_table(spark, path)
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+            .orderBy("day")
+        )
+        out = out.localCheckpoint()  # materialize before the scratch dir dies
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "etl_gold_materialize_e2e",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS event_hour,
+           strftime(ts, '%Y-%m-%d') AS event_date,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY event_hour, event_type
+    """,
+    doc="S7/S8 end-to-end: define the gold view, materialize it to a "
+    "date-partitioned cluster-sorted parquet table (reference CTAS "
+    "PARTITION BY + CLUSTER BY, materialize_gold.py:42-79), read the table "
+    "back. The oracle recomputes the view directly — materialization must "
+    "be lossless, including the partition column surviving the directory "
+    "round-trip.",
+    tags=("etl", "gold", "e2e"),
+)
+def etl_gold_materialize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import gold
+
+    register_views(spark, sf_dir, ["events"])
+    gold.define_gold_view(spark, "vw_event_hourly")
+    tmp = tempfile.mkdtemp(prefix="gold_e2e_")
+    try:
+        out_path = gold.materialize(spark, "vw_event_hourly", tmp)
+        out = (
+            spark.read.parquet(out_path)
+            .select(
+                F.date_format("event_hour", "yyyy-MM-dd HH:mm:ss").alias("event_hour"),
+                F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+            .orderBy("event_hour", "event_type")
+        )
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

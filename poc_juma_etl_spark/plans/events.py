@@ -93,3 +93,49 @@ def q_event_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_session_window_builtin",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE user_id <= 50
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="Built-in session_window (30-min gap): Spark merges events whose "
+    "windows overlap, i.e. a gap >= 30 min starts a new session; the oracle "
+    "reproduces that with lag-gap-cumsum over µs-truncated timestamps (same "
+    "logic the manual q_sessionize uses, here vs the native operator).",
+    tags=("events", "sessionize", "window-agg"),
+)
+def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

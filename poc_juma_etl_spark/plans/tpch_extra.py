@@ -1,0 +1,246 @@
+"""Additional TPC-H-flavored coverage (Q4/Q12/Q14/Q19 shapes adapted to the
+fixture star schema), approximate sketches, and a bucketed co-located join.
+
+The approximate operators (HLL distinct, quantile sketch) have no DuckDB
+oracle — different sketch implementations legitimately disagree — so they
+register rows-only and their error bounds are pinned by unit tests
+(tests/test_tpch_extra.py) against the exact answers.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .queries import dsum, register
+
+
+@register(
+    "q4_priority_with_late_lines",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: order-priority counts for orders with at least one "
+    "line shipped after the order date — EXISTS with a correlated "
+    "inequality, planned as a left-semi join.",
+    tags=("join", "semi", "tpch"),
+)
+def q4_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q12_return_rate_by_status",
+    oracle="""
+    SELECT l.l_linestatus,
+           COUNT(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+           COUNT(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count,
+           COUNT(*) FILTER (WHERE l.l_returnflag = 'R') AS returned_lines
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    doc="TPC-H Q12 shape: conditional counts split by priority class over a "
+    "fact-fact join — CASE/FILTER aggregation after one shuffle.",
+    tags=("join", "aggregation", "tpch"),
+)
+def q12_return_rate_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("returned_lines"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q14_red_parts_revenue_share",
+    oracle="""
+    SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p.p_name LIKE 'red%'
+                       THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS DECIMAL(25,6)))
+             AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+             AS red_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1995-07-01 00:00:00'
+    GROUP BY 'all'
+    ORDER BY red_revenue_pct
+    """,
+    doc="TPC-H Q14 shape: promo-revenue percentage — conditional decimal sum "
+    "over broadcast-joined parts, single-group output. The 100.0*x/y op "
+    "order is pinned identically in both engines.",
+    tags=("join", "aggregation", "tpch"),
+)
+def q14_red_parts_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    red_net = F.when(F.col("p_name").like("red%"), net).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy()
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(red_net.cast("decimal(25,6)")).cast("double")
+                / F.sum(net.cast("decimal(25,6)")).cast("double")
+            ).alias("red_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("red_revenue_pct")
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 5)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 25 AND l.l_quantity >= 10)
+       OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 20 AND 35 AND l.l_quantity >= 15)
+    GROUP BY 'all'
+    ORDER BY revenue
+    """,
+    doc="TPC-H Q19 shape: disjunctive multi-column predicates across both "
+    "join sides — Catalyst extracts the common p_partkey equi-condition and "
+    "evaluates the OR-of-ANDs as a post-join filter.",
+    tags=("join", "tpch"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 25) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#33") & F.col("p_size").between(20, 35) & (F.col("l_quantity") >= 15))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .groupBy()
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("revenue")
+    )
+
+
+@register(
+    "q_approx_sketches",
+    oracle=None,  # sketch implementations differ across engines by design
+    doc="Approximate sketches: HLL++ distinct counts and quantile sketch per "
+    "event type — the mergeable, bounded-memory forms that replace exact "
+    "distinct/percentile at 100 TB. Error bounds pinned by unit tests "
+    "against the exact answers (no cross-engine oracle: sketches differ).",
+    tags=("aggregation", "approx"),
+)
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_balance
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+    doc="Bucketed co-located join: both sides written with bucketBy(8, key) "
+    "so the join needs NO shuffle of either side (verified by plan assert in "
+    "tests/test_tpch_extra.py). The warehouse-layer answer to repeated "
+    "fact-fact joins at 100 TB — pay the partitioning once at write time. "
+    "Oracle is the plain relational join: bucketing must not change results.",
+    tags=("join", "bucketing"),
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="bucketed_")
+    old_wh = spark.conf.get("spark.sql.warehouse.dir", None)
+    try:
+        # bucketed tables need the session catalog; write both sides bucketed
+        # by the join key into a scratch warehouse
+        o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").option(
+            "path", f"{tmp}/orders_b"
+        ).mode("overwrite").saveAsTable("orders_bucketed")
+        c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").option(
+            "path", f"{tmp}/customer_b"
+        ).mode("overwrite").saveAsTable("customer_bucketed")
+        ob = spark.table("orders_bucketed")
+        cb = spark.table("customer_bucketed")
+        out = (
+            ob.join(cb, ob.o_custkey == cb.c_custkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("c_acctbal").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("total_balance"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        out = out.localCheckpoint()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+        shutil.rmtree(tmp, ignore_errors=True)
+        del old_wh
+    return out
