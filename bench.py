@@ -39,6 +39,9 @@ HEADLINE: list[str] = [
     "q_text_quality",
     "q_ann_bruteforce_topk",
     "q_ann_lsh_topk",
+    "q_asof_join_last_order",
+    "q_session_window_builtin",
+    "q12_return_rate_by_status",
 ]
 
 

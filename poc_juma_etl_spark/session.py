@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # scan granularity: 128 MiB splits keep one task's input within
+        # executor memory at any SF; AQE coalesces small post-shuffle
+        # partitions toward the 64 MiB advisory target instead of leaving
+        # shuffle_partitions-many slivers
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
