@@ -33,7 +33,9 @@ def all_queries():
         "poc_juma_etl_spark.plans.events",
         "poc_juma_etl_spark.operators.normalize",
         "poc_juma_etl_spark.operators.range_replace",
+        "poc_juma_etl_spark.operators.components",
         "poc_juma_etl_spark.operators.dedup",
+        "poc_juma_etl_spark.operators.kmeans",
         "poc_juma_etl_spark.operators.similarity",
         "poc_juma_etl_spark.operators.text",
         "poc_juma_etl_spark.operators.multimodal",

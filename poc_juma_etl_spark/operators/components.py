@@ -1,0 +1,149 @@
+"""Connected components over the near-duplicate pair graph.
+
+Pairwise dedup operators (Jaccard / MinHash / SimHash / cosine — see
+operators/dedup.py) emit *edges*; choosing which documents to keep requires
+*components* (a dup cluster may be a chain A~B~C where A and C never matched
+directly). This operator computes, for every document touched by an edge,
+the component id = the minimum doc_id reachable through the dup graph.
+
+Algorithm: iterative min-label propagation (the standard large-graph
+approach — each round every vertex adopts the smallest label among itself
+and its neighbors; converges in O(diameter) rounds). Each round is two
+hash-shuffles (join + groupBy-min) over the edge list — no driver-side graph,
+so it scales to billions of edges; the driver only checks the convergence
+counter. Label propagation is the same shape Spark GraphX / GraphFrames use
+for their connectedComponents.
+
+The DuckDB oracle computes reachability with a recursive CTE (transitive
+closure) — a completely different algorithm arriving at the same fixpoint,
+which makes this one of the strongest cross-checks in the suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.queries import register
+from .dedup import _shingles
+
+JACCARD_T = 0.10
+MAX_ROUNDS = 20
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component =
+    min node id reachable. Pure DataFrame iteration, no driver data."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    for _ in range(MAX_ROUNDS):
+        # every node adopts min(own label, neighbors' labels)
+        neighbor_labels = (
+            sym.join(labels, sym.b == labels.node)
+            .select(F.col("a").alias("node"), F.col("comp"))
+        )
+        new_labels = (
+            labels.select("node", "comp")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint()  # truncate the iterative lineage
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+      FROM tok
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) >= {JACCARD_T}
+    ),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, reach.r FROM sym s JOIN reach ON reach.node = s.b
+    )
+    SELECT node AS doc_id, MIN(r) AS component, COUNT(DISTINCT r) AS n_reachable
+    FROM reach GROUP BY node
+    ORDER BY doc_id
+    """,
+    doc="Near-dup clustering: Jaccard≥0.10 pairs become an undirected graph; "
+    "component id = min reachable doc_id via iterative min-label propagation "
+    "(two shuffles per round, O(diameter) rounds, no driver-side graph). "
+    "Oracle computes the same fixpoint by a different algorithm entirely — "
+    "a recursive-CTE transitive closure.",
+    tags=("dedup", "graph", "components"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    edges = (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_T)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = connected_components(edges)
+    # n_reachable = size of the node's component (matches the oracle's
+    # COUNT(DISTINCT reachable))
+    comp_sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_reachable"))
+    return (
+        comp.join(comp_sizes, "comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("component"),
+            "n_reachable",
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,138 @@
+"""Distributed k-means + IVF approximate nearest-neighbor search.
+
+The second classic ANN scale path next to SRP-LSH (operators/similarity.py):
+k-means learns coarse cells (IVF = inverted file), every vector is assigned
+to its nearest centroid, and a query probes only the ``nprobe`` nearest
+cells — corpus scanned per query drops from N to ~N·nprobe/k.
+
+Spark-first shape:
+- centroids live in a broadcast (k·dim doubles — tiny even for k=65536);
+- assignment is one narrow map over the corpus (no shuffle);
+- centroid update is posexplode → groupBy(cluster, dim) → avg → rebuild —
+  two shuffles per Lloyd iteration, both over k·dim rows;
+- the driver holds only the k centroids, never the corpus.
+
+Deterministic: init = the k lowest-vec_id vectors; ties in assignment break
+to the lower cluster id. Iterative algorithms are exactly the case the
+driver contract exempts from SQL oracles (rows-only check); determinism and
+convergence are pinned by tests/test_kmeans.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.queries import register
+
+K = 8
+ITERS = 5
+NPROBE = 2
+TOP_K = 5
+N_QUERIES = 10
+
+
+def _assign(vec_df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str) -> DataFrame:
+    """Add ``cluster`` = argmin squared-distance to the broadcast centroids
+    (ties → lower cluster id). One narrow map, no shuffle."""
+    dist_cols = []
+    for cid, c in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dist_cols.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+    best = F.array_min(F.array(*dist_cols))
+    return vec_df.withColumn("cluster", best["cid"])
+
+
+def kmeans_fit(
+    df: DataFrame, vec_col: str = "embedding", k: int = K, iters: int = ITERS
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's algorithm; returns [(cluster_id, centroid)]. The corpus never
+    leaves the cluster — only k centroids come back to the driver per
+    iteration."""
+    first = df.orderBy("vec_id").limit(k).select(vec_col).collect()
+    centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(first)]
+    vecs = df.select("vec_id", F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(iters):
+        assigned = _assign(vecs, centroids, "v")
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = {r.cluster: [float(x) for x in r.centroid] for r in means}
+        # empty clusters keep their previous centroid
+        centroids = [(cid, new.get(cid, c)) for cid, c in centroids]
+    return centroids
+
+
+@register(
+    "q_ann_ivf_topk",
+    oracle=None,  # iterative k-means training — the contract's rows-only case
+    doc=f"IVF ANN top-{TOP_K}: k-means ({K} cells, {ITERS} Lloyd iterations, "
+    f"deterministic init) partitions the corpus; each query probes its "
+    f"{NPROBE} nearest cells and exact-ranks only those vectors. The "
+    "trained-index counterpart to SRP-LSH; determinism and recall pinned by "
+    "tests/test_kmeans.py.",
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .dedup import SPARK_QNORM, SPARK_QVEC, spark_cosine_prequantized
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e)
+    vecs = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"),
+    ).withColumn("qnorm", F.expr(SPARK_QNORM.format(qa="qv")))
+    assigned = _assign(vecs, centroids, "v").drop("v")
+
+    # queries probe their NPROBE nearest cells
+    q = assigned.filter(F.col("vec_id") < N_QUERIES)
+    probe_cols = []
+    for cid, c in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col("qv"), arr, lambda x, y: (x / 4194304.0 - y) * (x / 4194304.0 - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        probe_cols.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+    probes = F.slice(F.array_sort(F.array(*probe_cols)), 1, NPROBE)
+    q = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("qnorm").alias("q_norm"),
+        F.explode(F.transform(probes, lambda s: s.cid)).alias("probe_cell"),
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), "qv", "qnorm", "cluster"
+    )
+    scored = cand.join(
+        F.broadcast(q),
+        (F.col("cluster") == F.col("probe_cell")) & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn(
+        "cosine", F.expr(spark_cosine_prequantized("q_qv", "qv", "q_norm", "qnorm"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.col("cluster").alias("cell"), "cosine", "rk")
+        .orderBy("query_id", "rk")
+    )

@@ -172,6 +172,141 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q10_top_returning_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+             AS lost_revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: revenue lost to returned items per customer, "
+    "top-20 — join-agg-topk with a broadcast dim on the group side.",
+    tags=("join", "topk", "tpch"),
+)
+def q10_top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "lost_revenue"))
+        .select("c_custkey", "c_name", "lost_revenue", "n_name")
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 150
+    )
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 25
+    """,
+    doc="TPC-H Q18 shape: large-volume orders — GROUP BY + HAVING inside an "
+    "IN subquery (planned as a semi join on the aggregated set), re-joined "
+    "and re-aggregated for output.",
+    tags=("join", "having", "subquery", "tpch"),
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "tq"))
+        .filter(F.col("tq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+@register(
+    "etl_formats_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Format-agnostic IO: write events to JSON and ORC, read both back, "
+    "union-verify per-type aggregates agree with the parquet original "
+    "(the oracle). Timestamps survive via explicit ISO-microsecond "
+    "serialization; the engine's source/sink surface is not parquet-bound.",
+    tags=("etl", "formats", "e2e"),
+)
+def etl_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _sh
+    import tempfile as _tf
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = _tf.mkdtemp(prefix="fmt_rt_")
+    try:
+        ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ev.write.option("timestampFormat", ts_fmt).mode("overwrite").json(f"{tmp}/ev_json")
+        ev.write.mode("overwrite").orc(f"{tmp}/ev_orc")
+        back_json = (
+            spark.read.schema(ev.schema)
+            .option("timestampFormat", ts_fmt)
+            .json(f"{tmp}/ev_json")
+        )
+        back_orc = spark.read.orc(f"{tmp}/ev_orc")
+        agg = lambda df: (  # noqa: E731
+            df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(25,6)")).alias("tv"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+        )
+        j, oc = agg(back_json).alias("j"), agg(back_orc).alias("o")
+        # verify-join: every per-type aggregate must agree between formats
+        both = j.join(oc, "event_type").filter(
+            (F.col("j.n_events") == F.col("o.n_events"))
+            & (F.col("j.tv") == F.col("o.tv"))
+            & (F.col("j.n_users") == F.col("o.n_users"))
+        )
+        out = both.select(
+            "event_type",
+            F.col("j.n_events").alias("n_events"),
+            F.col("j.tv").cast("double").alias("total_value"),
+            F.col("j.n_users").alias("n_users"),
+        ).orderBy("event_type")
+        out = out.localCheckpoint()
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
     "q_approx_sketches",
     oracle=None,  # sketch implementations differ across engines by design
     doc="Approximate sketches: HLL++ distinct counts and quantile sketch per "

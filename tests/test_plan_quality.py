@@ -1,0 +1,66 @@
+"""Physical-plan regression guards: the oracle gate proves results right;
+these prove the plans stay the plans we designed for 100 TB (pushdown,
+pruning, broadcast, top-k codegen, no cartesian products). A future edit
+that silently turns a broadcast join into a cartesian product would still
+pass the oracle — it would just be 1000× slower at scale; this suite is
+what catches it."""
+
+import pytest
+
+from poc_juma_etl_spark import all_queries
+
+from .conftest import SF_ORACLE
+
+SPECS = all_queries()
+
+
+def plan_of(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 11-column table reads only the 7 needed
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+    assert "HashAggregate" in plan  # map-side partial + final
+
+
+def test_q5_broadcasts_every_dim(spark):
+    plan = plan_of(spark, "q5_region_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = plan_of(spark, "q_global_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_broadcast_join_hint_respected(spark):
+    plan = plan_of(spark, "q_broadcast_brand_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_join_strategies(spark):
+    assert "LeftSemi" in plan_of(spark, "q_semi_join_active_customers")
+    assert "LeftAnti" in plan_of(spark, "q_anti_join_inactive_customers")
+
+
+# read-only queries swept for accidental cartesian products; the pair-wise
+# embedding queries legitimately use inequality self-joins over a bounded
+# slice (documented scale path is the LSH variant), so they are exempt
+CARTESIAN_EXEMPT = {"q_dedup_embedding_cosine"}
+SWEEP = [
+    n
+    for n in SPECS
+    if n.startswith("q") and n not in CARTESIAN_EXEMPT and "e2e" not in n
+    and n not in ("q_stream_tumbling_hour",)  # runs a stream on invocation
+]
+
+
+@pytest.mark.parametrize("name", sorted(SWEEP), ids=str)
+def test_no_cartesian_product(spark, name):
+    assert "CartesianProduct" not in plan_of(spark, name), name
