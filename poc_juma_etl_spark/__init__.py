@@ -35,6 +35,7 @@ def all_queries():
         "poc_juma_etl_spark.operators.range_replace",
         "poc_juma_etl_spark.operators.components",
         "poc_juma_etl_spark.operators.dedup",
+        "poc_juma_etl_spark.operators.grouped_map",
         "poc_juma_etl_spark.operators.kmeans",
         "poc_juma_etl_spark.operators.similarity",
         "poc_juma_etl_spark.operators.text",

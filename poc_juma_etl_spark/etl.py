@@ -55,7 +55,7 @@ def run_table(
     df = ingest_normalize(_extract(spark, sf_dir, spec), date_columns=[])
     path = f"{warehouse_dir}/{name}"
     if spec.load_mode == "overwrite":
-        overwrite_table(df, path, spec.filter_field)
+        overwrite_table(df, path, spec.filter_field, spec.partition_granularity)
         return path
     # range_replace fact load
     if historical is None:
@@ -67,14 +67,17 @@ def run_table(
         ).first()
         if lo is None:
             return path
-        replace_range(spark, path, df, spec.filter_field, lo, hi)
+        replace_range(spark, path, df, spec.filter_field, lo, hi, spec.partition_granularity)
         return path
     ranges = (
         monthly_ranges(*historical) if spec.range_type == "monthly" else daily_ranges(*historical)
     )
     # One atomic replacement across the whole historical window; the
     # generated ranges bound *connector* batches, not Spark jobs.
-    replace_range(spark, path, df, spec.filter_field, ranges[0][0], ranges[-1][1])
+    replace_range(
+        spark, path, df, spec.filter_field, ranges[0][0], ranges[-1][1],
+        spec.partition_granularity,
+    )
     return path
 
 

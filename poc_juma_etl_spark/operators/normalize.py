@@ -39,13 +39,26 @@ def lowercase_columns(df: DataFrame) -> DataFrame:
     return df.toDF(*[c.lower() for c in df.columns])
 
 
+# pd.to_datetime infers many formats; try_to_timestamp alone only parses
+# ISO-ish strings. This ordered chain covers the formats a BR-domain API
+# actually emits (the reference's data is Brazilian ERP output): ISO with
+# time, ISO date, day-first with time, day-first date. First match wins —
+# deterministic, unlike pandas' per-value inference.
+COERCE_FORMATS = ["dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy"]
+
+
 def coerce_timestamp(col: Column | str) -> Column:
     """P2 parse half: parse-or-null, the Spark equivalent of
     ``pd.to_datetime(errors='coerce')`` (reference utils.py:303).
     ``try_to_timestamp`` returns null on unparseable input instead of
-    raising — exact semantic match."""
+    raising; a coalesce over an explicit format chain replaces pandas'
+    per-value format inference (which is nondeterministic across mixed
+    columns — a foot-gun we deliberately fix, SURVEY.md §7.4)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_to_timestamp(c)
+    return F.coalesce(
+        F.try_to_timestamp(c),
+        *[F.try_to_timestamp(c, F.lit(fmt)) for fmt in COERCE_FORMATS],
+    )
 
 
 def normalize_date_column(col: Column | str) -> Column:

@@ -21,17 +21,34 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PARTITION_COL = "p_date"
 
+# Partition granularity is a per-table choice (registry.TableSpec): a 7-year
+# daily fact means ~2500 directories — death by file listing on any
+# filesystem; monthly keeps it at ~84 while date-filter partition pruning
+# still works (p_date is the truncated date, pruning compares ranges).
+GRANULARITIES = ("day", "month")
 
-def _with_partition(df: DataFrame, filter_field: str) -> DataFrame:
-    return df.withColumn(PARTITION_COL, F.to_date(F.col(filter_field)))
+
+def _partition_expr(filter_field: str, granularity: str):
+    if granularity == "day":
+        return F.to_date(F.col(filter_field))
+    if granularity == "month":
+        return F.to_date(F.date_trunc("month", F.col(filter_field)))
+    raise ValueError(f"granularity must be one of {GRANULARITIES}, got {granularity!r}")
 
 
-def overwrite_table(df: DataFrame, path: str, filter_field: str | None = None) -> None:
+def _with_partition(df: DataFrame, filter_field: str, granularity: str = "day") -> DataFrame:
+    return df.withColumn(PARTITION_COL, _partition_expr(filter_field, granularity))
+
+
+def overwrite_table(
+    df: DataFrame, path: str, filter_field: str | None = None, granularity: str = "day"
+) -> None:
     """S4 — full-replace load (reference WRITE_TRUNCATE, utils.py:309,
     config.py:72-90). Partitioned by date when the table has a filter field
     so later incremental loads and date-pruned scans work."""
@@ -42,7 +59,7 @@ def overwrite_table(df: DataFrame, path: str, filter_field: str | None = None) -
     w = df.write.mode("overwrite").option("partitionOverwriteMode", "static")
     if filter_field:
         w = (
-            _with_partition(df, filter_field)
+            _with_partition(df, filter_field, granularity)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "static")
             .partitionBy(PARTITION_COL)
@@ -50,13 +67,19 @@ def overwrite_table(df: DataFrame, path: str, filter_field: str | None = None) -
     w.parquet(path)
 
 
-def append_table(df: DataFrame, path: str, filter_field: str | None = None) -> None:
+def append_table(
+    df: DataFrame, path: str, filter_field: str | None = None, granularity: str = "day"
+) -> None:
     """S5 — append load (reference WRITE_APPEND, utils.py:309-317)."""
     if df.isEmpty():
         return
     w = df.write.mode("append")
     if filter_field:
-        w = _with_partition(df, filter_field).write.mode("append").partitionBy(PARTITION_COL)
+        w = (
+            _with_partition(df, filter_field, granularity)
+            .write.mode("append")
+            .partitionBy(PARTITION_COL)
+        )
     w.parquet(path)
 
 
@@ -67,26 +90,47 @@ def replace_range(
     filter_field: str,
     start: str | dt.date,
     end: str | dt.date,
+    granularity: str = "day",
 ) -> None:
     """R1 — idempotent day-granular range replacement: after this call, the
-    table's content for ``p_date ∈ [start, end]`` is exactly ``new_rows``
-    (rows of ``new_rows`` outside the range are ignored, mirroring the
+    table's content for dates in ``[start, end]`` is exactly the in-range
+    rows of ``new_rows`` (rows outside the range are ignored, mirroring the
     reference where extraction and delete share the same range).
 
     One atomic job: dynamic partition overwrite rewrites only the touched
-    date partitions. Re-running with the same inputs is a no-op change
+    partitions. Re-running with the same inputs is a no-op change
     (reference's delete+insert idempotency, utils.py:391-398, without the
-    crash window between the two jobs)."""
+    crash window between the two jobs).
+
+    With ``granularity="month"`` the day range need not align to partition
+    boundaries: rows of the touched months *outside* the range are read
+    back and re-staged alongside the new rows (retain ∪ new), so the
+    overwrite of those months is still exact. The retained rows are
+    localCheckpoint'ed first — Spark refuses to overwrite a path it is
+    concurrently reading from lineage."""
     start_d = F.lit(str(start)).cast("date")
     end_d = F.lit(str(end)).cast("date")
-    staged = _with_partition(new_rows, filter_field).filter(
-        F.col(PARTITION_COL).between(start_d, end_d)
-    )
+    day_in_range = F.to_date(F.col(filter_field)).between(start_d, end_d)
+    staged = _with_partition(new_rows, filter_field, granularity).filter(day_in_range)
     if staged.isEmpty():
         # The reference skips the delete when extraction returns no rows
         # (extract-before-delete ordering, utils.py:379-398): absence of new
         # data must never destroy existing data.
         return
+    if granularity != "day":
+        # sub-partition replacement: keep the touched partitions' rows that
+        # fall outside the day range
+        try:
+            existing = _with_partition(
+                spark.read.parquet(path).drop(PARTITION_COL), filter_field, granularity
+            )
+            touched = [r[0] for r in staged.select(PARTITION_COL).distinct().collect()]
+            retained = existing.filter(
+                F.col(PARTITION_COL).isin(touched) & ~day_in_range
+            ).localCheckpoint()
+            staged = staged.unionByName(retained)
+        except AnalysisException:
+            pass  # first load: nothing to retain
     (
         staged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -102,6 +146,7 @@ def refresh_recent(
     filter_field: str,
     days: int = 7,
     today: dt.date | None = None,
+    granularity: str = "day",
 ) -> tuple[dt.date, dt.date] | None:
     """O7 — recent-refresh window: re-replace the last ``days`` days from the
     source (reference utils.py:406-451, constant config.py:19). Skipped when
@@ -113,7 +158,7 @@ def refresh_recent(
     fresh = source_df.filter(
         F.to_date(F.col(filter_field)).between(F.lit(str(start)), F.lit(str(today)))
     )
-    replace_range(spark, path, fresh, filter_field, start, today)
+    replace_range(spark, path, fresh, filter_field, start, today, granularity)
     return (start, today)
 
 

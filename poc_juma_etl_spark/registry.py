@@ -25,6 +25,10 @@ class TableSpec:
     filter_field: str | None = None  # date column driving incremental loads
     range_type: str | None = None  # "monthly" | "daily" | None (full load)
     date_columns: tuple[str, ...] = ()  # P2 normalization targets
+    # warehouse partition granularity: long-horizon facts partition by month
+    # (a 7-year daily fact is ~2500 directories — file-listing death),
+    # high-volume short-horizon streams by day
+    partition_granularity: str = "day"
 
 
 SERVICE_MAP: dict[str, TableSpec] = {
@@ -37,8 +41,14 @@ SERVICE_MAP: dict[str, TableSpec] = {
     "documents": TableSpec("documents", "documents", "overwrite"),
     "embeddings": TableSpec("embeddings", "embeddings", "overwrite"),
     # facts — idempotent range replacement on the date field
-    "orders": TableSpec("orders", "orders", "range_replace", "o_orderdate", "monthly"),
-    "lineitem": TableSpec("lineitem", "lineitem", "range_replace", "l_shipdate", "monthly"),
+    "orders": TableSpec(
+        "orders", "orders", "range_replace", "o_orderdate", "monthly",
+        partition_granularity="month",
+    ),
+    "lineitem": TableSpec(
+        "lineitem", "lineitem", "range_replace", "l_shipdate", "monthly",
+        partition_granularity="month",
+    ),
     "events": TableSpec("events", "events", "range_replace", "ts", "daily"),
 }
 

@@ -57,6 +57,23 @@ def test_normalize_dates_coerce_semantics(spark):
     assert [r.other for r in out.collect()] == ["keep"] * 4
 
 
+def test_normalize_multiformat_dates(spark):
+    """pandas to_datetime infers mixed formats; our deterministic chain
+    parses ISO and BR day-first forms, nulls the rest."""
+    df = spark.createDataFrame(
+        [("2024-03-05 10:20:30",), ("05/03/2024 10:20:30",), ("05/03/2024",), ("31/31/2024",)],
+        ["DTEMISSAO"],
+    )
+    out = ingest_normalize(df, ["dtemissao"])
+    vals = [r.dtemissao for r in out.collect()]
+    assert vals == [
+        "2024-03-05 10:20:30",
+        "2024-03-05 10:20:30",
+        "2024-03-05 00:00:00",
+        None,
+    ]
+
+
 def test_normalize_only_listed_columns(spark):
     df = spark.createDataFrame([("2024-01-01", "2024-01-01")], ["DTCADASTRO", "NOTADATE"])
     out = normalize_dates(df, ["dtcadastro"])
@@ -224,3 +241,26 @@ def test_gold_partitioned_output(spark, tmp_path):
     pruned = got.filter(F.col("ship_month") == "1995-01-01")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or pruned.count() >= 0
+
+
+def test_replace_range_month_granularity_subrange(spark, tmp_path):
+    """Monthly partitions + a mid-month day-range replacement: other days of
+    the touched month must be retained, other months untouched."""
+    p = str(tmp_path / "t")
+    base = _mk_events(
+        spark,
+        [
+            (1, TS(2024, 1, 5), 1.0),
+            (2, TS(2024, 1, 15), 2.0),
+            (3, TS(2024, 1, 25), 3.0),
+            (4, TS(2024, 2, 10), 4.0),
+        ],
+    )
+    overwrite_table(base, p, "ts", granularity="month")
+    new = _mk_events(spark, [(20, TS(2024, 1, 16), 20.0)])
+    replace_range(spark, p, new, "ts", "2024-01-10", "2024-01-20", granularity="month")
+    got = {r.id for r in read_table(spark, p).collect()}
+    assert got == {1, 20, 3, 4}  # day 15 replaced by 16; days 5/25 + Feb kept
+    # idempotent re-run
+    replace_range(spark, p, new, "ts", "2024-01-10", "2024-01-20", granularity="month")
+    assert {r.id for r in read_table(spark, p).collect()} == {1, 20, 3, 4}
