@@ -33,6 +33,7 @@ def all_queries():
         "poc_juma_etl_spark.plans.events",
         "poc_juma_etl_spark.operators.normalize",
         "poc_juma_etl_spark.operators.range_replace",
+        "poc_juma_etl_spark.operators.bm25",
         "poc_juma_etl_spark.operators.components",
         "poc_juma_etl_spark.operators.dedup",
         "poc_juma_etl_spark.operators.grouped_map",

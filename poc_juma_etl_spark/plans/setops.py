@@ -171,6 +171,69 @@ def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, measure, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    )
+    ORDER BY p_partkey, measure
+    """,
+    doc="Unpivot (wide→long): part measures melted to (key, measure, value) "
+    "rows via stack() — the inverse of .pivot(), an in-row expansion with "
+    "no shuffle.",
+    tags=("pivot", "unpivot"),
+)
+def q_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.selectExpr(
+            "p_partkey",
+            "stack(2, 'retailprice', CAST(p_retailprice AS DOUBLE), "
+            "'size', CAST(p_size AS DOUBLE)) AS (measure, val)",
+        )
+        .orderBy("p_partkey", "measure")
+    )
+
+
+@register(
+    "q_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4)     OVER w AS quartile,
+           CUME_DIST()  OVER w AS cume
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderpriority, rnk, o_orderkey
+    """,
+    doc="The full ranking family — rank, dense_rank, ntile, cume_dist — over "
+    "one window; unique ORDER BY keeps every function deterministic.",
+    tags=("window", "rank"),
+)
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    )
+
+
+@register(
     "q_global_topk_orders",
     oracle="""
     SELECT o_orderkey, o_totalprice, o_orderdate
