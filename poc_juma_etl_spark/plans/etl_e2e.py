@@ -67,6 +67,40 @@ def etl_range_replace_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_merge_upsert_e2e",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 10 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    doc="MERGE/upsert end-to-end: load customers, upsert a change batch "
+    "(every 10th customer's balance doubled) via the anti-join+union MERGE "
+    "emulation, read back. The oracle computes the must-be final state "
+    "directly; the upsert is applied twice (idempotency gated).",
+    tags=("etl", "merge", "e2e"),
+)
+def etl_merge_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="merge_e2e_")
+    path = f"{tmp}/customer"
+    try:
+        c.write.parquet(path)
+        updates = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") * 2
+        )
+        merge_upsert(spark, path, updates, "c_custkey")
+        merge_upsert(spark, path, updates, "c_custkey")  # idempotent re-apply
+        out = spark.read.parquet(path).orderBy("c_custkey").localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
     "etl_gold_materialize_e2e",
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS event_hour,

@@ -171,6 +171,60 @@ def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+    """,
+    doc="Explicit GROUPING SETS (neither rollup nor cube): per-segment, "
+    "per-nation, and grand-total rows from one pass.",
+    tags=("aggregation", "grouping-sets"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST
+        """
+    )
+
+
+@register(
+    "q_posexplode_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, len(ts))) AS INT) AS pos,
+           unnest(ts) AS token
+    FROM (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+      FROM documents WHERE doc_id < 20
+    )
+    ORDER BY doc_id, pos
+    """,
+    doc="LATERAL VIEW posexplode: tokens with their positions (the "
+    "generator-function surface; DuckDB twin is zipped parallel unnests).",
+    tags=("explode", "generator"),
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return (
+        d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
     "q_unpivot_part_measures",
     oracle="""
     SELECT p_partkey, measure, CAST(val AS DOUBLE) AS val
