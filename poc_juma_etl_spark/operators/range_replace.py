@@ -46,6 +46,23 @@ def _with_partition(df: DataFrame, filter_field: str, granularity: str = "day") 
     return df.withColumn(PARTITION_COL, _partition_expr(filter_field, granularity))
 
 
+def _partition_of(day: str, granularity: str) -> dt.date:
+    """The partition value a given ISO day falls into."""
+    d = dt.date.fromisoformat(day)
+    return d if granularity == "day" else d.replace(day=1)
+
+
+def _delete_partitions(spark: SparkSession, path: str, parts: list) -> None:
+    """Remove partition directories via the Hadoop FileSystem API (works on
+    local FS, HDFS, and S3A alike — same code path a cluster uses)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for p in parts:
+        ppath = jvm.org.apache.hadoop.fs.Path(f"{path}/{PARTITION_COL}={p}")
+        fs = ppath.getFileSystem(conf)
+        fs.delete(ppath, True)
+
+
 def overwrite_table(
     df: DataFrame, path: str, filter_field: str | None = None, granularity: str = "day"
 ) -> None:
@@ -117,26 +134,42 @@ def replace_range(
         # (extract-before-delete ordering, utils.py:379-398): absence of new
         # data must never destroy existing data.
         return
-    if granularity != "day":
-        # sub-partition replacement: keep the touched partitions' rows that
-        # fall outside the day range
-        try:
-            existing = _with_partition(
-                spark.read.parquet(path).drop(PARTITION_COL), filter_field, granularity
-            )
-            touched = [r[0] for r in staged.select(PARTITION_COL).distinct().collect()]
-            retained = existing.filter(
-                F.col(PARTITION_COL).isin(touched) & ~day_in_range
-            ).localCheckpoint()
+    # partitions the range *touches* in the existing table. Dynamic overwrite
+    # only rewrites partitions present in the staged data — a touched
+    # partition with no new (or retained) rows would keep stale in-range rows
+    # (caught by tests/test_property_range_replace.py), so those are deleted
+    # explicitly afterwards, mirroring the reference's DELETE of the full
+    # range (utils.py:266-269).
+    affected_existing: list = []
+    try:
+        existing = _with_partition(
+            spark.read.parquet(path).drop(PARTITION_COL), filter_field, granularity
+        )
+        part_start = _partition_of(str(start), granularity)
+        part_end = _partition_of(str(end), granularity)
+        affected = existing.filter(
+            F.col(PARTITION_COL).between(F.lit(part_start), F.lit(part_end))
+        )
+        affected_existing = [
+            r[0] for r in affected.select(PARTITION_COL).distinct().collect()
+        ]
+        if granularity != "day":
+            # sub-partition replacement: keep affected-partition rows that
+            # fall outside the day range
+            retained = affected.filter(~day_in_range).localCheckpoint()
             staged = staged.unionByName(retained)
-        except AnalysisException:
-            pass  # first load: nothing to retain
+    except AnalysisException:
+        pass  # first load: nothing to retain or clear
     (
         staged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(PARTITION_COL)
         .parquet(path)
     )
+    desired = {r[0] for r in staged.select(PARTITION_COL).distinct().collect()}
+    stale = [p for p in affected_existing if p not in desired]
+    if stale:
+        _delete_partitions(spark, path, stale)
 
 
 def refresh_recent(

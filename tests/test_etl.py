@@ -264,3 +264,20 @@ def test_replace_range_month_granularity_subrange(spark, tmp_path):
     # idempotent re-run
     replace_range(spark, p, new, "ts", "2024-01-10", "2024-01-20", granularity="month")
     assert {r.id for r in read_table(spark, p).collect()} == {1, 20, 3, 4}
+
+
+def test_replace_range_clears_days_without_new_rows(spark, tmp_path):
+    """Hypothesis-found regression: a day inside the range with existing
+    rows but NO new rows must end up empty (the reference's DELETE covers
+    the whole range; dynamic overwrite alone would leave it stale)."""
+    p = str(tmp_path / "t")
+    overwrite_table(_mk_events(spark, [(1, TS(2024, 1, 1), 1.0)]), p, "ts")
+    new = _mk_events(spark, [(1000, TS(2024, 1, 2), 0.0)])
+    replace_range(spark, p, new, "ts", "2024-01-01", "2024-01-02")
+    assert {r.id for r in read_table(spark, p).collect()} == {1000}
+    # month granularity: same shape, stale month dir must be cleared
+    p2 = str(tmp_path / "t2")
+    overwrite_table(_mk_events(spark, [(1, TS(2024, 1, 15), 1.0)]), p2, "ts", granularity="month")
+    new2 = _mk_events(spark, [(1000, TS(2024, 2, 2), 0.0)])
+    replace_range(spark, p2, new2, "ts", "2024-01-01", "2024-02-28", granularity="month")
+    assert {r.id for r in read_table(spark, p2).collect()} == {1000}
