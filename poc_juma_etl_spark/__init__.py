@@ -26,6 +26,7 @@ def all_queries():
     for mod in (
         "poc_juma_etl_spark.plans.advanced",
         "poc_juma_etl_spark.plans.etl_e2e",
+        "poc_juma_etl_spark.plans.extra2",
         "poc_juma_etl_spark.plans.tpch_extra",
         "poc_juma_etl_spark.plans.joins",
         "poc_juma_etl_spark.plans.windows",

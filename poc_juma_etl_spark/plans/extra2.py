@@ -1,0 +1,151 @@
+"""Coverage batch: edit-distance dedup (blocked), LATERAL correlated
+subquery, regexp extraction, first/last/nth window values."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_views
+from .queries import register
+
+LEV_MAX = 4
+
+
+@register(
+    "q_dedup_levenshtein",
+    oracle=f"""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {LEV_MAX}
+    ORDER BY part_a, part_b
+    """,
+    doc=f"Edit-distance near-dup with blocking: only same-brand pairs are "
+    f"compared (the blocking key caps candidates at O(n²/blocks)), then "
+    f"levenshtein ≤ {LEV_MAX}. The string-similarity member of the dedup "
+    "family — at scale the blocking key comes from a cheap fingerprint "
+    "(first-k chars, length band, phonetic code).",
+    tags=("dedup", "levenshtein"),
+)
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= LEV_MAX)
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+@register(
+    "q_lateral_top2_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+    WHERE c.c_custkey <= 100
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """,
+    doc="LATERAL correlated subquery: each customer's two most expensive "
+    "orders. Same SQL runs on both engines; Catalyst rewrites it to the "
+    "window top-k shape rather than per-row subquery execution.",
+    tags=("lateral", "topk", "subquery"),
+)
+def q_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 100
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
+
+
+@register(
+    "q_regexp_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_value,
+           regexp_matches(props, '^\\{{"k": \\d+\\}}$') AS well_formed
+    FROM events
+    WHERE user_id <= 20
+    ORDER BY event_id
+    """.replace("{{", "{").replace("}}", "}"),
+    doc="Regex surface: capture-group extraction + full-match validation "
+    "over the JSON props strings (regexp_extract group semantics pinned to "
+    "group 1 in both engines).",
+    tags=("functions", "regex"),
+)
+def q_regexp_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint").alias("k_value"),
+        F.col("props").rlike(r'^\{"k": \d+\}$').alias("well_formed"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q_window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_order
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="first_value/last_value/nth_value: a customer's first, last, and "
+    "second orders attached to every row (full-partition frames where the "
+    "value depends on unseen rows).",
+    tags=("window",),
+)
+def q_window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(wfull).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
