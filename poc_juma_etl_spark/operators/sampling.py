@@ -1,0 +1,87 @@
+"""Deterministic content-hash sampling.
+
+Random sampling (TABLESAMPLE / df.sample) is engine- and run-dependent —
+useless for reproducible training-data subsets. The pipeline-standard
+alternative: hash a stable key and keep rows whose hash lands in a bucket
+range. Properties that matter at 100 TB:
+
+- reproducible across engines, runs, partitionings, and cluster sizes;
+- composable: a 5% sample is a strict subset of the 10% sample from the
+  same key (bucket ranges nest);
+- stratified variants are just different rates per stratum.
+
+Uses the same md5-derived 60-bit hash as the dedup operators (cross-engine
+stable, see operators/text.md5_long)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.queries import register
+from .text import SQL_MD5_LONG, md5_long
+
+BUCKETS = 1000
+
+
+def sample_bucket(key: Column) -> Column:
+    """Stable bucket in [0, BUCKETS) from any key column."""
+    return md5_long(key.cast("string")) % BUCKETS
+
+
+@register(
+    "q_sample_deterministic",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {SQL_MD5_LONG.format(x="CAST(doc_id AS VARCHAR)")} % {BUCKETS} AS bucket
+    FROM documents
+    WHERE {SQL_MD5_LONG.format(x="CAST(doc_id AS VARCHAR)")} % {BUCKETS} < 100
+    ORDER BY doc_id
+    """,
+    doc="Deterministic 10% sample: md5-bucket the key, keep buckets < 100 "
+    "of 1000. Identical membership in every engine/run/partitioning, and a "
+    "5% sample (buckets < 50) is a strict subset — the reproducible-subset "
+    "contract LLM data pipelines need.",
+    tags=("sampling",),
+)
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = sample_bucket(F.col("doc_id"))
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < 100)
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT label, COUNT(*) AS n_sampled
+    FROM (
+      SELECT label,
+             {SQL_MD5_LONG.format(x="CAST(vec_id AS VARCHAR)")} % {BUCKETS} AS bucket
+      FROM embeddings
+    )
+    WHERE bucket < (CASE WHEN label < 5 THEN 300 ELSE 100 END)
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Stratified deterministic sampling: 30% for labels 0-4, 10% for "
+    "labels 5-9 — per-stratum rates are just per-stratum bucket thresholds "
+    "over the same stable hash (up-/down-sampling classes reproducibly).",
+    tags=("sampling", "stratified"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = sample_bucket(F.col("vec_id"))
+    threshold = F.when(F.col("label") < 5, 300).otherwise(100)
+    return (
+        e.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < threshold)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("label")
+    )
