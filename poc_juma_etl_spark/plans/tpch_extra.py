@@ -346,21 +346,24 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "bucketing"),
 )
 def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     tmp = tempfile.mkdtemp(prefix="bucketed_")
-    old_wh = spark.conf.get("spark.sql.warehouse.dir", None)
+    tag = uuid.uuid4().hex[:8]  # unique catalog names: re-entrant/concurrent-safe
+    t_o, t_c = f"orders_bucketed_{tag}", f"customer_bucketed_{tag}"
     try:
         # bucketed tables need the session catalog; write both sides bucketed
         # by the join key into a scratch warehouse
         o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").option(
             "path", f"{tmp}/orders_b"
-        ).mode("overwrite").saveAsTable("orders_bucketed")
+        ).mode("overwrite").saveAsTable(t_o)
         c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").option(
             "path", f"{tmp}/customer_b"
-        ).mode("overwrite").saveAsTable("customer_bucketed")
-        ob = spark.table("orders_bucketed")
-        cb = spark.table("customer_bucketed")
+        ).mode("overwrite").saveAsTable(t_c)
+        ob = spark.table(t_o)
+        cb = spark.table(t_c)
         out = (
             ob.join(cb, ob.o_custkey == cb.c_custkey)
             .groupBy("o_orderstatus")
@@ -374,8 +377,7 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.localCheckpoint()
     finally:
-        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
-        spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
         shutil.rmtree(tmp, ignore_errors=True)
-        del old_wh
     return out

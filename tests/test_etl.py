@@ -307,3 +307,32 @@ def test_zorder_key_interleaves(spark):
     df = spark.createDataFrame([("x", "y")], ["a", "b"])
     key = df.select(zorder_key(["a", "b"], bits=4).alias("k")).first().k
     assert 0 <= key < (1 << 8)  # 2 cols x 4 bits interleaved -> 8-bit key
+
+
+def test_gold_incremental_refresh(spark, tmp_path):
+    """Incremental gold refresh: after a RAW day is corrected, refreshing
+    just that date range makes the gold table equal a full rebuild."""
+    from poc_juma_etl_spark.plans import gold
+
+    # RAW events view over a small controlled table
+    base = _mk_events(
+        spark,
+        [(1, TS(2024, 1, 1, 5), 1.0), (2, TS(2024, 1, 2, 6), 2.0), (3, TS(2024, 1, 3, 7), 3.0)],
+    ).withColumnRenamed("id", "event_id").withColumnRenamed("v", "value")
+    base = base.withColumn("event_type", F.lit("t")).withColumn("user_id", F.lit(1)).withColumn("props", F.lit("{}"))
+    base.createOrReplaceTempView("events")
+    gold.define_gold_view(spark, "vw_event_hourly")
+    out = gold.materialize(spark, "vw_event_hourly", str(tmp_path / "g"))
+    # RAW correction: day 2's value becomes 20.0
+    fixed = base.withColumn(
+        "value", F.when(F.to_date("ts") == "2024-01-02", 20.0).otherwise(F.col("value"))
+    )
+    fixed.createOrReplaceTempView("events")
+    gold.define_gold_view(spark, "vw_event_hourly")
+    gold.refresh_incremental(spark, "vw_event_hourly", str(tmp_path / "g"), "2024-01-02", "2024-01-02")
+    incremental = spark.read.parquet(out)
+    full = gold.materialize(spark, "vw_event_hourly", str(tmp_path / "g_full"))
+    full_df = spark.read.parquet(full)
+    assert incremental.count() == full_df.count()
+    assert incremental.exceptAll(full_df).isEmpty()
+    assert full_df.exceptAll(incremental).isEmpty()
