@@ -146,6 +146,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the scan under-parallelizes.
+
+    A small single-file parquet scan yields one input partition, so every
+    CPU-heavy per-row stage downstream (shingling, per-token hashing, regex
+    tokenization) runs on one core. At 100 TB the scan has thousands of
+    splits and this is a no-op — the guard makes the shuffle strictly a
+    small-input optimization, never a large-input regression."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register every table as a temp view so the SQL surface can refer to
     them by bare name (mirrors how the reference's Gold SQL referred to

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..plans.queries import register
 from .text import MOD_P, SQL_MD5_LONG, md5_long, tokens
 
@@ -195,7 +195,9 @@ _SQL_BASE_HASH = f"({SQL_MD5_LONG.format(x='shingle')} % {MOD_P})"
     tags=("dedup", "minhash", "lsh"),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # spread(): a small documents.parquet scans as ONE split, serializing the
+    # shingle+md5 CPU onto one core; no-op once the scan has real splits
+    d = spread(load_table(spark, sf_dir, "documents"))
     sh = _shingles(d).cache()
     hashed = sh.select("doc_id", (md5_long(F.col("shingle")) % MOD_P).alias("h"))
     # one wide aggregation computes the whole signature — 32 min() columns
