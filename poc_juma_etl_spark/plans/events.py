@@ -13,13 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .queries import dsum, register
+from .queries import dsum, register, ts_str
 
 
 @register(
     "q_event_tumbling_hour",
     oracle="""
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
     FROM events
@@ -35,7 +35,7 @@ def q_event_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+            ts_str(F.date_trunc("hour", "ts"), "window_start"), "event_type"
         )
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
         .orderBy("window_start", "event_type")

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .queries import dsum, register
+from .queries import dsum, register, ts_str
 
 
 @register(
@@ -25,7 +25,7 @@ from .queries import dsum, register
     oracle="""
     SELECT o.o_orderkey,
            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
-           o.o_orderdate, o.o_orderpriority
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -54,7 +54,9 @@ def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
-        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select(
+            "o_orderkey", "revenue", ts_str("o_orderdate", "o_orderdate"), "o_orderpriority"
+        )
         .orderBy(F.desc("revenue"), "o_orderdate", "o_orderkey")
         .limit(10)
     )

@@ -87,6 +87,23 @@ SQL_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) AS {alias}"
 SQL_DAVG = "CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr}) AS {alias}"
 
 
+def ts_str(col: Column | str, alias: str, frac: bool = False) -> Column:
+    """Timestamp output as a canonical string — cross-engine dtype-proof.
+
+    Spark toPandas yields datetime64[ns], DuckDB fetchdf datetime64[us]; a
+    comparator hashing raw values (not isoformat) would flag identical
+    instants. Emitting 'yyyy-MM-dd HH:mm:ss[.SSSSSS]' strings in BOTH
+    engines removes the entire dtype class. String order == chronological
+    order for this zero-padded format, so ORDER BY stays correct."""
+    c = F.col(col) if isinstance(col, str) else col
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS" if frac else "yyyy-MM-dd HH:mm:ss"
+    return F.date_format(c, fmt).alias(alias)
+
+
+SQL_TS_STR = "strftime({expr}, '%Y-%m-%d %H:%M:%S') AS {alias}"
+SQL_TS_STR_FRAC = "strftime({expr}, '%Y-%m-%d %H:%M:%S.%f') AS {alias}"
+
+
 # ---------------------------------------------------------------------------
 # M0 — flagship: TPC-H Q1-style pricing summary
 # Exercises: parquet scan w/ predicate pushdown, filter, hash aggregate with

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .queries import davg, dsum, register
+from .queries import davg, dsum, register, ts_str
 
 
 @register(
@@ -290,7 +290,7 @@ def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_global_topk_orders",
     oracle="""
-    SELECT o_orderkey, o_totalprice, o_orderdate
+    SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 15
@@ -302,7 +302,7 @@ def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        o.select("o_orderkey", "o_totalprice", ts_str("o_orderdate", "o_orderdate"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(15)
     )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .queries import dsum, register
+from .queries import dsum, register, ts_str
 
 
 @register(
@@ -211,7 +211,8 @@ def q10_top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_large_volume_orders",
     oracle="""
-    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+    SELECT o.o_orderkey, o.o_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o.o_totalprice,
            CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderkey IN (
@@ -242,6 +243,13 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity", "total_qty"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            ts_str("o_orderdate", "o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(25)
     )

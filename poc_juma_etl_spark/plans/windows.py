@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .queries import register
+from .queries import register, ts_str
 
 
 @register(
@@ -60,7 +60,7 @@ def q_window_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_window_running_total",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate,
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -86,7 +86,9 @@ def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "running_spend",
             F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double"),
         )
-        .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend")
+        .select(
+            "o_custkey", "o_orderkey", ts_str("o_orderdate", "o_orderdate"), "running_spend"
+        )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
 
@@ -119,7 +121,7 @@ def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_window_moving_avg",
     oracle="""
-    SELECT user_id, event_id, ts,
+    SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
            CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) / COUNT(value) OVER w AS moving_avg
     FROM events
     WHERE user_id <= 50
@@ -138,7 +140,7 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double")
             / F.count("value").over(w),
         )
-        .select("user_id", "event_id", "ts", "moving_avg")
+        .select("user_id", "event_id", ts_str("ts", "ts", frac=True), "moving_avg")
         .orderBy("user_id", "event_id")
     )
 

@@ -198,7 +198,8 @@ def _register_query() -> None:
     @register(
         "etl_rest_source_scan",
         oracle="""
-        SELECT event_id, ts, user_id, event_type, value, props
+        SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+               user_id, event_type, value, props
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
           AND ts <  TIMESTAMP '2024-01-11 00:00:00'
@@ -223,7 +224,16 @@ def _register_query() -> None:
             .option("filter_end", "2024-01-10")
             .load()
         )
-        return df.orderBy("event_id")
+        from ..plans.queries import ts_str
+
+        return df.select(
+            "event_id",
+            ts_str("ts", "ts", frac=True),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).orderBy("event_id")
 
 
 if HAVE_DATASOURCE_API:

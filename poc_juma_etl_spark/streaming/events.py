@@ -22,7 +22,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.queries import dsum, register
+from ..plans.queries import dsum, register, ts_str
 
 _MEMSINK_LOCK = threading.Lock()
 _SINK_SEQ = [0]
@@ -47,7 +47,7 @@ def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
         .select(
-            F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+            ts_str(F.col("w.start"), "window_start"), "event_type", "n_events", "total_value"
         )
     )
     with _MEMSINK_LOCK:
@@ -67,7 +67,7 @@ def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stream_tumbling_hour",
     oracle="""
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
     FROM events
