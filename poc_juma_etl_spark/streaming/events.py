@@ -82,3 +82,57 @@ def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_tumbling_hour(spark, sf_dir)
     return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Streaming at-least-once dedup: the event stream unioned with itself "
+    "(every record delivered twice — the Kafka redelivery model), then "
+    "dropDuplicatesWithinWatermark(event_id) holds keys in state only for "
+    "the 2h watermark horizon — bounded state at any scale, unlike an "
+    "unbounded dropDuplicates. Converges to the batch aggregate over the "
+    "duplicate-free table; doubled counts would flag instantly.",
+    tags=("streaming", "dedup", "events"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+
+    deduped = (
+        src()
+        .unionByName(src())
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "value")
+    )
+    with _MEMSINK_LOCK:
+        _SINK_SEQ[0] += 1
+        sink = f"stream_dedup_out_{_SINK_SEQ[0]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .orderBy("event_type")
+    )

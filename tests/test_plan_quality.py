@@ -57,7 +57,7 @@ SWEEP = [
     n
     for n in SPECS
     if n.startswith("q") and n not in CARTESIAN_EXEMPT and "e2e" not in n
-    and n not in ("q_stream_tumbling_hour",)  # runs a stream on invocation
+    and n not in ("q_stream_tumbling_hour", "q_stream_dedup")  # run a stream on invocation
 ]
 
 
