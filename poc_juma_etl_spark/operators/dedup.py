@@ -419,7 +419,7 @@ def sql_cosine_expr(a: str, b: str) -> str:
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
-        load_table(spark, sf_dir, "embeddings")
+        spread(load_table(spark, sf_dir, "embeddings"))
         .filter(F.col("vec_id") < 200)
         .select("vec_id", "label", "embedding")
     )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..plans.queries import register
 
 K = 8
@@ -93,7 +93,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .dedup import SPARK_QNORM, SPARK_QVEC, spark_cosine_prequantized
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     centroids = kmeans_fit(e)
     vecs = e.select(
         "vec_id",

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..plans.queries import register
 from .dedup import (
     SPARK_QNORM,
@@ -109,7 +109,7 @@ def spark_srp_bucket(vec: str) -> str:
     tags=("similarity", "ann", "topk"),
 )
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _quantized(load_table(spark, sf_dir, "embeddings"), "v")
+    e = _quantized(spread(load_table(spark, sf_dir, "embeddings")), "v")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v_qv").alias("q_qv"),
@@ -163,7 +163,7 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "lsh"),
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _quantized(load_table(spark, sf_dir, "embeddings"), "v")
+    e = _quantized(spread(load_table(spark, sf_dir, "embeddings")), "v")
     b = e.withColumn("bucket", F.expr(spark_srp_bucket("embedding")))
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -226,7 +226,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "lsh", "multiprobe"),
 )
 def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _quantized(load_table(spark, sf_dir, "embeddings"), "v")
+    e = _quantized(spread(load_table(spark, sf_dir, "embeddings")), "v")
     b = e.withColumn("bucket", F.expr(spark_srp_bucket("embedding")))
     probe = F.array(
         F.col("bucket"),
