@@ -30,20 +30,31 @@ def duckdb_connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
 
 
 def _norm_cell(v: Any) -> Any:
-    """Normalize a cell for cross-engine comparison."""
+    """Normalize a cell for cross-engine comparison.
+
+    Numeric cells are TYPE-TAGGED — the driver's value hash is dtype-
+    sensitive (a Spark BIGINT 9 vs DuckDB DOUBLE 9.0 fails its gate), while
+    Python's ``9 == 9.0`` and ``True == 1`` are True. Tagging ints, floats
+    and bools distinctly makes this local gate exactly as strict as the
+    driver's, so type drift fails HERE first (round-1 lesson:
+    q_scalar_function_suite's floor() passed locally, failed the driver)."""
     if v is None:
         return None
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("f", "NaN")
+        return ("f", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if hasattr(v, "isoformat"):  # datetime.date / datetime.datetime
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
-    if isinstance(v, (int, str, bool)):
+    if isinstance(v, str):
         return v
     # numpy scalars, Decimal, etc.
     try:

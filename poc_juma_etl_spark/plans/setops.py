@@ -317,7 +317,7 @@ def q_global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(p_name) AS name_len,
            concat(p_brand, ':', p_type) AS brand_type,
            abs(p_retailprice - 1000.0) AS price_dev,
-           floor(p_retailprice / 100) AS price_bucket,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket,
            sqrt(p_size) AS size_sqrt,
            CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'medium'
                 ELSE 'small' END AS size_class,
