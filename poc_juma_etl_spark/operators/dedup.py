@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
 from ..plans.queries import register
+from .srp import spark_srp_bucket, sql_srp_bucket
 from .text import MOD_P, SQL_MD5_LONG, md5_long, tokens
 
 # MinHash parameters: k = BANDS * ROWS permutations h_i(x) = (a_i·x + b_i) mod P
@@ -403,31 +404,43 @@ def sql_cosine_expr(a: str, b: str) -> str:
 @register(
     "q_dedup_embedding_cosine",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 200)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label_a, b.label AS label_b,
-           {sql_cosine_expr("a.embedding", "b.embedding")} AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE {sql_cosine_expr("a.embedding", "b.embedding")} >= {COS_THRESHOLD}
+    WITH e AS (
+      SELECT vec_id, label, embedding, {sql_srp_bucket("embedding")} AS bucket
+      FROM embeddings
+    )
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.label AS label_a, y.label AS label_b,
+           {sql_cosine_expr("x.embedding", "y.embedding")} AS cosine
+    FROM e x JOIN e y ON y.bucket = x.bucket AND x.vec_id < y.vec_id
+    WHERE {sql_cosine_expr("x.embedding", "y.embedding")} >= {COS_THRESHOLD}
     ORDER BY vec_a, vec_b
     """,
-    doc="Embedding near-dup: pairwise cosine ≥ 0.30 over a 200-vector slice. "
-    "Dot products sum per-element double products in DECIMAL — exact and "
-    "order-independent, so Spark and DuckDB agree bitwise. The demo slice "
-    "brute-forces; the production path is the LSH-bucketed variant in "
-    "operators/similarity.py (identical math, sub-quadratic candidates).",
+    doc="Embedding near-dup over the FULL table: SRP-LSH buckets (operators/"
+    "srp.py, 8 deterministic hyperplane sign bits) generate candidates via a "
+    "bucket equi-join — ~1/2^8 of the pairs an all-pairs join would score — "
+    "then the exact quantized cosine (DECIMAL dot products, bitwise equal "
+    "across engines) keeps pairs ≥ 0.30. The oracle runs the identical "
+    "bucketing, so the gate checks the whole candidate+verify pipeline. "
+    "This is the 100 TB plan itself, not a demo slice of it: each vector is "
+    "quantized, normed, and hashed once; the join shuffles on bucket id.",
     tags=("dedup", "embedding"),
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         spread(load_table(spark, sf_dir, "embeddings"))
-        .filter(F.col("vec_id") < 200)
         .select("vec_id", "label", "embedding")
+        .withColumn("qv", F.expr(SPARK_QVEC.format(a="embedding")))
+        .withColumn("nrm", F.expr(SPARK_QNORM.format(qa="qv")))
+        .withColumn("bucket", F.expr(spark_srp_bucket("embedding")))
+        .drop("embedding")
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = F.expr(spark_cosine_expr("a.embedding", "b.embedding"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.expr(spark_cosine_prequantized("a.qv", "b.qv", "a.nrm", "b.nrm"))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

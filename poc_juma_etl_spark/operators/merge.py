@@ -21,22 +21,48 @@ merge family.
 
 from __future__ import annotations
 
+from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dedupe_updates(updates: DataFrame, key: str) -> DataFrame:
+    """Resolve duplicate keys in an update batch deterministically: per key,
+    the row that sorts highest over all non-key columns (descending,
+    nulls last) wins. One shuffle on the key — same cost class as the
+    anti-join that follows, so free at scale."""
+    order_cols = [
+        F.col(c).desc_nulls_last() for c in updates.columns if c != key
+    ] or [F.col(key)]
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def merge_upsert(
     spark: SparkSession, path: str, updates: DataFrame, key: str
 ) -> None:
     """Keyed upsert: last-write-wins per key. Updates may contain keys not
-    in the target (inserts) and duplicate keys (the max-key-ordering row in
-    ``updates`` wins via dropDuplicates after a deterministic sort)."""
+    in the target (inserts) and duplicate keys (resolved per
+    :func:`dedupe_updates` before the merge, so the target never gains
+    duplicate key rows).
+
+    Only a *missing target* (first load) falls back to writing the updates
+    alone; any other read failure (corrupt footer, permissions) propagates —
+    silently overwriting the table with just the update batch would be data
+    loss."""
+    updates = dedupe_updates(updates, key)
     try:
         target = spark.read.parquet(path)
+    except AnalysisException:
+        merged = updates  # first load: no target yet
+    else:
         retained = target.join(updates.select(key).distinct(), key, "left_anti")
         merged = retained.unionByName(updates).localCheckpoint()
-    except Exception:
-        merged = updates
     merged.write.mode("overwrite").option("partitionOverwriteMode", "static").parquet(path)
 
 

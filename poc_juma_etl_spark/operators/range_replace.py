@@ -196,7 +196,11 @@ def refresh_recent(
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read a warehouse table written by this module (drops the derived
-    partition column so round-trips are schema-stable)."""
+    """Read a warehouse table written by this module or the streaming sink
+    (drops the derived partition/epoch columns so round-trips are
+    schema-stable)."""
     df = spark.read.parquet(path)
-    return df.drop(PARTITION_COL) if PARTITION_COL in df.columns else df
+    for derived in (PARTITION_COL, "_epoch"):
+        if derived in df.columns:
+            df = df.drop(derived)
+    return df

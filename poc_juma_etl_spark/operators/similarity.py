@@ -42,46 +42,10 @@ def _quantized(e: DataFrame, prefix: str) -> DataFrame:
         f"{prefix}_norm", F.expr(SPARK_QNORM.format(qa=f"{prefix}_qv"))
     )
 
+from .srp import SRP_PLANES, spark_srp_bucket, sql_srp_bucket  # noqa: F401 (shared LSH)
+
 TOP_K = 5
 N_QUERIES = 10  # demo query set: vec_id < 10
-
-# Signed-random-projection hyperplanes via an LCG: component d of hyperplane j
-# is lcg(j * DIM + d) mapped to [-0.5, 0.5). Integer arithmetic → identical
-# in every engine.
-SRP_PLANES = 8
-DIM = 64
-LCG_A = 1103515245
-LCG_C = 12345
-LCG_M = 2147483648  # 2^31
-
-
-def _sql_srp_bit(vec: str, j: int) -> str:
-    """1-bit sign of <vec, plane_j>, as portable SQL (shared dialect)."""
-    terms = (
-        f"list_sum(list_transform(range(1, {DIM + 1}), d -> "
-        f"CAST(round(CAST({vec}[d] AS DOUBLE) * 4194304) AS BIGINT) * "
-        f"(((CAST({LCG_A} AS BIGINT) * ({j} * {DIM} + (d - 1)) + {LCG_C}) % {LCG_M}) - {LCG_M // 2})"
-        f"))"
-    )
-    return f"(CASE WHEN {terms} >= 0 THEN 1 ELSE 0 END)"
-
-
-def _spark_srp_bit(vec: str, j: int) -> str:
-    terms = (
-        f"aggregate(transform(sequence(1, {DIM}), d -> "
-        f"CAST(round(CAST(element_at({vec}, d) AS DOUBLE) * 4194304) AS BIGINT) * "
-        f"(((CAST({LCG_A} AS BIGINT) * ({j} * {DIM} + (d - 1)) + {LCG_C}) % {LCG_M}) - {LCG_M // 2})"
-        f"), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
-    return f"(CASE WHEN {terms} >= 0 THEN 1 ELSE 0 END)"
-
-
-def sql_srp_bucket(vec: str) -> str:
-    return " + ".join(f"{_sql_srp_bit(vec, j)} * {1 << j}" for j in range(SRP_PLANES))
-
-
-def spark_srp_bucket(vec: str) -> str:
-    return " + ".join(f"{_spark_srp_bit(vec, j)} * {1 << j}" for j in range(SRP_PLANES))
 
 
 @register(

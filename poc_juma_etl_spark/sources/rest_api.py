@@ -72,6 +72,10 @@ def get_auth_token(realm: str = "default") -> str:
 # --------------------------------------------------------------------- S1/S2
 
 
+# (path, filter...) → filtered pyarrow Table, per executor process
+_TABLE_CACHE: dict[tuple, object] = {}
+
+
 class FixtureTransport:
     """Serves the paginated-API protocol from a local parquet file.
 
@@ -98,6 +102,15 @@ class FixtureTransport:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        # Worker-local cache: every page an executor process serves re-uses
+        # the one filtered table instead of re-reading + re-filtering the
+        # parquet per page (a real HTTP transport has no such luxury, but it
+        # also has no file to re-read).
+        key = (self.path, self.filter_field, self.filter_start, self.filter_end)
+        cached = _TABLE_CACHE.get(key)
+        if cached is not None:
+            return cached
+
         t = pq.read_table(self.path)
         # API contract serves microsecond timestamps (Spark cannot ingest ns)
         fields = [
@@ -116,6 +129,7 @@ class FixtureTransport:
             hi = pc.strptime(f"{end_next} 00:00:00", "%Y-%m-%d %H:%M:%S", "us")
             mask = pc.and_(pc.greater_equal(col, lo), pc.less(col, hi))
             t = t.filter(mask)
+        _TABLE_CACHE[key] = t
         return t
 
     def n_pages(self) -> int:
@@ -152,9 +166,11 @@ if HAVE_DATASOURCE_API:
             return [InputPartition(p) for p in range(self._transport().n_pages())]
 
         def read(self, partition):
+            # Spark 4 readers may yield pyarrow RecordBatches directly —
+            # rows stay columnar end-to-end (no per-row Python tuples, the
+            # one thing that made this connector slower than a native scan)
             table = self._transport().fetch_page(partition.value)
-            for row in table.to_pylist():
-                yield tuple(row.values())
+            yield from table.to_batches()
 
     class PaginatedRestDataSource(DataSource):
         @classmethod

@@ -1,25 +1,47 @@
-"""Streaming ingestion into the warehouse: foreachBatch + checkpointed
-exactly-once.
+"""Streaming ingestion into the warehouse: foreachBatch with epoch-keyed
+idempotent writes.
 
 The streaming twin of etl.run_table's batch load: a bounded (or unbounded)
 event stream lands in the same parquet warehouse the batch writers maintain.
-``foreachBatch`` hands each micro-batch to the engine's own writer, and the
-checkpoint makes redelivery impossible — re-running the stream with the same
-checkpoint location writes nothing new (the reference achieved idempotency
-by delete+insert on every run, utils.py:391-398; a checkpointed stream
-doesn't need to redo work to be safe).
+``foreachBatch`` is at-least-once — a crash after a (partial) write but
+before the checkpoint commit re-runs the batch on restart — so the write
+itself must be idempotent. Each micro-batch is written under its own
+``_epoch=<epoch_id>`` partition with dynamic partition overwrite: a
+redelivered epoch *replaces* its own partitions instead of appending
+duplicates, which composes with the checkpoint into effectively-exactly-once
+delivery (the reference achieved the same intent by delete+insert on every
+run, utils.py:391-398).
 
-Each batch lands date-partitioned via append; duplicate protection across
-*restarts* comes from the checkpoint, duplicate protection across *manual
-re-ingestion* comes from running R1 replace_range over the affected window —
-the two compose (see tests/test_stream_sink.py)."""
+Within an epoch, rows stay date-partitioned (``p_date``) so downstream
+date-pruned scans work; readers drop both derived columns via
+``range_replace.read_table``. See tests/test_stream_sink.py for the
+redelivery contract."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.range_replace import append_table
+from ..operators.range_replace import PARTITION_COL
+
+EPOCH_COL = "_epoch"
+
+
+def write_epoch(df: DataFrame, table_path: str, epoch_id: int) -> None:
+    """Idempotently land one micro-batch: dynamic partition overwrite of the
+    batch's own ``_epoch`` partitions. Re-running the same (df, epoch_id)
+    pair leaves the table byte-identical — the redelivery path foreachBatch
+    needs to be safe."""
+    if df.isEmpty():
+        return
+    (
+        df.withColumn(EPOCH_COL, F.lit(int(epoch_id)))
+        .withColumn(PARTITION_COL, F.to_date("ts"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(EPOCH_COL, PARTITION_COL)
+        .parquet(table_path)
+    )
 
 
 def stream_events_to_warehouse(
@@ -27,7 +49,8 @@ def stream_events_to_warehouse(
 ) -> int:
     """Drain the bounded events stream into a date-partitioned warehouse
     table; returns the number of micro-batches written. Safe to call again
-    with the same checkpoint: already-committed batches are not reprocessed."""
+    with the same checkpoint (committed batches are not reprocessed) AND
+    safe under redelivery of an uncommitted batch (epoch-keyed overwrite)."""
     raw_schema = (
         "event_id long, ts long, user_id long, event_type string, value double, props string"
     )
@@ -40,7 +63,7 @@ def stream_events_to_warehouse(
     n_batches = [0]
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
-        append_table(df, table_path, "ts")
+        write_epoch(df, table_path, epoch_id)
         n_batches[0] += 1
 
     q = (

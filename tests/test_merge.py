@@ -23,6 +23,24 @@ def test_merge_upsert_insert_update_keep(spark, tmp_path):
     assert {r.k for r in spark.read.parquet(p).collect()} == {1, 2, 3}
 
 
+def test_merge_upsert_duplicate_update_keys(spark, tmp_path):
+    """Duplicate keys in the update batch collapse to one row per key
+    (highest-sorting non-key tuple wins) — the target never gains dup keys."""
+    p = str(tmp_path / "dup")
+    _df(spark, [(1, "a", 10.0)]).write.parquet(p)
+    merge_upsert(
+        spark,
+        p,
+        _df(spark, [(1, "a-v2", 11.0), (1, "a-v3", 12.0), (2, "b", 20.0), (2, "b", 21.0)]),
+        "k",
+    )
+    rows = spark.read.parquet(p).collect()
+    assert len(rows) == 2
+    got = {r.k: (r.name, r.bal) for r in rows}
+    # desc ordering over (name, bal): "a-v3" > "a-v2"; (b, 21.0) > (b, 20.0)
+    assert got == {1: ("a-v3", 12.0), 2: ("b", 21.0)}
+
+
 def test_merge_upsert_bootstrap(spark, tmp_path):
     p = str(tmp_path / "fresh")
     merge_upsert(spark, p, _df(spark, [(1, "a", 1.0)]), "k")

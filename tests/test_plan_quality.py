@@ -49,14 +49,12 @@ def test_semi_anti_join_strategies(spark):
     assert "LeftAnti" in plan_of(spark, "q_anti_join_inactive_customers")
 
 
-# read-only queries swept for accidental cartesian products; the pair-wise
-# embedding queries legitimately use inequality self-joins over a bounded
-# slice (documented scale path is the LSH variant), so they are exempt
-CARTESIAN_EXEMPT = {"q_dedup_embedding_cosine"}
+# every read-only query swept for accidental cartesian products — including
+# the embedding near-dup, whose SRP-bucket equi-join is its own scale plan
 SWEEP = [
     n
     for n in SPECS
-    if n.startswith("q") and n not in CARTESIAN_EXEMPT and "e2e" not in n
+    if n.startswith("q") and "e2e" not in n
     and n not in ("q_stream_tumbling_hour", "q_stream_dedup")  # run a stream on invocation
 ]
 
