@@ -89,6 +89,7 @@ def all_queries():
         "poc_juma_etl_spark.operators.sampling",
         "poc_juma_etl_spark.operators.similarity",
         "poc_juma_etl_spark.operators.text",
+        "poc_juma_etl_spark.operators.web",
         "poc_juma_etl_spark.operators.udtf_ngrams",
         "poc_juma_etl_spark.operators.multimodal",
         "poc_juma_etl_spark.streaming.events",

@@ -233,3 +233,235 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(md5_long(F.col("shingle")) % MOD_P).alias("min_shingle_hash"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing. The synthetic corpus contains no PII, so a deterministic
+# injection step (pure function of doc_id, identical in both engines) seeds
+# emails/phones/IPs first; the operator under test is the regex scrub+count
+# that follows. Patterns avoid lookarounds so Java regex (Spark) and RE2
+# (DuckDB) agree.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+_SQL_PII_TEXT = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.com or ops@ex.org' WHEN doc_id % 3 = 1 THEN ' contact user'"
+    " || CAST(doc_id AS VARCHAR) || '@mail.com' ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' call 555-867-5309' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7' ELSE '' END"
+)
+
+
+def _spark_pii_text() -> Column:
+    did = F.col("doc_id")
+    email = (
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@mail.com or ops@ex.org")),
+        )
+        .when(did % 3 == 1, F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@mail.com")))
+        .otherwise("")
+    )
+    phone = F.when(did % 2 == 0, " call 555-867-5309").otherwise("")
+    ip = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".7")),
+    ).otherwise("")
+    return F.concat(F.col("text"), email, phone, ip)
+
+
+@register(
+    "q_text_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (SELECT doc_id, {_SQL_PII_TEXT} AS pii_text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(pii_text, '{IP_RE}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(pii_text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(pii_text,
+               '{EMAIL_RE}', '<EMAIL>', 'g'), '{IP_RE}', '<IP>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM seeded
+    ORDER BY doc_id
+    """,
+    doc="PII redaction: regex scrub of emails / IPv4s / phone numbers with "
+    "per-category counts (the C4-style cleaning pass). Pure Catalyst "
+    "regexp_count/regexp_replace — JVM-side, zero shuffle, linear at 100 TB. "
+    "PII is seeded deterministically from doc_id (the corpus has none), "
+    "identically in both engines, so the gate checks the scrub itself.",
+    tags=("text", "pii", "cleaning"),
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pii = _spark_pii_text()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(pii, EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(pii, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(pii, F.lit(IP_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_count(pii, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_gopher_quality",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE)
+               / len(ts) AS mean_word_len,
+             CAST(len(list_filter(ts, x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)
+               / len(ts) AS frac_alpha_words,
+             CAST(len(list_filter(ts, x -> x IN ('the','a','and','of','value','fast'))) AS BIGINT)
+               AS n_stopword_hits,
+             CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS type_token_ratio
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, mean_word_len, frac_alpha_words, n_stopword_hits,
+           type_token_ratio,
+           CAST(CASE WHEN n_tokens BETWEEN 15 AND 500
+                      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                      AND frac_alpha_words >= 0.8
+                      AND n_stopword_hits >= 2
+                      AND type_token_ratio >= 0.2
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM feat
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style quality rules (Rae et al. 2021 §A1.1): token-count "
+    "bounds, mean word length 3-10, alphabetic-word fraction >= 0.8, "
+    "minimum stopword hits, lexical-diversity floor — each a per-row "
+    "Catalyst expression, combined into a keep flag. No shuffle; the "
+    "document-filter stage of a 100 TB curation run.",
+    tags=("text", "quality", "gopher"),
+)
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens("text")
+    n_tokens = F.size(ts).cast("bigint")
+    n_chars = F.aggregate(F.transform(ts, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v)
+    mean_word_len = n_chars.cast("double") / F.size(ts)
+    frac_alpha = F.size(F.filter(ts, lambda x: x.rlike("^[a-z]+$"))).cast("double") / F.size(ts)
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(ts, lambda x: F.array_contains(stop, x))).cast("bigint")
+    ttr = F.size(F.array_distinct(ts)).cast("double") / F.size(ts)
+    keep = (
+        F.when(
+            n_tokens.between(15, 500)
+            & (mean_word_len >= 3.0)
+            & (mean_word_len <= 10.0)
+            & (frac_alpha >= 0.8)
+            & (n_stop >= 2)
+            & (ttr >= 0.2),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        n_stop.alias("n_stopword_hits"),
+        ttr.alias("type_token_ratio"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ), base AS (
+      SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(ts)) AS BIGINT) AS n_unique
+      FROM tok
+    ), uni AS (
+      SELECT doc_id, MAX(cnt) AS top_token_count FROM (
+        SELECT doc_id, t, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(ts) AS t FROM tok) GROUP BY doc_id, t
+      ) GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id, MAX(cnt) AS top_bigram_count FROM (
+        SELECT doc_id, b, COUNT(*) AS cnt
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS b
+              FROM tok) GROUP BY doc_id, b
+      ) GROUP BY doc_id
+    )
+    SELECT base.doc_id, n_tokens, n_unique,
+           1.0 - CAST(n_unique AS DOUBLE) / n_tokens AS dup_token_frac,
+           CAST(uni.top_token_count AS BIGINT) AS top_token_count,
+           CAST(uni.top_token_count AS DOUBLE) / n_tokens AS top_token_frac,
+           CAST(COALESCE(bg.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+           CAST(COALESCE(bg.top_bigram_count, 0) AS DOUBLE)
+             / greatest(n_tokens - 1, 1) AS top_bigram_frac
+    FROM base JOIN uni USING (doc_id) LEFT JOIN bg USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Repetition metrics (Gopher §A1.1 dup-fraction family): duplicate-"
+    "token fraction, most-frequent-unigram and -bigram share per document. "
+    "Per-doc mode needs a count-per-term: explode -> two-level groupBy keyed "
+    "on (doc_id, term) -> max. Shuffles partition by doc_id+term, so a 100 TB "
+    "corpus spreads evenly; no driver-side state.",
+    tags=("text", "repetition", "quality"),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens("text")
+    bigr = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ts, i), F.element_at(ts, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select(
+        "doc_id",
+        F.size(ts).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(ts)).cast("bigint").alias("n_unique"),
+    )
+    uni = (
+        d.select("doc_id", F.explode(ts).alias("t"))
+        .groupBy("doc_id", "t")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_token_count"))
+    )
+    bg = (
+        d.select("doc_id", F.explode(bigr).alias("b"))
+        .groupBy("doc_id", "b")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram_count"))
+    )
+    joined = base.join(uni, "doc_id").join(bg, "doc_id", "left")
+    top_big = F.coalesce(F.col("top_bigram_count"), F.lit(0))
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        (F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_tokens")).alias(
+            "dup_token_frac"
+        ),
+        F.col("top_token_count").cast("bigint").alias("top_token_count"),
+        (F.col("top_token_count").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+        top_big.cast("bigint").alias("top_bigram_count"),
+        (top_big.cast("double") / F.greatest(F.col("n_tokens") - 1, F.lit(1))).alias(
+            "top_bigram_frac"
+        ),
+    ).orderBy("doc_id")
