@@ -19,6 +19,7 @@ from concurrent.futures import ThreadPoolExecutor, as_completed
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions.ranges import daily_ranges, monthly_ranges
+from .logs import setup_service_logger
 from .operators.normalize import ingest_normalize
 from .operators.range_replace import overwrite_table, read_table, replace_range
 from .plans import gold
@@ -40,6 +41,7 @@ def run_table(
     warehouse_dir: str,
     name: str,
     historical: tuple[dt.date, dt.date] | None = None,
+    log_dir: str | None = None,
 ) -> str:
     """O8 — per-table dispatch (reference run_etl_service, utils.py:328-453).
 
@@ -51,11 +53,16 @@ def run_table(
     range *loop*; the loop existed only to bound API payloads (its range
     helpers remain available for connector-backed sources).
     """
+    log = setup_service_logger(name, log_dir) if log_dir else None
+    if log:
+        log.info("load start: mode=%s historical=%s", SERVICE_MAP[name].load_mode, historical)
     spec = SERVICE_MAP[name]
     df = ingest_normalize(_extract(spark, sf_dir, spec), date_columns=[])
     path = f"{warehouse_dir}/{name}"
     if spec.load_mode == "overwrite":
         overwrite_table(df, path, spec.filter_field, spec.partition_granularity)
+        if log:
+            log.info("load done: overwrite -> %s", path)
         return path
     # range_replace fact load
     if historical is None:
@@ -66,8 +73,12 @@ def run_table(
             F.min(F.to_date(spec.filter_field)), F.max(F.to_date(spec.filter_field))
         ).first()
         if lo is None:
+            if log:
+                log.info("load skipped: empty source")
             return path
         replace_range(spark, path, df, spec.filter_field, lo, hi, spec.partition_granularity)
+        if log:
+            log.info("load done: range_replace [%s, %s] -> %s", lo, hi, path)
         return path
     ranges = (
         monthly_ranges(*historical) if spec.range_type == "monthly" else daily_ranges(*historical)
@@ -78,6 +89,10 @@ def run_table(
         spark, path, df, spec.filter_field, ranges[0][0], ranges[-1][1],
         spec.partition_granularity,
     )
+    if log:
+        log.info(
+            "load done: range_replace [%s, %s] -> %s", ranges[0][0], ranges[-1][1], path
+        )
     return path
 
 
@@ -88,14 +103,18 @@ def run_all(
     tables: list[str] | None = None,
     max_workers: int = 4,
     materialize_gold: bool = True,
+    log_dir: str | None = None,
 ) -> dict[str, str]:
     """O1/O2/O3 — parallel fan-out over tables with completion-ordered Gold
-    triggers (reference run_parallel_etl, main.py:97-192)."""
+    triggers (reference run_parallel_etl, main.py:97-192). With ``log_dir``
+    each table writes its own ``etl_<name>.log`` (O9, reference
+    utils.py:42-71)."""
     names = tables or list(SERVICE_MAP)
     results: dict[str, str] = {}
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         futures = {
-            pool.submit(run_table, spark, sf_dir, warehouse_dir, n): n for n in names
+            pool.submit(run_table, spark, sf_dir, warehouse_dir, n, None, log_dir): n
+            for n in names
         }
         for fut in as_completed(futures):
             name = futures[fut]

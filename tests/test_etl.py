@@ -217,11 +217,16 @@ def test_run_all_end_to_end(spark, tmp_path):
     from poc_juma_etl_spark.registry import SERVICE_MAP, TRIGGER_MAP
 
     wh = str(tmp_path / "wh")
-    results = run_all(spark, SF_SMOKE, wh, max_workers=4)
+    logs = tmp_path / "logs"
+    results = run_all(spark, SF_SMOKE, wh, max_workers=4, log_dir=str(logs))
     for name in SERVICE_MAP:
         assert name in results, f"table {name} not loaded"
         src = spark.read.parquet(f"{SF_SMOKE}/{name}.parquet")
         assert read_table(spark, results[name]).count() == src.count()
+        # O9: one service log per table, containing the completion line
+        log_file = logs / f"etl_{name}.log"
+        assert log_file.exists(), f"missing service log for {name}"
+        assert "load done" in log_file.read_text()
     for view in TRIGGER_MAP.values():
         assert view in results
         assert spark.read.parquet(results[view]).count() > 0
