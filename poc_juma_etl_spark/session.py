@@ -55,6 +55,12 @@ def get_spark(
         # shuffle_partitions-many slivers
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
+        # honor the advisory size instead of defaultParallelism when
+        # coalescing: with parallelismFirst (the default) AQE keeps
+        # shuffle_partitions-many sliver tasks at small data volumes, paying
+        # per-task overhead for nothing; at 100 TB partitions exceed the
+        # advisory anyway, so this only changes the small end
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -70,6 +76,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
         "spark.sql.session.timeZone": "UTC",
