@@ -20,6 +20,8 @@ convergence are pinned by tests/test_kmeans.py instead.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,10 +34,17 @@ NPROBE = 2
 TOP_K = 5
 N_QUERIES = 10
 
+# Above this k, centroid literals stop being a plan constant and start being
+# a plan explosion (k structs of dim doubles each, compiled per stage) — the
+# broadcast-variable + Arrow-batched pandas path takes over.
+LITERAL_MAX_K = 64
 
-def _assign(vec_df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str) -> DataFrame:
-    """Add ``cluster`` = argmin squared-distance to the broadcast centroids
-    (ties → lower cluster id). One narrow map, no shuffle."""
+
+def _assign_literal(
+    vec_df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str
+) -> DataFrame:
+    """Small-k path: centroids inlined as Catalyst array literals — whole
+    plan stays in codegen, zero Python. Ties → lower cluster id."""
     dist_cols = []
     for cid, c in centroids:
         arr = F.array(*[F.lit(float(x)) for x in c])
@@ -47,6 +56,52 @@ def _assign(vec_df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col
         dist_cols.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
     best = F.array_min(F.array(*dist_cols))
     return vec_df.withColumn("cluster", best["cid"])
+
+
+def _assign_pandas(
+    vec_df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str
+) -> DataFrame:
+    """Large-k path: the (k, dim) centroid matrix rides a Spark broadcast
+    variable (one copy per executor, not per plan) and assignment is a
+    vectorized Arrow-batched pandas UDF — ||x-c||² via the matmul expansion,
+    row-chunked so the (chunk, k) distance matrix stays bounded at k=65536.
+    np.argmin takes the first minimum, matching the literal path's
+    ties-to-lower-cid rule."""
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray([c for _, c in centroids], dtype=np.float64)
+    cids = np.asarray([cid for cid, _ in centroids], dtype=np.int64)
+    b = vec_df.sparkSession.sparkContext.broadcast((mat, cids))
+
+    @pandas_udf("int")
+    def nearest(v: pd.Series) -> pd.Series:
+        m, ids = b.value
+        m_sq = (m * m).sum(axis=1)
+        out = np.empty(len(v), dtype=np.int32)
+        chunk = max(1, (16 << 20) // (8 * max(len(ids), 1)))  # ≤16 MiB dists
+        x_all = np.stack(v.to_numpy())
+        for lo in range(0, len(v), chunk):
+            x = x_all[lo : lo + chunk]
+            d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ m.T) + m_sq[None, :]
+            out[lo : lo + chunk] = ids[np.argmin(d, axis=1)]
+        return pd.Series(out)
+
+    return vec_df.withColumn("cluster", nearest(F.col(vec_col)))
+
+
+def _assign(
+    vec_df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    strategy: str | None = None,
+) -> DataFrame:
+    """Add ``cluster`` = argmin squared-distance to the centroids. One
+    narrow map, no shuffle, on both paths; ``strategy`` forces
+    'literal'/'pandas' (tests), default picks by k."""
+    if strategy is None:
+        strategy = "literal" if len(centroids) <= LITERAL_MAX_K else "pandas"
+    fn = _assign_literal if strategy == "literal" else _assign_pandas
+    return fn(vec_df, centroids, vec_col)
 
 
 def kmeans_fit(

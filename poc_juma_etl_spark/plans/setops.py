@@ -63,7 +63,7 @@ def q_intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_except_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return c.exceptAll(o).distinct().orderBy("custkey")
+    return c.subtract(o).orderBy("custkey")  # EXCEPT (distinct) directly
 
 
 @register(

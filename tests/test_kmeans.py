@@ -10,6 +10,21 @@ from .conftest import SF_ORACLE
 SPECS = all_queries()
 
 
+def test_assign_pandas_matches_literal(spark):
+    """The large-k broadcast+pandas assignment must agree with the small-k
+    Catalyst-literal path row for row (same argmin, same tie rule)."""
+    from pyspark.sql import functions as F
+
+    from poc_juma_etl_spark.operators.kmeans import _assign, kmeans_fit
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    centroids = kmeans_fit(e, iters=1)
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    lit = {r.vec_id: r.cluster for r in _assign(vecs, centroids, "v", "literal").collect()}
+    pdu = {r.vec_id: r.cluster for r in _assign(vecs, centroids, "v", "pandas").collect()}
+    assert lit == pdu
+
+
 def test_kmeans_deterministic(spark):
     e = load_table(spark, SF_ORACLE, "embeddings")
     c1 = kmeans_fit(e, iters=2)
