@@ -60,6 +60,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_repetition",
     "q_dedup_url",
     "q_text_domain_stats",
+    "q_text_decontaminate",
+    "q_sample_language_balanced",
+    "q_text_pack_sequences",
 )
 
 

@@ -402,6 +402,42 @@ def sql_cosine_expr(a: str, b: str) -> str:
 
 
 @register(
+    "q_text_decontaminate",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_shared_shingles
+      FROM sh s JOIN eval_sh e ON e.shingle = s.shingle
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, CAST(n_shared_shingles AS BIGINT) AS n_shared_shingles
+    FROM hits
+    ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination: flag training docs sharing any 3-token "
+    "shingle with the held-out eval slice (docs with doc_id % 97 = 0 stand "
+    "in for a benchmark set). The eval shingle set is tiny relative to the "
+    "corpus, so candidates come from a broadcast hash join against it — the "
+    "corpus is scanned once, shuffled only by doc_id for the count; at "
+    "100 TB this is the same linear shape as exact dedup.",
+    tags=("text", "dedup", "decontamination"),
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_dedup_embedding_cosine",
     oracle=f"""
     WITH e AS (

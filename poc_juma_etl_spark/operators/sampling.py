@@ -85,3 +85,36 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("label")
     )
+
+
+@register(
+    "q_sample_language_balanced",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    m AS (SELECT MIN(cnt) AS mn FROM counts)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN counts c ON c.lang = d.lang CROSS JOIN m
+    WHERE ({SQL_MD5_LONG.format(x="CAST(d.doc_id AS VARCHAR)")} % 10000) * c.cnt
+          < 10000 * m.mn
+    ORDER BY d.doc_id
+    """,
+    doc="Language-balanced downsampling: each language is kept at rate "
+    "min_count/count_lang, so expected per-language volumes equalize (the "
+    "mixture-rebalancing step of multilingual corpus curation). Acceptance "
+    "is integer-exact — hash_bucket * cnt < 10000 * min_cnt — so membership "
+    "is reproducible bit-for-bit in any engine. One tiny per-lang count "
+    "aggregate broadcast back over the corpus; no sort, no collect.",
+    tags=("sampling", "balance", "lang"),
+)
+def q_sample_language_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("mn"))
+    h = md5_long(F.col("doc_id").cast("string")) % 10000
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(mn))
+        .filter(h * F.col("cnt") < 10000 * F.col("mn"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

@@ -275,6 +275,58 @@ def _spark_pii_text() -> Column:
 
 
 @register(
+    "q_text_pack_sequences",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+               AS cum_tokens
+      FROM tok
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS seq_bin,
+           source || '#' || CAST(CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS VARCHAR)
+             AS seq_id
+    FROM cum
+    ORDER BY doc_id
+    """,
+    doc="Sequence packing: greedy assignment of documents into ~2048-token "
+    "training sequences by cumulative token offset, packed independently "
+    "per source shard (window partitioned by source — never a global sort, "
+    "so a 100 TB corpus packs with one shuffle on the shard key; the "
+    "single-sequence spill at each shard boundary is the standard "
+    "approximation). Deterministic: offsets are integer sums ordered by "
+    "the unique doc_id.",
+    tags=("text", "packing"),
+)
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text")).cast("bigint")
+    w = W.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    seq_bin = F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(2048))
+    return (
+        d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("cum_tokens", cum)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "cum_tokens",
+            seq_bin.alias("seq_bin"),
+            F.concat(F.col("source"), F.lit("#"), seq_bin.cast("string")).alias("seq_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_text_pii_scrub",
     oracle=f"""
     WITH seeded AS (SELECT doc_id, {_SQL_PII_TEXT} AS pii_text FROM documents)
