@@ -49,6 +49,27 @@ def test_semi_anti_join_strategies(spark):
     assert "LeftAnti" in plan_of(spark, "q_anti_join_inactive_customers")
 
 
+def test_decontaminate_broadcasts_eval_set(spark):
+    # the eval shingle set must ride a broadcast — a sort-merge join here
+    # would shuffle the full corpus shingle stream at 100 TB
+    plan = plan_of(spark, "q_text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_dedup_is_bucket_equijoin(spark):
+    # the SRP rewrite's whole point: candidates come from a hash-joinable
+    # bucket equality, never an inequality-only (nested-loop) join
+    plan = plan_of(spark, "q_dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_partitions_by_shard(spark):
+    # packing must window per source shard — a global (single-partition)
+    # window would serialize the whole corpus through one task
+    plan = plan_of(spark, "q_text_pack_sequences")
+    assert "SinglePartition" not in plan
+
+
 # every read-only query swept for accidental cartesian products — including
 # the embedding near-dup, whose SRP-bucket equi-join is its own scale plan
 SWEEP = [
