@@ -66,11 +66,44 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 
+def _verified_counts() -> dict[str, int]:
+    """How many driver rounds have fully verified each query, read from the
+    CORRECTNESS_r*.json files the driver drops in the repo root. A row
+    counts as verified when all three checks passed, or when the driver ran
+    its rows-only path for an oracle-less query without error. Missing or
+    unreadable files simply contribute nothing — ordering degrades to the
+    static priority list."""
+    import json
+    from pathlib import Path
+
+    counts: dict[str, int] = {}
+    root = Path(__file__).resolve().parent.parent
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            green = (
+                r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
+            ) or (r.get("err") == "no_oracle" and r.get("spark_rows") is not None)
+            if green:
+                counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
 def all_queries():
     """Import every module that registers queries and return the full
-    registry {name: QuerySpec}. Import errors in optional modules are
-    re-raised — the registry must be complete or loudly broken, never
-    silently partial."""
+    registry {name: QuerySpec}, ordered so the driver's 50-query correctness
+    window always covers the least-verified queries first: ascending
+    times-driver-verified (from CORRECTNESS_r*.json), with the static
+    DRIVER_WINDOW_PRIORITY list, then registration order, as tiebreak.
+    Never-verified and new queries therefore enter the window immediately,
+    and previously-green queries rotate back through it across rounds.
+    Import errors in optional modules are re-raised — the registry must be
+    complete or loudly broken, never silently partial."""
     from .plans import queries as _q  # noqa: F401
 
     for mod in (
@@ -104,10 +137,11 @@ def all_queries():
         if importlib.util.find_spec(mod) is not None:
             importlib.import_module(mod)
 
-    ordered = {
-        name: _q.QUERIES[name] for name in DRIVER_WINDOW_PRIORITY if name in _q.QUERIES
-    }
-    for name, spec in _q.QUERIES.items():
-        if name not in ordered:
-            ordered[name] = spec
-    return ordered
+    verified = _verified_counts()
+    prio = {n: i for i, n in enumerate(DRIVER_WINDOW_PRIORITY)}
+    reg = {n: i for i, n in enumerate(_q.QUERIES)}
+    names = sorted(
+        _q.QUERIES,
+        key=lambda n: (verified.get(n, 0), prio.get(n, len(prio)), reg[n]),
+    )
+    return {n: _q.QUERIES[n] for n in names}
