@@ -63,6 +63,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_decontaminate",
     "q_sample_language_balanced",
     "q_text_pack_sequences",
+    "q_dedup_pipeline_keep",
 )
 
 

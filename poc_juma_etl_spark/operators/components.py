@@ -67,6 +67,29 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     return labels
 
 
+def jaccard_edges(d: DataFrame) -> DataFrame:
+    """(src, dst) near-dup pairs with 3-shingle Jaccard >= JACCARD_T, via
+    the inverted shingle-index self-join (never all-pairs)."""
+    sh = _shingles(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_T)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+
+
 @register(
     "q_dedup_components",
     oracle=f"""
@@ -116,25 +139,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load_table
 
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    jac = F.col("n_shared").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
-    )
-    edges = (
-        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_T)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
-    comp = connected_components(edges)
+    comp = connected_components(jaccard_edges(d))
     # n_reachable = size of the node's component (matches the oracle's
     # COUNT(DISTINCT reachable))
     comp_sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_reachable"))
@@ -146,4 +151,111 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_reachable",
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_dedup_pipeline_keep",
+    oracle=f"""
+    WITH RECURSIVE
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+      FROM tok
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) >= {JACCARD_T}
+    ),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, reach.r FROM sym s JOIN reach ON reach.node = s.b
+    ),
+    membership AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+    quality AS (
+      SELECT doc_id,
+             (0.4 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)))
+             + (0.3 * (CAST(len(list_filter(ts, x -> x IN ('the','a','and','of','value','fast'))) AS DOUBLE) / len(ts)))
+             + (0.3 * (CASE WHEN len(ts) >= 20 AND len(ts) <= 200 THEN 1.0 ELSE 0.0 END))
+               AS quality_score
+      FROM tok
+    ),
+    scored AS (
+      SELECT COALESCE(m.component, d.doc_id) AS component, d.doc_id, q.quality_score
+      FROM documents d
+      LEFT JOIN membership m ON m.doc_id = d.doc_id
+      JOIN quality q ON q.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                                   ORDER BY quality_score DESC, doc_id) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+      FROM scored
+    )
+    SELECT component, doc_id AS kept_doc_id, quality_score AS kept_quality, n_members
+    FROM ranked WHERE rk = 1
+    ORDER BY component
+    """,
+    doc="The full dedup pipeline as one query: near-dup edges (inverted "
+    "shingle index) -> connected components (min-label propagation) -> keep "
+    "the highest-quality document per cluster (quality = the Gopher-style "
+    "fixed-weight score; ties to lower doc_id); singletons keep themselves. "
+    "This is what a curation run actually executes at 100 TB: every stage "
+    "shuffles on doc-scale keys, nothing driver-side. Oracle recomputes the "
+    "whole pipeline with a recursive-CTE closure instead of propagation.",
+    tags=("dedup", "pipeline", "components", "quality"),
+)
+def q_dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..catalog import load_table
+    from .text import LANG_MARKERS, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    comp = connected_components(jaccard_edges(d))
+    membership = comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+    ts = tokens("text")
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_tokens = F.size(ts)
+    ttr = F.size(F.array_distinct(ts)).cast("double") / F.size(ts)
+    stop_ratio = F.size(F.filter(ts, lambda x: F.array_contains(stop, x))).cast("double") / F.size(ts)
+    length_ok = F.when((n_tokens >= 20) & (n_tokens <= 200), 1.0).otherwise(0.0)
+    quality = (0.4 * ttr) + (0.3 * stop_ratio) + (0.3 * length_ok)
+
+    scored = (
+        d.select("doc_id", quality.alias("quality_score"))
+        .join(membership, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+    )
+    wc = W.partitionBy("component")
+    wr = W.partitionBy("component").orderBy(F.desc("quality_score"), "doc_id")
+    return (
+        scored.withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("quality_score").alias("kept_quality"),
+            "n_members",
+        )
+        .orderBy("component")
     )
