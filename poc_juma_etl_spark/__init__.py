@@ -64,6 +64,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_sample_language_balanced",
     "q_text_pack_sequences",
     "q_dedup_pipeline_keep",
+    "q_text_unigram_logprob",
 )
 
 

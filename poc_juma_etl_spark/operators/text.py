@@ -275,6 +275,60 @@ def _spark_pii_text() -> Column:
 
 
 @register(
+    "q_text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+    ),
+    freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_corpus FROM freq)
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(freq.cnt AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS mean_corpus_freq,
+           -(CAST(SUM(CAST(ln(CAST(freq.cnt AS DOUBLE) / CAST(tot.n_corpus AS DOUBLE))
+                           AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)) AS mean_neg_logprob
+    FROM tok JOIN freq ON freq.t = tok.t CROSS JOIN tot
+    GROUP BY tok.doc_id
+    ORDER BY tok.doc_id
+    """,
+    doc="Unigram-LM scoring (the CCNet-style LM quality signal with the "
+    "model reduced to corpus unigram frequencies): per document, the mean "
+    "negative log-probability of its tokens under the corpus distribution — "
+    "low = boilerplate-common, high = rare/garbled. Two shuffles (token "
+    "frequency, then score per doc); the frequency table joins back on the "
+    "token key, so a 100 TB corpus never broadcasts its vocabulary. Log "
+    "values are decimal-summed per doc, making the float aggregation "
+    "order-independent across engines.",
+    tags=("text", "quality", "lm"),
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("bigint").alias("n_corpus"))
+    lp = F.log(F.col("cnt").cast("double") / F.col("n_corpus").cast("double"))
+    return (
+        tok.join(freq, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (
+                F.sum(F.col("cnt").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_corpus_freq"),
+            (
+                -(
+                    F.sum(lp.cast("decimal(25,6)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+            ).alias("mean_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_text_pack_sequences",
     oracle="""
     WITH tok AS (
