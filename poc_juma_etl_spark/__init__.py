@@ -65,6 +65,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_pack_sequences",
     "q_dedup_pipeline_keep",
     "q_text_unigram_logprob",
+    "q_gap_fill_interpolate",
+    "q_profile_table",
+    "q_array_functions_suite",
 )
 
 
@@ -112,6 +115,7 @@ def all_queries():
         "poc_juma_etl_spark.plans.advanced",
         "poc_juma_etl_spark.plans.etl_e2e",
         "poc_juma_etl_spark.plans.extra2",
+        "poc_juma_etl_spark.plans.extra3",
         "poc_juma_etl_spark.plans.tpch_extra",
         "poc_juma_etl_spark.plans.joins",
         "poc_juma_etl_spark.plans.windows",
