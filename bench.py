@@ -44,6 +44,12 @@ HEADLINE: list[str] = [
     "q_asof_join_last_order",
     "q_session_window_builtin",
     "q12_return_rate_by_status",
+    # round-2 operator families
+    "q_text_pii_scrub",
+    "q_dedup_url",
+    "q_gap_fill_interpolate",
+    "q_text_unigram_logprob",
+    "q_text_decontaminate",
 ]
 
 
