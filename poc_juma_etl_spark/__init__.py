@@ -68,6 +68,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_gap_fill_interpolate",
     "q_profile_table",
     "q_array_functions_suite",
+    "q_string_function_suite",
+    "q_datetime_function_suite",
 )
 
 

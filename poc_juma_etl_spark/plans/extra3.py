@@ -197,3 +197,91 @@ def q_array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(ts, 1).alias("first_token"),
         F.element_at(ts, -1).alias("last_token"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_string_function_suite",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_lpad,
+           rpad(p_brand, 12, '.') AS brand_rpad,
+           translate(p_type, 'aeiou', '12345') AS type_translated,
+           replace(p_type, ' ', '_') AS type_snake,
+           reverse(p_brand) AS brand_rev,
+           repeat(p_brand, 2) AS brand_twice,
+           CAST(strpos(p_type, 'BRASS') AS BIGINT) AS brass_pos,
+           split_part(p_type, ' ', 2) AS type_mid,
+           upper(p_type) AS type_upper,
+           CAST(length(p_name) AS BIGINT) AS name_len
+    FROM part
+    ORDER BY p_partkey
+    """,
+    doc="String scalar-function suite: pad/translate/replace/reverse/"
+    "repeat/position/split_part/case/length over the part table — pure "
+    "per-row Catalyst expressions gated against DuckDB's identical-"
+    "semantics twins (instr==strpos 1-based-0-missing, split_part "
+    "1-based).",
+    tags=("functions", "strings"),
+)
+def q_string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.translate("p_type", "aeiou", "12345").alias("type_translated"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.instr("p_type", "BRASS").cast("bigint").alias("brass_pos"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_mid"),
+        F.upper("p_type").alias("type_upper"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "q_datetime_function_suite",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+           CAST(EXTRACT(dow FROM o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+           CAST(EXTRACT(week FROM o_orderdate) AS BIGINT) AS iso_week,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2mo,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus_30d,
+           CAST(CAST(o_orderdate AS DATE) - DATE '2024-01-01' AS BIGINT) AS days_since_2024
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="Datetime scalar-function suite: extract fields (year/quarter/"
+    "month/day-of-week/ISO week), truncation, month-end, calendar-aware "
+    "month addition, day arithmetic, and date differences — all emitted as "
+    "strings/ints per the cross-engine dtype rules. Pins the dialect "
+    "mapping: Spark dayofweek == DuckDB dow+1, Spark add_months clamps "
+    "exactly like DuckDB's +INTERVAL MONTH.",
+    tags=("functions", "datetime"),
+)
+def q_datetime_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("order_day"),
+        F.year(d).cast("bigint").alias("yr"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofweek(d).cast("bigint").alias("dow_sun1"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus_2mo"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).cast("bigint").alias(
+            "days_since_2024"
+        ),
+    ).orderBy("o_orderkey")
