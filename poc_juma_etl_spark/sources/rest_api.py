@@ -143,6 +143,66 @@ class FixtureTransport:
         return t.slice(page * self.page_size, self.page_size)
 
 
+class HttpTransport:
+    """requests-backed implementation of the same page protocol against a
+    live API (reference utils.py:150-235): POST ``{page, page_size,
+    clausulas: [...]}`` with a bearer token; responses carry ``registros``
+    (row dicts) and ``total_paginas``. The session is injectable so the
+    protocol is unit-testable without network (tests/test_sources_streaming
+    drives it with a fake session; this sandbox has no egress)."""
+
+    def __init__(
+        self,
+        url: str,
+        page_size: int,
+        filter_field: str | None = None,
+        filter_start: str | None = None,
+        filter_end: str | None = None,
+        session=None,
+    ):
+        if session is None:  # pragma: no cover - requires network
+            import requests
+
+            session = requests.Session()
+        self.url = url
+        self.page_size = page_size
+        self.filter_field = filter_field
+        self.filter_start = filter_start
+        self.filter_end = filter_end
+        self._http = session
+
+    def _payload(self, page: int) -> dict:
+        payload: dict = {"pagina": page, "tamanho_pagina": self.page_size}
+        if self.filter_field and self.filter_start and self.filter_end:
+            # server-side BETWEEN clause (S2; reference utils.py:177-183)
+            payload["clausulas"] = [
+                {
+                    "campo": self.filter_field,
+                    "operador": "BETWEEN",
+                    "valores": [self.filter_start, self.filter_end],
+                }
+            ]
+        return payload
+
+    def _post(self, page: int) -> dict:
+        resp = self._http.post(
+            self.url,
+            json=self._payload(page),
+            headers={"Authorization": f"Bearer {get_auth_token()}"},
+            timeout=60,
+        )
+        resp.raise_for_status()
+        return resp.json()
+
+    def n_pages(self) -> int:
+        return max(int(self._post(0).get("total_paginas", 1)), 1)
+
+    def fetch_page(self, page: int):
+        import pyarrow as pa
+
+        return pa.Table.from_pylist(self._post(page).get("registros", []))
+
+
 if HAVE_DATASOURCE_API:
 
     class PaginatedRestReader(DataSourceReader):
@@ -150,15 +210,17 @@ if HAVE_DATASOURCE_API:
             self.schema_ = schema
             self.options = options
 
-        def _transport(self) -> FixtureTransport:
+        def _transport(self):
             o = self.options
-            return FixtureTransport(
-                path=o["path"],
+            common = dict(
                 page_size=int(o.get("page_size", "1000")),
                 filter_field=o.get("filter_field"),
                 filter_start=o.get("filter_start"),
                 filter_end=o.get("filter_end"),
             )
+            if o.get("transport", "fixture") == "http":
+                return HttpTransport(url=o["url"], **common)
+            return FixtureTransport(path=o["path"], **common)
 
         def partitions(self):
             # one partition per page → executors fetch pages concurrently

@@ -32,6 +32,55 @@ def test_fixture_transport_pagination_and_filter():
     assert tr.fetch_page(0).num_rows == 100
 
 
+class _FakeResponse:
+    def __init__(self, body):
+        self._body = body
+
+    def raise_for_status(self):
+        pass
+
+    def json(self):
+        return self._body
+
+
+class _FakeSession:
+    """Duck-typed requests.Session serving 3 pages of 2 rows; records the
+    payloads so the BETWEEN clause and auth header can be asserted."""
+
+    def __init__(self):
+        self.calls = []
+        self.rows = [{"event_id": i, "v": float(i)} for i in range(6)]
+
+    def post(self, url, json=None, headers=None, timeout=None):
+        self.calls.append((url, json, headers))
+        page, size = json["pagina"], json["tamanho_pagina"]
+        return _FakeResponse(
+            {
+                "registros": self.rows[page * size : (page + 1) * size],
+                "total_paginas": 3,
+            }
+        )
+
+
+def test_http_transport_protocol():
+    sess = _FakeSession()
+    tr = rest_api.HttpTransport(
+        "https://api.example.test/records",
+        page_size=2,
+        filter_field="ts",
+        filter_start="2024-01-01",
+        filter_end="2024-01-31",
+        session=sess,
+    )
+    assert tr.n_pages() == 3
+    total = sum(tr.fetch_page(p).num_rows for p in range(3))
+    assert total == 6
+    url, payload, headers = sess.calls[-1]
+    assert payload["clausulas"][0]["operador"] == "BETWEEN"  # S2 server-side
+    assert headers["Authorization"].startswith("Bearer ")  # S3 token
+    assert tr.fetch_page(1).to_pylist()[0]["event_id"] == 2
+
+
 def test_rest_source_distributed_scan(spark):
     assert rest_api.register_source(spark)
     df = (
