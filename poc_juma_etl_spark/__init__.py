@@ -70,6 +70,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_array_functions_suite",
     "q_string_function_suite",
     "q_datetime_function_suite",
+    "q_text_blocklist_filter",
+    "q_text_length_band_filter",
 )
 
 

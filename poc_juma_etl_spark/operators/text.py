@@ -571,3 +571,43 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_bigram_frac"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_text_length_band_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    band AS (
+      SELECT quantile_cont(n_tokens, 0.05) AS lo, quantile_cont(n_tokens, 0.95) AS hi
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, band.lo AS band_lo, band.hi AS band_hi
+    FROM tok CROSS JOIN band
+    WHERE n_tokens >= band.lo AND n_tokens <= band.hi
+    ORDER BY doc_id
+    """,
+    doc="Length-band outlier trimming: keep documents whose token count "
+    "falls inside the corpus P5-P95 band (the standard too-short/too-long "
+    "cut computed from the data, not a fixed constant). Exact percentiles "
+    "(Spark percentile() == DuckDB quantile_cont bitwise); the 2-value band "
+    "broadcasts back over the corpus — one pass, no sort of the big side.",
+    tags=("text", "filter", "percentile"),
+)
+def q_text_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens"))
+    band = tok.agg(
+        F.expr("percentile(n_tokens, 0.05)").alias("band_lo"),
+        F.expr("percentile(n_tokens, 0.95)").alias("band_hi"),
+    )
+    return (
+        tok.crossJoin(F.broadcast(band))
+        .filter(
+            (F.col("n_tokens") >= F.col("band_lo")) & (F.col("n_tokens") <= F.col("band_hi"))
+        )
+        .select("doc_id", "n_tokens", "band_lo", "band_hi")
+        .orderBy("doc_id")
+    )

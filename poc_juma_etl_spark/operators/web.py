@@ -134,3 +134,40 @@ def q_text_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+BLOCKLIST = ("src0.example.com", "src3.example.com")
+_SQL_BLOCKLIST = ", ".join(f"'{d}'" for d in BLOCKLIST)
+
+
+@register(
+    "q_text_blocklist_filter",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+             regexp_extract(lower({_SQL_RAW_URL}), '{HOST_RE}', 2) AS domain
+      FROM documents
+    )
+    SELECT doc_id, domain
+    FROM u
+    WHERE domain NOT IN ({_SQL_BLOCKLIST})
+    ORDER BY doc_id
+    """,
+    doc="Domain blocklist filtering: drop documents whose host appears on a "
+    "curated blocklist (spam/adult/boilerplate domains in a real pipeline) "
+    "— a broadcast anti-join against the (tiny) blocklist, so the corpus "
+    "is one scan with no shuffle of the big side.",
+    tags=("text", "web", "filter"),
+)
+def q_text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    block = d.sparkSession.createDataFrame([(b,) for b in BLOCKLIST], "domain string")
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_extract(F.lower(_spark_raw_url()), HOST_RE, 2).alias("domain"),
+        )
+        .join(F.broadcast(block), "domain", "left_anti")
+        .select("doc_id", "domain")
+        .orderBy("doc_id")
+    )
