@@ -592,8 +592,12 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Length-band outlier trimming: keep documents whose token count "
     "falls inside the corpus P5-P95 band (the standard too-short/too-long "
     "cut computed from the data, not a fixed constant). Exact percentiles "
-    "(Spark percentile() == DuckDB quantile_cont bitwise); the 2-value band "
-    "broadcasts back over the corpus — one pass, no sort of the big side.",
+    "(Spark percentile() == DuckDB quantile_cont bitwise) so the gate can "
+    "hash-match; exact percentile funnels the value column into one "
+    "aggregator, so at 100 TB swap in approx_percentile (partial-mergeable "
+    "sketch, same call site) — the band values shift by the sketch error, "
+    "the plan shape is identical. The 2-value band broadcasts back over "
+    "the corpus — one pass, no sort of the big side.",
     tags=("text", "filter", "percentile"),
 )
 def q_text_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
