@@ -72,6 +72,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_datetime_function_suite",
     "q_text_blocklist_filter",
     "q_text_length_band_filter",
+    "q_sample_temperature",
+    "q_text_top_bigrams",
 )
 
 

@@ -118,3 +118,38 @@ def q_sample_language_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_sample_temperature",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    m AS (SELECT MIN(cnt) AS mn FROM counts)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN counts c ON c.lang = d.lang CROSS JOIN m
+    WHERE CAST({SQL_MD5_LONG.format(x="CAST(d.doc_id AS VARCHAR)")} % 10000 AS DOUBLE) / 10000.0
+          < sqrt(CAST(m.mn AS DOUBLE) / CAST(c.cnt AS DOUBLE))
+    ORDER BY d.doc_id
+    """,
+    doc="Temperature sampling (alpha=0.5): each language kept at rate "
+    "(min_count/count)^alpha — between proportional (alpha=1) and uniform "
+    "(alpha=0), the standard multilingual mixing rule (mT5/XLM-R). Every "
+    "float op in the acceptance test (divide, sqrt, compare) is IEEE "
+    "correctly-rounded, so membership is still bit-reproducible across "
+    "engines. Same shape as the balanced sampler: tiny per-lang counts "
+    "broadcast over one corpus scan.",
+    tags=("sampling", "temperature", "lang"),
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("mn"))
+    h = (md5_long(F.col("doc_id").cast("string")) % 10000).cast("double") / F.lit(10000.0)
+    rate = F.sqrt(F.col("mn").cast("double") / F.col("cnt").cast("double"))
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(mn))
+        .filter(h < rate)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

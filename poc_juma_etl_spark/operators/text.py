@@ -615,3 +615,44 @@ def q_text_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "band_lo", "band_hi")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_text_top_bigrams",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bigram
+      FROM tok
+    )
+    SELECT bigram, COUNT(*) AS n_occurrences
+    FROM bg GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT 20
+    """,
+    doc="Corpus collocations: global top-20 bigrams by occurrence count — "
+    "the n-gram statistics pass of corpus analysis. One shuffle on the "
+    "bigram key with map-side partial counts, then a global top-k that "
+    "compiles to TakeOrderedAndProject (never a full sort). Deterministic "
+    "tie-break on the bigram itself.",
+    tags=("text", "ngrams", "stats"),
+)
+def q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens("text")
+    bigr = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ts, i), F.element_at(ts, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigr).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(20)
+    )

@@ -36,6 +36,8 @@ def test_q5_broadcasts_every_dim(spark):
 def test_global_topk_avoids_full_sort(spark):
     plan = plan_of(spark, "q_global_topk_orders")
     assert "TakeOrderedAndProject" in plan
+    # corpus bigram top-20 must use the same top-k operator, never full sort
+    assert "TakeOrderedAndProject" in plan_of(spark, "q_text_top_bigrams")
 
 
 def test_broadcast_join_hint_respected(spark):
