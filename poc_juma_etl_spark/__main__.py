@@ -8,6 +8,7 @@ plus engine extras:
 
     python -m poc_juma_etl_spark --gate                  # oracle correctness gate
     python -m poc_juma_etl_spark --list                  # registered tables/queries
+    python -m poc_juma_etl_spark --curate                # corpus curation pipeline
 
 Table names are case-insensitive like the reference's argparse upper() path
 (main.py:212-215). The rich TUI dashboard (O10) is deliberately a plain
@@ -29,6 +30,11 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--gold", action="store_true", help="materialize every gold view")
     g.add_argument("--gate", action="store_true", help="run the DuckDB oracle gate")
     g.add_argument("--list", action="store_true", help="list tables and queries")
+    g.add_argument(
+        "--curate",
+        action="store_true",
+        help="run the corpus curation pipeline over the documents table",
+    )
     ap.add_argument("--workers", type=int, default=os.cpu_count() or 4)
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,6 +80,14 @@ def main(argv: list[str] | None = None) -> int:
             for name, path in sorted(results.items()):
                 print(f"  {name:24s} -> {path}")
             print(f"{len(results)} outputs in {time.time() - t0:.1f}s")
+            return 0
+        if args.curate:
+            from .pipeline import curate_corpus
+
+            counts = curate_corpus(spark, args.sf_dir, f"{wh}/curated_documents")
+            for stage, n in counts.items():
+                print(f"  {stage:20s} {n}")
+            print(f"curated -> {wh}/curated_documents ({time.time() - t0:.1f}s)")
             return 0
         if args.gold:
             from .catalog import register_views
