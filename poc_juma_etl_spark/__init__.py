@@ -74,6 +74,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_length_band_filter",
     "q_sample_temperature",
     "q_text_top_bigrams",
+    "q_map_functions_suite",
 )
 
 

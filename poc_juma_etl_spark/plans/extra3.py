@@ -285,3 +285,45 @@ def q_datetime_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_2024"
         ),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q_map_functions_suite",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey, MAP(['brand', 'type'], [p_brand, p_type]) AS props
+      FROM part
+    )
+    SELECT p_partkey,
+           CAST(cardinality(props) AS BIGINT) AS n_entries,
+           array_to_string(map_keys(props), ',') AS keys_csv,
+           array_to_string(map_values(props), '|') AS values_joined,
+           props['brand'][1] AS brand_val,
+           CAST(CASE WHEN props['type'][1] IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS has_type
+    FROM m
+    ORDER BY p_partkey
+    """,
+    doc="Map-type function suite: construct a per-row map, then "
+    "cardinality / key list / value list / key lookup — Catalyst "
+    "create_map+element_at gated against DuckDB MAP twins (whose element "
+    "access returns a 1-element list, unwrapped with [1]). Maps are never "
+    "emitted directly (entry order is engine-defined); only derived "
+    "scalars cross the gate. Per-row only, no shuffle.",
+    tags=("functions", "maps"),
+)
+def q_map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        F.size(m).cast("bigint").alias("n_entries"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+        F.concat_ws("|", F.map_values(m)).alias("values_joined"),
+        F.element_at(m, "brand").alias("brand_val"),
+        F.when(F.element_at(m, "type").isNotNull(), 1).otherwise(0).cast("bigint").alias(
+            "has_type"
+        ),
+    ).orderBy("p_partkey")
