@@ -1,0 +1,348 @@
+"""Round-3 relational surface extensions: data-quality audit, conditional /
+bitwise / struct scalar-function suites, interval RANGE window frames, and
+fixed-width histograms.
+
+The DQ audit generalizes the reference's implicit contract that RAW loads
+never orphan fact rows (its delete-range+insert keys fact tables to date
+windows, reference utils.py:255-283, and gold CTAS assumes the star joins
+close, materialize_gold.py:42-79) into explicit, engine-checked constraint
+queries — the first thing a warehouse owner runs after every load. The
+function suites pin the remaining scalar dialect corners both engines share;
+the RANGE-frame window and histogram are the canonical analytics idioms
+(trailing-30-day spend, price distribution) BigQuery users run on the gold
+layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .queries import register
+
+
+@register(
+    "q_dq_audit",
+    oracle="""
+    SELECT 'orphan_lineitems' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'orphan_orders',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'dup_custkeys',
+           CAST((SELECT COUNT(*) FROM
+                   (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'null_orderdate',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'nonpositive_quantity',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'ship_before_order',
+           CAST((SELECT COUNT(*) FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+                 WHERE l.l_shipdate < o.o_orderdate) AS BIGINT)
+    ORDER BY check_name
+    """,
+    doc="Data-quality audit over the star schema: referential integrity "
+    "(orphan facts via LEFT ANTI joins), key uniqueness, null-rate, domain "
+    "(non-positive quantity), and temporal-order (shipped before ordered) "
+    "checks, unioned into one check_name/violations report. Each check is "
+    "an independent distributed aggregate — anti joins shuffle on the join "
+    "key, the count aggregates are map-side partial — so the audit runs as "
+    "one job with no driver-side iteration and scales with the fact table. "
+    "Mirrors the load-contract the reference trusts implicitly "
+    "(utils.py:255-283, materialize_gold.py:42-79).",
+    tags=("dq", "audit", "anti-join"),
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        # a global COUNT over an empty input still yields one row (0)
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("violations")).select(
+            F.lit(name).alias("check_name"), "violations"
+        )
+
+    orphan_li = one("orphan_lineitems", li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"))
+    orphan_o = one("orphan_orders", o.join(c, o.o_custkey == c.c_custkey, "left_anti"))
+    dup_c = one(
+        "dup_custkeys",
+        c.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1),
+    )
+    null_date = one("null_orderdate", o.filter(F.col("o_orderdate").isNull()))
+    nonpos_qty = one("nonpositive_quantity", li.filter(F.col("l_quantity") <= 0))
+    ship_before = one(
+        "ship_before_order",
+        li.join(o, li.l_orderkey == o.o_orderkey).filter(F.col("l_shipdate") < F.col("o_orderdate")),
+    )
+    return (
+        orphan_li.unionByName(orphan_o)
+        .unionByName(dup_c)
+        .unionByName(null_date)
+        .unionByName(nonpos_qty)
+        .unionByName(ship_before)
+        .orderBy("check_name")
+    )
+
+
+@register(
+    "q_null_conditional_suite",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_discount,
+           CAST(SUM(CAST(coalesce(nullif(l_discount, 0.0), 0.05) AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_effective_discount,
+           CAST(SUM(CAST(least(l_quantity, 25.0) AS DECIMAL(25,6))) AS DOUBLE) AS sum_capped_qty,
+           CAST(SUM(CAST(greatest(l_extendedprice * (1 - l_discount), 1000.0)
+                         AS DECIMAL(25,6))) AS DOUBLE) AS sum_floored_revenue,
+           CAST(SUM(CASE WHEN l_quantity > 30 THEN 2 WHEN l_quantity > 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS volume_score,
+           CAST(SUM(CASE WHEN l_tax > l_discount THEN 1 ELSE 0 END) AS BIGINT) AS n_tax_gt_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Null-handling / conditional scalar suite: NULLIF (zero→null), "
+    "COALESCE fallback, LEAST/GREATEST capping, multi-branch CASE scoring "
+    "and boolean-counting CASE — the conditional dialect shared verbatim by "
+    "Spark and ANSI SQL. All expressions are Catalyst column ops inside one "
+    "map-side-partial hash aggregate; floats are decimal-summed so the "
+    "group totals are order-independent across engines.",
+    tags=("functions", "conditional", "scalar"),
+)
+def q_null_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    eff_disc = F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(0.05))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.nullif(F.col("l_discount"), F.lit(0.0)).isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_zero_discount"),
+            F.sum(eff_disc.cast("decimal(25,6)")).cast("double").alias("sum_effective_discount"),
+            F.sum(F.least(F.col("l_quantity"), F.lit(25.0)).cast("decimal(25,6)"))
+            .cast("double").alias("sum_capped_qty"),
+            F.sum(
+                F.greatest(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), F.lit(1000.0)
+                ).cast("decimal(25,6)")
+            ).cast("double").alias("sum_floored_revenue"),
+            F.sum(
+                F.when(F.col("l_quantity") > 30, 2).when(F.col("l_quantity") > 10, 1).otherwise(0)
+            ).cast("bigint").alias("volume_score"),
+            F.sum(F.when(F.col("l_tax") > F.col("l_discount"), 1).otherwise(0))
+            .cast("bigint").alias("n_tax_gt_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_bitwise_function_suite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey & 255) AS BIGINT) AS sum_and,
+           CAST(SUM(o_orderkey | 4096) AS BIGINT) AS sum_or,
+           CAST(SUM(xor(o_orderkey, 170)) AS BIGINT) AS sum_xor,
+           CAST(SUM(o_orderkey << 2) AS BIGINT) AS sum_shl,
+           CAST(SUM(o_orderkey >> 3) AS BIGINT) AS sum_shr,
+           CAST(SUM(bit_count(o_orderkey)) AS BIGINT) AS sum_popcount
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Bitwise scalar suite over the order key: AND/OR/XOR masks, left/"
+    "right shifts, and population count, aggregated per status so the gate "
+    "checks millions of per-row evaluations through a handful of BIGINT "
+    "sums. Bit twiddling is how an engine packs flags, shards keys and "
+    "buckets hashes (the engine's own SimHash/SRP operators depend on "
+    "these being exact); everything runs in whole-stage codegen.",
+    tags=("functions", "bitwise", "scalar"),
+)
+def q_bitwise_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(k.bitwiseAND(F.lit(255))).cast("bigint").alias("sum_and"),
+            F.sum(k.bitwiseOR(F.lit(4096))).cast("bigint").alias("sum_or"),
+            F.sum(k.bitwiseXOR(F.lit(170))).cast("bigint").alias("sum_xor"),
+            F.sum(F.shiftleft(k, 2)).cast("bigint").alias("sum_shl"),
+            F.sum(F.shiftright(k, 3)).cast("bigint").alias("sum_shr"),
+            F.sum(F.bit_count(k)).cast("bigint").alias("sum_popcount"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q_struct_function_suite",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             max(struct_pack(price := o_totalprice, okey := o_orderkey)) AS top,
+             min(struct_pack(price := o_totalprice, okey := o_orderkey)) AS bottom,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_orders,
+           top.price AS top_price, CAST(top.okey AS BIGINT) AS top_orderkey,
+           bottom.price AS bottom_price, CAST(bottom.okey AS BIGINT) AS bottom_orderkey,
+           CAST(top.price - bottom.price AS DOUBLE) AS price_spread
+    FROM agg
+    ORDER BY o_orderpriority
+    """,
+    doc="Struct-type suite: rows packed into (price, orderkey) structs, "
+    "MIN/MAX over the struct's lexicographic order picking the extreme "
+    "order atomically (the argmax-via-struct idiom — both fields travel "
+    "together, no join-back), then field access to unpack. One hash "
+    "aggregate; ties impossible because o_orderkey is unique, so the "
+    "result is deterministic in both engines.",
+    tags=("functions", "struct", "argmax"),
+)
+def q_struct_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(F.col("o_totalprice").alias("price"), F.col("o_orderkey").alias("okey"))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max(s).alias("top"),
+            F.min(s).alias("bottom"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("top.price").alias("top_price"),
+            F.col("top.okey").cast("bigint").alias("top_orderkey"),
+            F.col("bottom.price").alias("bottom_price"),
+            F.col("bottom.okey").cast("bigint").alias("bottom_orderkey"),
+            (F.col("top.price") - F.col("bottom.price")).cast("double").alias("price_spread"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+RANGE_CUST_MOD = 100  # keep the gate output bounded: ~1% of customers
+
+
+@register(
+    "q_window_range_frame",
+    oracle=f"""
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d_spend,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_30d_orders
+    FROM orders
+    WHERE o_custkey % {RANGE_CUST_MOD} = 0
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Interval RANGE window frame: per customer, trailing-30-day spend "
+    "and order count — the frame is bounded by event-time distance, not row "
+    "count, so same-day orders are peers and quiet periods shrink the "
+    "window (semantics ROWS frames cannot express). One shuffle on the "
+    "partition key; the interval frame is evaluated by Catalyst's window "
+    "exec with a sliding aggregate buffer, never re-scanning the frame per "
+    "row. Peer-tied sums are decimal-exact, so tie order between engines "
+    "cannot change the output.",
+    tags=("window", "range-frame", "timeseries"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % RANGE_CUST_MOD == 0
+    )
+    # interval RANGE frames aren't expressible via Window.rangeBetween's
+    # long offsets — use the SQL window dialect, still pure Catalyst.
+    frame = (
+        "PARTITION BY o_custkey ORDER BY o_orderdate "
+        "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW"
+    )
+    return (
+        o.select(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.expr(
+                f"CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER ({frame}) AS DOUBLE)"
+            ).alias("trailing_30d_spend"),
+            F.expr(f"CAST(COUNT(*) OVER ({frame}) AS BIGINT)").alias("trailing_30d_orders"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+HIST_BUCKETS = 16
+
+
+@register(
+    "q_histogram_prices",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(p_retailprice) AS lo, MAX(p_retailprice) AS hi FROM part
+    ),
+    bucketed AS (
+      SELECT least(CAST(floor((p_retailprice - lo) / ((hi - lo) / {HIST_BUCKETS})) AS BIGINT),
+                   {HIST_BUCKETS - 1}) AS bucket,
+             p_retailprice, lo, hi
+      FROM part CROSS JOIN bounds
+    )
+    SELECT bucket,
+           CAST(MIN(lo + bucket * ((hi - lo) / {HIST_BUCKETS})) AS DOUBLE) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="Fixed-width histogram: global min/max computed in one tiny "
+    "aggregate, broadcast to every row (a 2-value build side — never a "
+    "shuffle), each price mapped to its bucket with pure arithmetic, then "
+    "one hash aggregate per bucket. The two-pass shape is the scalable "
+    "histogram: pass one reduces to 2 scalars, pass two is map-side "
+    "partial — no sort, no per-bucket scan, identical at sf0.001 and "
+    "100 TB.",
+    tags=("histogram", "aggregation", "broadcast"),
+)
+def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    bounds = p.agg(F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / HIST_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("p_retailprice") - F.col("lo")) / width).cast("bigint"),
+        F.lit(HIST_BUCKETS - 1),
+    )
+    return (
+        p.crossJoin(F.broadcast(bounds))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.min(F.col("lo") + F.col("bucket") * width).cast("double").alias("bucket_lo"),
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(25,6)")).cast("double").alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
