@@ -656,3 +656,92 @@ def q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "q_text_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+             unnest(list_transform(range(1, len(ts)), i -> ts[i+1])) AS w2
+      FROM tok
+    ),
+    bgc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(cnt_b) AS BIGINT) AS cnt_ctx FROM bgc GROUP BY w1),
+    uni AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt_u
+      FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY t
+    ),
+    tot AS (SELECT CAST(SUM(cnt_u) AS BIGINT) AS n_corpus FROM uni)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           -(CAST(SUM(CAST(ln(
+                 0.75 * (CAST(bgc.cnt_b AS DOUBLE) / CAST(ctx.cnt_ctx AS DOUBLE))
+               + 0.25 * (CAST(uni.cnt_u AS DOUBLE) / CAST(tot.n_corpus AS DOUBLE))
+             ) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)) AS mean_neg_logprob
+    FROM bg
+    JOIN bgc ON bgc.w1 = bg.w1 AND bgc.w2 = bg.w2
+    JOIN ctx ON ctx.w1 = bg.w1
+    JOIN uni ON uni.t = bg.w2
+    CROSS JOIN tot
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+    doc="Interpolated bigram-LM scoring (Jelinek-Mercer, lambda=0.75): per "
+    "document, the mean negative log-probability of its bigrams under "
+    "p(w2|w1) = 0.75*c(w1w2)/c(w1·) + 0.25*c(w2)/N — the next step up from "
+    "the unigram signal, sensitive to scrambled word order that unigram "
+    "scoring cannot see. Bigrams come from the token array in one in-row "
+    "expansion (no window, no position sort); the three count tables join "
+    "back on token keys, so the vocabulary is never broadcast or "
+    "collected — a 100 TB corpus shuffles on (w1,w2)/w1/w2 only. Log "
+    "values are decimal-summed per doc: aggregation order cannot change "
+    "the result, and sub-1e-6 libm ulp differences between engines round "
+    "away.",
+    tags=("text", "quality", "lm"),
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens("text")
+    pairs = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("w1"), F.element_at(ts, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("cnt_b"))
+    ctx = bgc.groupBy("w1").agg(F.sum("cnt_b").cast("bigint").alias("cnt_ctx"))
+    uni = (
+        d.select(F.explode(ts).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_u"))
+    )
+    tot = uni.agg(F.sum("cnt_u").cast("bigint").alias("n_corpus"))
+    p = (
+        0.75 * (F.col("cnt_b").cast("double") / F.col("cnt_ctx").cast("double"))
+        + 0.25 * (F.col("cnt_u").cast("double") / F.col("n_corpus").cast("double"))
+    )
+    return (
+        bg.join(bgc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni, bg.w2 == uni.t)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (-(F.sum(F.log(p).cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)))).alias(
+                "mean_neg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -389,3 +389,35 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {t_c}")
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "q_hll_rollup_merge",
+    oracle=None,  # DataSketches binary sketches have no DuckDB twin
+    doc="Sketch partial-merge rollup — the pattern that makes distinct "
+    "counts re-aggregable at 100 TB: per (event_type, day) the engine "
+    "builds DataSketches HLL sketches (hll_sketch_agg), then rolls them up "
+    "to per-type totals by merging the day sketches (hll_union_agg) "
+    "WITHOUT touching raw events again. A pre-aggregated day table plus "
+    "mergeable sketches answers any coarser-grain distinct-count query "
+    "from kilobytes of state; exact distinct would need the full user_id "
+    "set per group. Estimate accuracy vs exact countDistinct is pinned "
+    "within 3% by tests/test_sketch_rollup.py (no cross-engine oracle: "
+    "sketch binaries are engine-specific by design).",
+    tags=("aggregation", "approx", "rollup"),
+)
+def q_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("user_sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias("approx_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

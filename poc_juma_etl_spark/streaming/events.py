@@ -136,3 +136,57 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_stream_sliding_2h",
+    oracle="""
+    WITH ev AS (
+      SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+               AS window_start,
+             event_type, value
+      FROM events
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM ev
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    doc="Streaming sliding-window aggregation: 2-hour windows advancing "
+    "every hour, so each event lands in exactly two overlapping windows — "
+    "the standard smoothing/trailing-rate shape tumbling windows cannot "
+    "express. Watermark bounds state to the 2h lateness horizon; the "
+    "oracle assigns each event its two window starts arithmetically and "
+    "must agree with the incremental execution exactly.",
+    tags=("streaming", "window", "events"),
+)
+def q_stream_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            ts_str(F.col("w.start"), "window_start"), "event_type", "n_events", "total_value"
+        )
+    )
+    with _MEMSINK_LOCK:
+        _SINK_SEQ[0] += 1
+        sink = f"stream_sliding_out_{_SINK_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("window_start", "event_type")

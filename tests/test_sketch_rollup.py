@@ -1,0 +1,46 @@
+"""q_hll_rollup_merge is rows-only at the driver gate (sketch binaries are
+engine-specific); these tests pin what the oracle cannot: the merged
+estimate tracks the exact distinct count, and merging per-day partials
+equals sketching the raw stream in one pass (the re-aggregability property
+the 100 TB rollup pattern depends on)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from poc_juma_etl_spark import all_queries
+from poc_juma_etl_spark.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_rollup_estimate_within_3pct_of_exact(spark):
+    out = {
+        r["event_type"]: r for r in all_queries()["q_hll_rollup_merge"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for et, row in out.items():
+        assert abs(row["approx_users"] - exact[et]) <= 0.03 * exact[et], (et, row)
+
+
+def test_merged_partials_equal_single_pass_sketch(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    merged = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    single = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias("est")
+    )
+    m = {r["event_type"]: r["est"] for r in merged.collect()}
+    s = {r["event_type"]: r["est"] for r in single.collect()}
+    assert m == s
