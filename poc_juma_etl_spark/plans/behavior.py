@@ -1,0 +1,245 @@
+"""Behavioral analytics over the events stream: conversion funnels, cohort
+retention, and RFM segmentation.
+
+These are the gold-layer queries every product team runs on the reference's
+BigQuery warehouse (SURVEY.md §2.5's outsourced relational surface). Each
+is expressed as shuffles on the user key plus tiny broadcast anchors, so
+the same plan holds when the events table is 100 TB: per-user state is an
+aggregate, never a collected list, and nothing global is materialized
+beyond scalar cut points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .queries import dsum, register
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts3
+      FROM events e JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT 1 AS step, 'view' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+      UNION ALL
+      SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM t2
+      UNION ALL
+      SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM t3
+    )
+    SELECT step, step_name, n_users,
+           CAST(n_users AS DOUBLE)
+             / CAST(lag(n_users, 1, n_users) OVER (ORDER BY step) AS DOUBLE)
+             AS conversion_from_prev
+    FROM counts
+    ORDER BY step
+    """,
+    doc="Ordered conversion funnel (view → click → purchase): step N counts "
+    "users whose earliest step-N event happens strictly AFTER their "
+    "committed step-N-1 time — the strict-sequence semantics product "
+    "funnels need (a purchase before the first click does not convert). "
+    "Each stage is one groupBy(user_id) MIN plus an equi-join back to the "
+    "event stream on the user key, so the funnel is K shuffles on user_id "
+    "for K steps — per-user event lists are never collected, and the "
+    "final step table is three scalar counts. Conversion ratios via LAG "
+    "over the 3-row summary.",
+    tags=("events", "funnel", "behavior"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    steps: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        stage = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            stage = stage.join(prev, "user_id").filter(F.col("ts") > F.col("prev_ts"))
+        cur = stage.groupBy("user_id").agg(F.min("ts").alias("prev_ts"))
+        steps.append(
+            cur.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+                F.lit(i).alias("step"), F.lit(step).alias("step_name"), "n_users"
+            )
+        )
+        prev = cur
+    counts = steps[0].unionByName(steps[1]).unionByName(steps[2])
+    w = W.orderBy("step")
+    return (
+        counts.withColumn(
+            "conversion_from_prev",
+            F.col("n_users").cast("double")
+            / F.lag("n_users", 1, None).over(w).cast("double"),
+        )
+        .withColumn(
+            "conversion_from_prev",
+            F.coalesce(F.col("conversion_from_prev"), F.lit(1.0)),
+        )
+        .orderBy("step")
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    first_day AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(datediff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity a JOIN first_day f ON f.user_id = a.user_id
+    GROUP BY f.cohort_day, datediff('day', f.cohort_day, a.day)
+    ORDER BY cohort_day, day_offset
+    """,
+    doc="Cohort retention matrix: users grouped by first-activity day, "
+    "activity counted per (cohort, days-since-first) cell — the classic "
+    "retention triangle. Distinct (user, day) activity first (one "
+    "shuffle), first-day per user as an aggregate (second shuffle on the "
+    "same user key — co-partitioned, AQE reuses the exchange), then a "
+    "user-key join and a cell count. Offsets are integer day arithmetic; "
+    "no window functions, no per-user sequences, so the matrix scales "
+    "with distinct users, not events.",
+    tags=("events", "retention", "behavior"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first_day = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(first_day, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS money,
+             MAX(CAST(ts AS DATE)) AS last_day
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    anchor AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+    rfm AS (
+      SELECT s.user_id, s.freq, s.money,
+             CAST(datediff('day', s.last_day, a.max_day) AS BIGINT) AS recency
+      FROM stats s CROSS JOIN anchor a
+    ),
+    cuts AS (
+      SELECT quantile_cont(CAST(recency AS DOUBLE), 0.25) AS r25,
+             quantile_cont(CAST(recency AS DOUBLE), 0.50) AS r50,
+             quantile_cont(CAST(recency AS DOUBLE), 0.75) AS r75,
+             quantile_cont(CAST(freq AS DOUBLE), 0.25) AS f25,
+             quantile_cont(CAST(freq AS DOUBLE), 0.50) AS f50,
+             quantile_cont(CAST(freq AS DOUBLE), 0.75) AS f75,
+             quantile_cont(money, 0.25) AS m25,
+             quantile_cont(money, 0.50) AS m50,
+             quantile_cont(money, 0.75) AS m75
+      FROM rfm
+    )
+    SELECT 'R' ||
+           CASE WHEN CAST(recency AS DOUBLE) <= r25 THEN '4'
+                WHEN CAST(recency AS DOUBLE) <= r50 THEN '3'
+                WHEN CAST(recency AS DOUBLE) <= r75 THEN '2' ELSE '1' END ||
+           'F' ||
+           CASE WHEN CAST(freq AS DOUBLE) <= f25 THEN '1'
+                WHEN CAST(freq AS DOUBLE) <= f50 THEN '2'
+                WHEN CAST(freq AS DOUBLE) <= f75 THEN '3' ELSE '4' END ||
+           'M' ||
+           CASE WHEN money <= m25 THEN '1'
+                WHEN money <= m50 THEN '2'
+                WHEN money <= m75 THEN '3' ELSE '4' END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(money AS DECIMAL(25,6))) AS DOUBLE) AS total_money
+    FROM rfm CROSS JOIN cuts
+    GROUP BY 1
+    ORDER BY segment
+    """,
+    doc="RFM segmentation: per purchasing user, Recency (days since last "
+    "purchase vs corpus anchor), Frequency and Monetary value, each cut "
+    "into quartiles at exact interpolated percentiles, users bucketed "
+    "into 'R4F2M3'-style segments. The anchor and the 9 cut points are "
+    "1-row broadcast sides; quartile assignment is pure CASE arithmetic; "
+    "the segment rollup is one hash aggregate. The exact percentile pass "
+    "is the oracle-able baseline — at 100 TB the cuts swap for "
+    "approx_percentile (mergeable sketch, same CASE downstream), the "
+    "pattern q_approx_sketches pins.",
+    tags=("events", "rfm", "behavior", "percentile"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            dsum("value", "money"),
+            F.max(F.to_date("ts")).alias("last_day"),
+        )
+    )
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("max_day"))
+    rfm = stats.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "freq",
+        "money",
+        F.datediff("max_day", "last_day").cast("bigint").alias("recency"),
+    )
+    cuts = rfm.agg(
+        F.expr("percentile(CAST(recency AS DOUBLE), 0.25)").alias("r25"),
+        F.expr("percentile(CAST(recency AS DOUBLE), 0.50)").alias("r50"),
+        F.expr("percentile(CAST(recency AS DOUBLE), 0.75)").alias("r75"),
+        F.expr("percentile(CAST(freq AS DOUBLE), 0.25)").alias("f25"),
+        F.expr("percentile(CAST(freq AS DOUBLE), 0.50)").alias("f50"),
+        F.expr("percentile(CAST(freq AS DOUBLE), 0.75)").alias("f75"),
+        F.expr("percentile(money, 0.25)").alias("m25"),
+        F.expr("percentile(money, 0.50)").alias("m50"),
+        F.expr("percentile(money, 0.75)").alias("m75"),
+    )
+    r = F.col("recency").cast("double")
+    f = F.col("freq").cast("double")
+    m = F.col("money")
+    seg = F.concat(
+        F.lit("R"),
+        F.when(r <= F.col("r25"), "4").when(r <= F.col("r50"), "3").when(r <= F.col("r75"), "2").otherwise("1"),
+        F.lit("F"),
+        F.when(f <= F.col("f25"), "1").when(f <= F.col("f50"), "2").when(f <= F.col("f75"), "3").otherwise("4"),
+        F.lit("M"),
+        F.when(m <= F.col("m25"), "1").when(m <= F.col("m50"), "2").when(m <= F.col("m75"), "3").otherwise("4"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(cuts))
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.col("money").cast("decimal(25,6)")).cast("double").alias("total_money"),
+        )
+        .orderBy("segment")
+    )
