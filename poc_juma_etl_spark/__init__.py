@@ -143,6 +143,7 @@ def all_queries():
         "poc_juma_etl_spark.operators.web",
         "poc_juma_etl_spark.operators.udtf_ngrams",
         "poc_juma_etl_spark.operators.multimodal",
+        "poc_juma_etl_spark.operators.arrow_ops",
         "poc_juma_etl_spark.streaming.events",
         "poc_juma_etl_spark.sources.rest_api",
     ):

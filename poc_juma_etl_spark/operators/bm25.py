@@ -105,3 +105,98 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum((idf * tf_part).cast("decimal(25,9)")).cast("double").alias("score"))
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(TOP_N)
+
+
+@register(
+    "q_text_tfidf_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0) AS wt
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    ),
+    norms AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(wt * wt AS DECIMAL(25,9))) AS DOUBLE)) AS dnorm
+      FROM w GROUP BY doc_id
+    ),
+    qw AS (
+      SELECT df.term, ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0 AS qwt
+      FROM df CROSS JOIN n WHERE df.term IN {QUERY_TERMS!r}
+    ),
+    qnorm AS (SELECT sqrt(CAST(SUM(CAST(qwt * qwt AS DECIMAL(25,9))) AS DOUBLE)) AS qn FROM qw),
+    scored AS (
+      SELECT w.doc_id,
+             CAST(SUM(CAST(w.wt * qw.qwt AS DECIMAL(25,9))) AS DOUBLE)
+               / (norms.dnorm * qnorm.qn) AS score
+      FROM w JOIN qw ON qw.term = w.term
+      JOIN norms ON norms.doc_id = w.doc_id
+      CROSS JOIN qnorm
+      GROUP BY w.doc_id, norms.dnorm, qnorm.qn
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {TOP_N}
+    """,
+    doc=f"TF-IDF cosine retrieval for query terms {QUERY_TERMS}: smooth-idf "
+    "weights (sklearn formulation ln((1+N)/(1+df))+1), per-document L2 "
+    "norms over the FULL vocabulary (the part BM25 skips — norms need "
+    "every term, so the weight table is built before the query filter), "
+    "cosine = dot/(|D||Q|), top-25. Two shuffles on (doc,term)/term keys; "
+    "the df table and 1-row corpus stats broadcast; per-doc dots and "
+    "norms are decimal-summed then sqrt'd (IEEE sqrt is correctly "
+    "rounded in both engines, so identical inputs give identical "
+    "outputs). The norm table is a per-doc aggregate — at 100 TB it "
+    "persists beside the index, not recomputed per query.",
+    tags=("text", "tfidf", "search"),
+)
+def q_text_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
+    w = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", (F.col("tf") * idf).alias("wt"))
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum((F.col("wt") * F.col("wt")).cast("decimal(25,9)")).cast("double")).alias(
+            "dnorm"
+        )
+    )
+    qw = (
+        df_t.filter(F.col("term").isin(*QUERY_TERMS))
+        .crossJoin(F.broadcast(n))
+        .select("term", idf.alias("qwt"))
+    )
+    qnorm = qw.agg(
+        F.sqrt(F.sum((F.col("qwt") * F.col("qwt")).cast("decimal(25,9)")).cast("double")).alias(
+            "qn"
+        )
+    )
+    scored = (
+        w.join(F.broadcast(qw), "term")
+        .join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .groupBy("doc_id", "dnorm", "qn")
+        .agg(
+            (
+                F.sum((F.col("wt") * F.col("qwt")).cast("decimal(25,9)")).cast("double")
+                / (F.col("dnorm") * F.col("qn"))
+            ).alias("score")
+        )
+        .select("doc_id", "score")
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(TOP_N)
