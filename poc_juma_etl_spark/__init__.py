@@ -145,6 +145,9 @@ def all_queries():
         "poc_juma_etl_spark.operators.multimodal",
         "poc_juma_etl_spark.operators.arrow_ops",
         "poc_juma_etl_spark.streaming.events",
+        "poc_juma_etl_spark.streaming.join",
+        "poc_juma_etl_spark.streaming.enrich",
+        "poc_juma_etl_spark.streaming.stateful",
         "poc_juma_etl_spark.sources.rest_api",
     ):
         import importlib

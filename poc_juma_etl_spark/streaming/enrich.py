@@ -15,6 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.queries import register
+from .events import _MEMSINK_LOCK, _SINK_SEQ
+
 
 def user_tier_dim(spark: SparkSession) -> DataFrame:
     """Static dimension: user_id → tier (a deterministic derivation standing
@@ -45,7 +48,9 @@ def stream_enriched_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
     )
-    sink = "stream_tier_out"
+    with _MEMSINK_LOCK:
+        _SINK_SEQ[0] += 1
+        sink = f"stream_tier_out_{_SINK_SEQ[0]}"
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -55,3 +60,27 @@ def stream_enriched_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "q_stream_static_enrich",
+    oracle="""
+    SELECT CASE WHEN user_id % 10 = 0 THEN 'gold'
+                WHEN user_id % 3 = 0 THEN 'silver'
+                ELSE 'bronze' END AS tier,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY tier
+    """,
+    doc="Stream-static enrichment, driver-gated: the unbounded event "
+    "stream left-joined to a broadcast customer-tier dimension (the "
+    "dimension re-reads and re-broadcasts per micro-batch — no stream "
+    "state, no watermark), rolled up per tier. The oracle computes the "
+    "tier inline from the same derivation the dimension encodes, so the "
+    "gate proves the broadcast join enriched every event exactly once.",
+    tags=("streaming", "join", "enrich"),
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_enriched_tier_counts(spark, sf_dir).orderBy("tier")

@@ -13,6 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.queries import register
+from .events import _MEMSINK_LOCK, _SINK_SEQ
+
 RANGE_GAP_S = 300  # keep in lockstep with plans/advanced.q_range_join_close_events
 
 
@@ -52,7 +55,9 @@ def stream_close_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_user_id").alias("user_id"),
         (F.col("b_ts").cast("long") - F.col("a_ts").cast("long")).alias("gap_s"),
     )
-    sink = "stream_pairs_out"
+    with _MEMSINK_LOCK:
+        _SINK_SEQ[0] += 1
+        sink = f"stream_pairs_out_{_SINK_SEQ[0]}"
     q = (
         joined.writeStream.outputMode("append")
         .format("memory")
@@ -62,3 +67,42 @@ def stream_close_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "q_stream_interval_join",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.user_id,
+             CAST(epoch_us(b.ts) // 1000000 - epoch_us(a.ts) // 1000000 AS BIGINT) AS gap_s
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND b.ts > a.ts
+       AND epoch_us(b.ts) // 1000000 - epoch_us(a.ts) // 1000000 <= {RANGE_GAP_S}
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s
+    FROM pairs GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc=f"Stream-stream interval join, driver-gated: same-user event pairs "
+    f"within {RANGE_GAP_S}s computed incrementally — both sides watermarked "
+    "so the join buffers only the 1h+gap state horizon — then rolled up "
+    "per user. The oracle is the batch self-join: incremental execution "
+    "with bounded state must produce exactly the pairs a full-table join "
+    "produces (integer gap arithmetic, so equality is exact). The batch "
+    "twin q_range_join_close_events pins the bucketed O(events·density) "
+    "candidate plan; this entry pins the streaming execution of the same "
+    "semantics.",
+    tags=("streaming", "join", "events"),
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = stream_close_event_pairs(spark, sf_dir)
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("gap_s").cast("bigint").alias("sum_gap_s"),
+        )
+        .orderBy("user_id")
+    )

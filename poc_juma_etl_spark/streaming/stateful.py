@@ -15,13 +15,17 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUT_SCHEMA = "user_id long, n_events long, total_value double"
-STATE_SCHEMA = "n long, total double"
+from ..plans.queries import register
+from .events import _MEMSINK_LOCK, _SINK_SEQ
+
+OUT_SCHEMA = "user_id long, n_events long, total_value double, total_cents long"
+STATE_SCHEMA = "n long, total double, cents long"
 
 
 def _update_user_state(
@@ -29,12 +33,23 @@ def _update_user_state(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterable[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+    n, total, cents = state.get if state.exists else (0, 0.0, 0)
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+        # exact accumulator: floor-quantized cents sum in int64 — immune to
+        # float addition order, so the driver gate can hash it (floor, not
+        # round: round-half tie behavior differs across engines)
+        cents += int(np.floor(pdf["value"].to_numpy() * 100.0).astype(np.int64).sum())
+    state.update((n, total, cents))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "total_cents": [cents],
+        }
+    )
 
 
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,17 +74,20 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+    with _MEMSINK_LOCK:
+        _SINK_SEQ[0] += 1
+        sink = f"stateful_user_totals_{_SINK_SEQ[0]}"
     q = (
         counted.writeStream.outputMode("update")
         .format("memory")
-        .queryName("stateful_user_totals")
+        .queryName(sink)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     # multiple micro-batches emit multiple updates per user; the final state
     # per user is the row with the highest n_events
-    out = spark.table("stateful_user_totals")
+    out = spark.table(sink)
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
@@ -79,3 +97,28 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Custom stateful streaming operator, driver-gated: "
+    "applyInPandasWithState keeps one (count, total, cents) accumulator "
+    "per user in the sharded state store, updated per micro-batch; the "
+    "final state per user must equal the batch groupBy. The hashed "
+    "columns are the integer accumulators (count + floor-quantized "
+    "cents) — exact regardless of float addition order across state "
+    "updates; the float total is covered separately by "
+    "tests/test_stateful_streaming.py with a tolerance.",
+    tags=("streaming", "stateful", "events"),
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final = streaming_user_totals(spark, sf_dir)
+    return final.select("user_id", "n_events", "total_cents").orderBy("user_id")
