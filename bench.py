@@ -50,6 +50,15 @@ HEADLINE: list[str] = [
     "q_gap_fill_interpolate",
     "q_text_unigram_logprob",
     "q_text_decontaminate",
+    # round-3 operator families
+    "q_dq_audit",
+    "q_window_range_frame",
+    "q_text_bigram_logprob",
+    "q_text_tfidf_search",
+    "q_event_funnel",
+    "q_rfm_segments",
+    "q_arrow_vector_norms",
+    "q_hll_rollup_merge",
 ]
 
 
