@@ -72,13 +72,44 @@ def test_pack_sequences_partitions_by_shard(spark):
     assert "SinglePartition" not in plan
 
 
+def test_range_frame_window_is_partitioned(spark):
+    # the interval RANGE frame must run per customer partition — a global
+    # (single-partition) window would serialize all orders through one task
+    plan = plan_of(spark, "q_window_range_frame")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan.split("Window")[0][-600:]
+
+
+def test_histogram_bounds_ride_a_broadcast(spark):
+    # pass one reduces to 2 scalars; pass two must consume them via a
+    # broadcast nested-loop (1-row build side), never a shuffle join
+    plan = plan_of(spark, "q_histogram_prices")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dq_audit_uses_anti_joins(spark):
+    # referential checks must be LEFT ANTI joins — a NOT IN rewrite can
+    # degrade to a nested-loop under nullable keys
+    plan = plan_of(spark, "q_dq_audit")
+    assert "LeftAnti" in plan
+
+
+def test_tfidf_query_side_broadcasts(spark):
+    # the per-query-term weight table is tiny and must broadcast; the
+    # full-vocab weight stream must never be the build side
+    plan = plan_of(spark, "q_text_tfidf_search")
+    assert "BroadcastHashJoin" in plan
+
+
 # every read-only query swept for accidental cartesian products — including
-# the embedding near-dup, whose SRP-bucket equi-join is its own scale plan
+# the embedding near-dup, whose SRP-bucket equi-join is its own scale plan.
+# q_stream_* are excluded: invoking them drains a real stream (their batch
+# convergence is oracle-gated instead).
 SWEEP = [
     n
     for n in SPECS
-    if n.startswith("q") and "e2e" not in n
-    and n not in ("q_stream_tumbling_hour", "q_stream_dedup")  # run a stream on invocation
+    if n.startswith("q") and "e2e" not in n and not n.startswith("q_stream_")
 ]
 
 
