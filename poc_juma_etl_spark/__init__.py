@@ -144,6 +144,7 @@ def all_queries():
         "poc_juma_etl_spark.operators.udtf_ngrams",
         "poc_juma_etl_spark.operators.multimodal",
         "poc_juma_etl_spark.operators.arrow_ops",
+        "poc_juma_etl_spark.operators.graph",
         "poc_juma_etl_spark.streaming.events",
         "poc_juma_etl_spark.streaming.join",
         "poc_juma_etl_spark.streaming.enrich",

@@ -1,0 +1,143 @@
+"""Distributed graph analytics: PageRank over the customer-part co-purchase
+graph.
+
+Alongside label-propagation connected components (operators/components.py)
+this is the second classic iterative-join graph algorithm a warehouse is
+asked for (influence / centrality on an interaction graph). The graph is
+the bipartite co-purchase relation (customer ↔ part via orders+lineitem),
+made undirected by emitting both edge directions; node ids stay BIGINT
+(customer → 2k, part → 2k+1) so every join key is a fixed-width integer.
+
+Execution shape per iteration: join ranks to edges on src (shuffle on the
+node key) + groupBy dst (same key — AQE reuses the exchange), which is
+exactly Pregel-style message passing expressed relationally. K iterations
+= K shuffles; ranks live only as (node, pr) aggregates, never adjacency
+lists, so the plan holds when edges are 100 TB.
+
+Determinism: per-edge contributions pr/deg are floor-quantized at 2^40
+(power-of-two scaling is IEEE-exact; floor has no tie ambiguity) and
+summed as BIGINT — addition order cannot change the result, and both
+engines reconstruct the identical double. Same discipline as the
+int-quantized embedding math (operators/dedup.py, README exactness notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.queries import register
+
+PR_ITERS = 3
+PR_DAMPING = 0.85
+PR_Q = float(1 << 40)  # 2^40 contribution quantizer
+PR_TOP = 20
+
+
+def _oracle_sql() -> str:
+    q = f"{PR_Q:.1f}"
+    iters = []
+    prev = "p0"
+    for k in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""
+    p{k} AS (
+      SELECT e.dst AS node,
+             (0.15 / MIN(n.n_nodes))
+               + ({PR_DAMPING} * (CAST(SUM(CAST(floor((pp.pr / d.deg) * {q}) AS BIGINT))
+                                       AS DOUBLE) / {q})) AS pr
+      FROM e JOIN {prev} pp ON pp.node = e.src
+             JOIN deg d ON d.node = e.src
+             CROSS JOIN n
+      GROUP BY e.dst
+    )"""
+        )
+        prev = f"p{k}"
+    chain = ",".join(iters)
+    return f"""
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    e AS (
+      SELECT c * 2 AS src, p * 2 + 1 AS dst FROM cp
+      UNION ALL
+      SELECT p * 2 + 1, c * 2 FROM cp
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+    p0 AS (SELECT node, 1.0 / n.n_nodes AS pr FROM deg CROSS JOIN n),{chain}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type,
+           CAST(node // 2 AS BIGINT) AS node_key,
+           pr
+    FROM {prev}
+    ORDER BY pr DESC, node_type, node_key
+    LIMIT {PR_TOP}
+    """
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=_oracle_sql(),
+    doc=f"PageRank ({PR_ITERS} Jacobi iterations, d={PR_DAMPING}) over the "
+    "undirected customer-part co-purchase graph: relational message "
+    "passing — join ranks to edges on src, floor-quantized integer sum "
+    "per dst — with the top-20 most central nodes returned. Every node "
+    "has degree ≥ 1 by construction (edges emitted both ways), so there "
+    "is no dangling-mass term. The oracle replays the identical "
+    "iteration chain as SQL CTEs; 2^40 quantization makes the float "
+    "iteration bit-reproducible across engines.",
+    tags=("graph", "pagerank", "iterative"),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = (
+        cp.select((F.col("c") * 2).alias("src"), (F.col("p") * 2 + 1).alias("dst"))
+        .unionByName(
+            cp.select((F.col("p") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
+        )
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    pr = deg.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            e.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor((F.col("pr") / F.col("deg")) * PR_Q).cast("bigint").alias("cq"),
+            )
+        )
+        pr = (
+            contrib.groupBy("node")
+            .agg(F.sum("cq").cast("bigint").alias("sq"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    (0.15 / F.col("n_nodes"))
+                    + (PR_DAMPING * (F.col("sq").cast("double") / PR_Q))
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.select(
+            F.when(F.col("node") % 2 == 0, "customer").otherwise("part").alias("node_type"),
+            # integer DIV, not floor(double): a double round-trip would lose
+            # key bits past 2^53 on a real-scale keyspace
+            F.expr("CAST(node DIV 2 AS BIGINT)").alias("node_key"),
+            "pr",
+        )
+        .orderBy(F.desc("pr"), "node_type", "node_key")
+        .limit(PR_TOP)
+    )

@@ -346,3 +346,140 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+Z_THRESH = 2.5
+
+
+@register(
+    "q_zscore_outliers",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_p,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(19,6)) * CAST(o_totalprice AS DECIMAL(13,6)))
+                  AS DOUBLE) AS sum_sq
+      FROM orders GROUP BY o_orderpriority
+    ),
+    m AS (
+      SELECT o_orderpriority, n_rows,
+             sum_p / n_rows AS mean_p,
+             sqrt((sum_sq - ((sum_p * sum_p) / n_rows)) / (n_rows - 1)) AS std_p
+      FROM s
+    )
+    SELECT m.o_orderpriority, m.n_rows,
+           CAST(COUNT(CASE WHEN abs((o.o_totalprice - m.mean_p) / m.std_p) > {Z_THRESH}
+                           THEN 1 END) AS BIGINT) AS n_outliers,
+           round(max(abs((o.o_totalprice - m.mean_p) / m.std_p)), 6) AS max_abs_z
+    FROM orders o JOIN m ON m.o_orderpriority = o.o_orderpriority
+    GROUP BY m.o_orderpriority, m.n_rows
+    ORDER BY m.o_orderpriority
+    """,
+    doc=f"Z-score outlier detection per group: two-pass — decimal-exact "
+    "sum/sum-of-squares per group (one tiny aggregate, broadcast back), "
+    "then each row scored against its group's mean/std and counted past "
+    f"|z| > {Z_THRESH}. The textbook distributed outlier scan: no sort, "
+    "no window, group stats are scalars. Variance uses the pinned "
+    "(sumsq - sum²/n)/(n-1) op order; squares multiply in exact decimal "
+    "(never cast a >2^53 double to decimal), and the output statistic is "
+    "rounded to 6 digits because the ~21-digit sum-of-squares "
+    "decimal→double conversion itself rounds differently across engines "
+    "(the inverse of the README's double→decimal pitfall — both "
+    "directions are unsafe past 2^53).",
+    tags=("stats", "outliers", "dq"),
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("sum_p"),
+        # square in exact decimal, never cast the squared double: a double
+        # past 2^53 re-rounds differently in DuckDB (README exactness notes)
+        F.sum(
+            F.col("o_totalprice").cast("decimal(19,6)")
+            * F.col("o_totalprice").cast("decimal(13,6)")
+        )
+        .cast("double")
+        .alias("sum_sq"),
+    )
+    m = s.select(
+        "o_orderpriority",
+        "n_rows",
+        (F.col("sum_p") / F.col("n_rows")).alias("mean_p"),
+        F.sqrt(
+            (F.col("sum_sq") - ((F.col("sum_p") * F.col("sum_p")) / F.col("n_rows")))
+            / (F.col("n_rows") - 1)
+        ).alias("std_p"),
+    )
+    z = F.abs((F.col("o_totalprice") - F.col("mean_p")) / F.col("std_p"))
+    return (
+        o.join(F.broadcast(m), "o_orderpriority")
+        .groupBy("o_orderpriority", "n_rows")
+        .agg(
+            F.count(F.when(z > Z_THRESH, 1)).cast("bigint").alias("n_outliers"),
+            F.round(F.max(z), 6).alias("max_abs_z"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_chi_square_segments",
+    oracle="""
+    WITH joined AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderstatus AS st
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    obs AS (SELECT seg, st, CAST(COUNT(*) AS BIGINT) AS n FROM joined GROUP BY seg, st),
+    rowt AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS nr FROM obs GROUP BY seg),
+    colt AS (SELECT st, CAST(SUM(n) AS BIGINT) AS nc FROM obs GROUP BY st),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM obs),
+    cells AS (
+      SELECT obs.n,
+             (CAST(rowt.nr AS DOUBLE) * colt.nc) / tot.nt AS expected
+      FROM obs JOIN rowt ON rowt.seg = obs.seg
+               JOIN colt ON colt.st = obs.st
+               CROSS JOIN tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CAST(((n - expected) * (n - expected)) / expected
+                         AS DECIMAL(25,9))) AS DOUBLE) AS chi2
+    FROM cells
+    """,
+    doc="Chi-square independence test (market segment × order status): "
+    "observed contingency cells vs expected = row·col/total, summed as "
+    "(o-e)²/e. One shuffle builds the contingency table; marginals are "
+    "re-aggregates of the tiny cell table; every per-cell term is "
+    "identical IEEE arithmetic and the final statistic is decimal-summed. "
+    "The correlation-screening primitive of feature/bias audits at corpus "
+    "scale.",
+    tags=("stats", "chi2", "dq"),
+)
+def q_chi_square_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    obs = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderstatus").alias("st"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rowt = obs.groupBy("seg").agg(F.sum("n").cast("bigint").alias("nr"))
+    colt = obs.groupBy("st").agg(F.sum("n").cast("bigint").alias("nc"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("nt"))
+    cells = (
+        obs.join(F.broadcast(rowt), "seg")
+        .join(F.broadcast(colt), "st")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            ((F.col("nr").cast("double") * F.col("nc")) / F.col("nt")).alias("expected"),
+        )
+    )
+    diff = F.col("n") - F.col("expected")
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(((diff * diff) / F.col("expected")).cast("decimal(25,9)"))
+        .cast("double")
+        .alias("chi2"),
+    )
