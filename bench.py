@@ -59,6 +59,8 @@ HEADLINE: list[str] = [
     "q_rfm_segments",
     "q_arrow_vector_norms",
     "q_hll_rollup_merge",
+    "q_graph_pagerank",
+    "q_shuffle_hash_join",
 ]
 
 

@@ -103,27 +103,37 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             cp.select((F.col("p") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
         )
+        # materialize the edge list once: every iteration re-joins it, and
+        # without a cut Spark would replay the dedup join 3x (on a cluster:
+        # persist(DISK_ONLY) / a checkpoint dir — same iterative idiom)
+        .localCheckpoint()
     )
-    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    deg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint()  # node-sized; reused by every iteration
+    )
     n = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    # rank state carries its degree so each iteration is ONE edge-size join
+    # (messages) + one node-size join (re-attach degree) instead of two
+    # edge-size joins
     pr = deg.crossJoin(F.broadcast(n)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+        "node", "deg", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
     )
     for _ in range(PR_ITERS):
-        contrib = (
-            e.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(deg.withColumnRenamed("node", "src"), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.floor((F.col("pr") / F.col("deg")) * PR_Q).cast("bigint").alias("cq"),
-            )
+        contrib = pr.select(
+            F.col("node").alias("src"),
+            F.floor((F.col("pr") / F.col("deg")) * PR_Q).cast("bigint").alias("cq"),
         )
         pr = (
-            contrib.groupBy("node")
+            e.join(contrib, "src")
+            .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("cq").cast("bigint").alias("sq"))
+            .join(deg, "node")
             .crossJoin(F.broadcast(n))
             .select(
                 "node",
+                "deg",
                 (
                     (0.15 / F.col("n_nodes"))
                     + (PR_DAMPING * (F.col("sq").cast("double") / PR_Q))

@@ -243,3 +243,57 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    outs AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out FROM trans GROUP BY from_type)
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(t.n AS DOUBLE) / o.n_out AS p_transition
+    FROM trans t JOIN outs o ON o.from_type = t.from_type
+    ORDER BY t.from_type, t.to_type
+    """,
+    doc="Markov transition matrix over per-user event sequences: next event "
+    "via LEAD over (user, event-time) with the unique event_id as "
+    "deterministic tie-break, then transition counts and row-normalized "
+    "probabilities — the path-analysis primitive behind 'what do users do "
+    "after X'. One shuffle on the user key for the sequence window, one "
+    "tiny K×K aggregate after; per-user history is never collected. "
+    "Probabilities are single integer divisions — exact in both engines.",
+    tags=("events", "markov", "behavior"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    outs = trans.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("n_out"))
+    return (
+        trans.join(F.broadcast(outs), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("n_out")).alias("p_transition"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -421,3 +421,43 @@ def q_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_shuffle_hash_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc="Fact-fact join pinned to SHUFFLE_HASH strategy: lineitem⋈orders "
+    "are both too big to broadcast, and a shuffle-hash join skips the "
+    "sort phase a SortMergeJoin pays on both sides — the right strategy "
+    "when one side's per-partition hash table fits in memory and neither "
+    "side is pre-sorted. The hint is plan-asserted in "
+    "tests/test_plan_quality.py; the oracle is the plain relational "
+    "answer (strategy must never change results).",
+    tags=("join", "shuffle-hash", "strategy"),
+)
+def q_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), F.col("o_custkey") == c.c_custkey
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double").alias(
+                "total_price"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -95,6 +95,15 @@ def test_dq_audit_uses_anti_joins(spark):
     assert "LeftAnti" in plan
 
 
+def test_shuffle_hash_hint_respected(spark):
+    # the fact-fact join must use ShuffledHashJoin (no sort phase), with
+    # the dimension still broadcast
+    plan = plan_of(spark, "q_shuffle_hash_join")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_tfidf_query_side_broadcasts(spark):
     # the per-query-term weight table is tiny and must broadcast; the
     # full-vocab weight stream must never be the build side
