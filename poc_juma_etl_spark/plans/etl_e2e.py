@@ -208,3 +208,50 @@ def etl_incremental_agg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "etl_compact_e2e",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d')
+    ORDER BY day
+    """,
+    doc="Small-files compaction end-to-end: load events into a "
+    "date-partitioned table deliberately fragmented (4 files per "
+    "partition), compact to target-sized files via the staging+swap "
+    "rewrite, read the table back and aggregate per day. The oracle is "
+    "the pre-compaction content — compaction must be byte-invisible to "
+    "readers while collapsing the file count (asserted inside the run; "
+    "file-count mechanics are additionally unit-tested in "
+    "tests/test_compact.py). At 100 TB the file count, not the byte "
+    "count, is what kills listing and task-scheduling time.",
+    tags=("etl", "compaction", "e2e"),
+)
+def etl_compact_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compact import compact_table, table_file_stats
+    from ..operators.range_replace import overwrite_table, read_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="compact_e2e_")
+    path = f"{tmp}/events_wh"
+    try:
+        # fragment: 4 small files per date partition
+        overwrite_table(ev.repartition(4), path, "ts")
+        before, _ = table_file_stats(spark, path)
+        b, a = compact_table(spark, path)
+        if not (a < b or b <= 1):
+            raise AssertionError(f"compaction did not reduce files: {b} -> {a}")
+        out = (
+            read_table(spark, path)
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+            .orderBy("day")
+        )
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
