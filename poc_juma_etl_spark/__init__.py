@@ -126,6 +126,7 @@ def all_queries():
         "poc_juma_etl_spark.plans.extra4",
         "poc_juma_etl_spark.plans.behavior",
         "poc_juma_etl_spark.plans.tpch_extra",
+        "poc_juma_etl_spark.plans.tpch_full",
         "poc_juma_etl_spark.plans.joins",
         "poc_juma_etl_spark.plans.windows",
         "poc_juma_etl_spark.plans.setops",
