@@ -61,6 +61,8 @@ HEADLINE: list[str] = [
     "q_hll_rollup_merge",
     "q_graph_pagerank",
     "q_shuffle_hash_join",
+    "q8_market_share",
+    "q21_suppliers_kept_waiting",
 ]
 
 
