@@ -111,6 +111,39 @@ def test_tfidf_query_side_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q8_market_share_broadcasts_all_dims(spark):
+    # the 7-way star must broadcast all six non-fact sides; a sort-merge
+    # join on any dimension would shuffle the fact once per dimension
+    plan = plan_of(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_q21_blame_joins_are_hash_equi(spark):
+    # EXISTS / NOT EXISTS must plan as hash semi/anti joins keyed on
+    # l_orderkey with the suppkey inequality as a residual — never a
+    # nested-loop over the fact
+    plan = plan_of(spark, "q21_suppliers_kept_waiting")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_filters_reach_the_scan(spark):
+    # Q6 is the pushdown benchmark: shipdate/discount/quantity predicates
+    # must all appear as PushedFilters on the parquet scan
+    plan = plan_of(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q16_not_in_rides_a_broadcast(spark):
+    # the 6-row negative-balance supplier set must broadcast for the
+    # anti-join; shuffling 60k (→ billions at scale) lineitem rows against
+    # 6 rows would be absurd
+    plan = plan_of(spark, "q16_supplier_counts")
+    assert "BroadcastHashJoin" in plan
+
+
 # every read-only query swept for accidental cartesian products — including
 # the embedding near-dup, whose SRP-bucket equi-join is its own scale plan.
 # q_stream_* are excluded: invoking them drains a real stream (their batch
