@@ -138,6 +138,7 @@ def all_queries():
         "poc_juma_etl_spark.operators.dedup",
         "poc_juma_etl_spark.operators.grouped_map",
         "poc_juma_etl_spark.operators.kmeans",
+        "poc_juma_etl_spark.operators.pq",
         "poc_juma_etl_spark.operators.sampling",
         "poc_juma_etl_spark.operators.similarity",
         "poc_juma_etl_spark.operators.text",

@@ -1,0 +1,235 @@
+"""Product-quantization (PQ) approximate nearest-neighbor search.
+
+The third classic ANN scale path next to SRP-LSH (operators/similarity.py)
+and IVF (operators/kmeans.py): each D-dim vector is split into M subvectors,
+each subspace is k-means-quantized to K centroids, and a vector is stored as
+M small integer codes (M bytes at K=256, M nibbles at K=16) instead of D
+floats. Queries scan codes with asymmetric distance computation (ADC): a
+per-query lookup table LUT[m][k] = ||q_m − c_{m,k}||² turns each candidate's
+approximate distance into M array lookups — no float vector is touched until
+a final exact re-rank of the short candidate list. At 100 TB this is the
+difference between scanning 256 GB of codes and 25 TB of raw vectors
+(D=64, M=4): PQ compresses the scan, IVF (composable with this index —
+assign codes within coarse cells) prunes it.
+
+Spark-first shape:
+- training is ONE joint Lloyd loop for all M subspaces: the corpus explodes
+  to (vec_id, m, subvec) rows once and every iteration runs one assignment
+  map + one (m, cluster, pos)-keyed average — two shuffles per iteration
+  TOTAL, not per subspace;
+- the M×K×(D/M) centroid tensor is a Catalyst literal (1 024 doubles at the
+  defaults) so encoding and LUT construction stay in whole-stage codegen,
+  zero Python;
+- the ADC scan is a broadcast of the tiny query-side LUT table across the
+  code list — one corpus pass, sub-linear bytes;
+- the driver only ever holds centroids (M×K rows), never the corpus.
+
+Deterministic: init = subvectors of the K lowest-vec_id vectors per
+subspace; assignment ties break to the lower code. Iterative k-means
+training is the driver contract's rows-only case (no SQL oracle);
+determinism, code shape, and recall-vs-brute-force are pinned by
+tests/test_pq.py.
+
+Reference parity: the reference engine (fe-malveira-87/poc-juma-etl) has no
+vector search at all — this extends the engine's LLM-data-pipeline surface
+(SURVEY.md north-star scope) alongside the other ANN variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, spread
+from ..plans.queries import register
+
+M = 4  # subspaces
+K = 16  # centroids per subspace (4-bit codes)
+ITERS = 5
+TOP_K = 5
+RERANK = 4 * TOP_K  # ADC candidates kept for exact re-ranking
+N_QUERIES = 10
+
+Centroids = list[list[list[float]]]  # [m][k] -> subcentroid (D/M floats)
+
+
+def _sq_dist(a, b) -> F.Column:
+    """||a − b||² as a Catalyst fold — stays in codegen."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cent_lit(centroids: Centroids) -> F.Column:
+    """The M×K×(D/M) centroid tensor as one array literal."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in per_m])
+            for per_m in centroids
+        ]
+    )
+
+
+def _nearest_code(sv, cents_for_m) -> F.Column:
+    """argmin_k ||sv − c_k||² with ties to the lower k. 0-based."""
+    scored = F.transform(
+        cents_for_m, lambda c, i: F.struct(_sq_dist(sv, c).alias("d"), i.alias("cid"))
+    )
+    return F.array_min(scored)["cid"]
+
+
+def _subvectors(v, dim: int, m: int) -> list[F.Column]:
+    d = dim // m
+    return [F.slice(v, i * d + 1, d) for i in range(m)]
+
+
+def pq_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = M,
+    k: int = K,
+    iters: int = ITERS,
+) -> Centroids:
+    """Joint Lloyd training of all M sub-quantizers. Two shuffles per
+    iteration total; only M×K×(dim/m) centroid floats reach the driver."""
+    d = dim // m
+    first = df.orderBy("vec_id").limit(k).select(vec_col).collect()
+    centroids: Centroids = [
+        [[float(x) for x in r[0][mi * d : (mi + 1) * d]] for r in first]
+        for mi in range(m)
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    subs = df.select(
+        "vec_id", F.posexplode(F.array(*_subvectors(v, dim, m))).alias("m", "sv")
+    )
+    for _ in range(iters):
+        cl = F.element_at(_cent_lit(centroids), F.col("m") + 1)
+        assigned = subs.withColumn("code", _nearest_code(F.col("sv"), cl))
+        means = (
+            assigned.select("m", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("m", "code", "pos")
+            .agg(F.avg("val").alias("c"))
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = {(r.m, r.code): [float(x) for x in r.centroid] for r in means}
+        # empty cells keep their previous centroid
+        centroids = [
+            [new.get((mi, ki), centroids[mi][ki]) for ki in range(k)]
+            for mi in range(m)
+        ]
+    return centroids
+
+
+def pq_encode(
+    df: DataFrame,
+    centroids: Centroids,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_col: str = "codes",
+) -> DataFrame:
+    """Add ``out_col`` = array<int> of M codes. One narrow codegen map —
+    no shuffle, no Python."""
+    m = len(centroids)
+    v = F.col(vec_col).cast("array<double>")
+    lits = _cent_lit(centroids)
+    codes = F.array(
+        *[
+            _nearest_code(sv, F.element_at(lits, mi + 1))
+            for mi, sv in enumerate(_subvectors(v, dim, m))
+        ]
+    )
+    return df.withColumn(out_col, codes)
+
+
+def pq_query_luts(
+    df: DataFrame, centroids: Centroids, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Add ``luts`` = array<array<double>>: LUT[m][k] = ||q_m − c_{m,k}||²,
+    computed in Catalyst from the centroid literal."""
+    m = len(centroids)
+    lits = _cent_lit(centroids)
+    v = F.col(vec_col).cast("array<double>")
+
+    def _lut_for(sv):
+        # single-parameter lambda on purpose: a second parameter would make
+        # PySpark pass the array index instead of closing over ``sv``
+        return lambda c: _sq_dist(sv, c)
+
+    luts = F.array(
+        *[
+            F.transform(F.element_at(lits, mi + 1), _lut_for(sv))
+            for mi, sv in enumerate(_subvectors(v, dim, m))
+        ]
+    )
+    return df.withColumn("luts", luts)
+
+
+@register(
+    "q_ann_pq_topk",
+    oracle=None,  # iterative k-means training — the contract's rows-only case
+    doc=f"PQ ANN top-{TOP_K}: {M}×{K}-centroid product quantizer (joint "
+    f"distributed Lloyd, {ITERS} iterations, deterministic init) compresses "
+    f"each vector to {M} 4-bit codes; queries ADC-scan the code list via "
+    f"broadcast lookup tables, keep {RERANK} candidates, and exact-rank "
+    f"those with quantized cosine. Composable with IVF cells for the "
+    "scan-pruning half; recall and determinism pinned by tests/test_pq.py.",
+    tags=("similarity", "ann", "pq", "kmeans"),
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .dedup import SPARK_QNORM, SPARK_QVEC, spark_cosine_prequantized
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    centroids = pq_fit(e)
+    coded = pq_encode(e, centroids).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "codes",
+        F.expr(SPARK_QVEC.format(a="embedding")).alias("n_qv"),
+    )
+    coded = coded.withColumn("n_norm", F.expr(SPARK_QNORM.format(qa="n_qv")))
+
+    q = pq_query_luts(
+        e.filter(F.col("vec_id") < N_QUERIES), centroids
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "luts",
+        F.expr(SPARK_QVEC.format(a="embedding")).alias("q_qv"),
+    )
+    q = q.withColumn("q_norm", F.expr(SPARK_QNORM.format(qa="q_qv")))
+
+    # ADC scan: one corpus pass, approx distance = Σ_m LUT[m][code_m]
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("luts"), lambda c, lut: F.element_at(lut, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        coded.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", adc)
+    )
+    w_adc = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    cands = scored.withColumn("c_rk", F.row_number().over(w_adc)).filter(
+        F.col("c_rk") <= RERANK
+    )
+    # exact re-rank of the short list only
+    cosine = F.expr(spark_cosine_prequantized("q_qv", "n_qv", "q_norm", "n_norm"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cands.withColumn("cosine", cosine)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "cosine", "rk")
+        .orderBy("query_id", "rk")
+    )
