@@ -132,12 +132,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     df = spark.read.parquet(table_path(sf_dir, name))
-    # events.ts is parquet TIMESTAMP(NANOS): read as long nanos (session conf
-    # spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds —
-    # matching DuckDB, whose native precision is also microseconds.
+    # Normalize timestamp columns to session-TZ TIMESTAMP regardless of how
+    # the file stores them. Generations of the testdata have used
+    # TIMESTAMP(NANOS) (read as long nanos via
+    # spark.sql.legacy.parquet.nanosAsLong) and timestamp[us] with
+    # isAdjustedToUTC=false (read as TIMESTAMP_NTZ). The session timezone is
+    # pinned to UTC, so NTZ→TIMESTAMP is value-preserving and matches
+    # DuckDB's UTC-naive timestamps; a uniform TIMESTAMP type keeps
+    # epoch arithmetic (`cast(ts as long)`) legal everywhere downstream.
     for f in df.schema.fields:
-        if f.name == "ts" and f.dataType.simpleString() == "bigint" and name == "events":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        declared_t = next(
+            (d.dataType for d in SCHEMAS[name].fields if d.name == f.name.lower()), None
+        )
+        if not isinstance(declared_t, T.TimestampType):
+            continue
+        dt = f.dataType.simpleString()
+        if dt == "bigint":  # nanos-as-long legacy path
+            df = df.withColumn(f.name, F.expr(f"timestamp_micros({f.name} div 1000)"))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     declared = [f.name for f in SCHEMAS[name].fields]
     if [c.lower() for c in df.columns] != declared:
         raise ValueError(

@@ -47,6 +47,12 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS) which the Spark reader
         # rejects; read as long and convert in catalog.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet timestamp[us] with isAdjustedToUTC=false would otherwise
+        # infer as TIMESTAMP_NTZ; infer as session-TZ TIMESTAMP instead so
+        # epoch arithmetic stays legal AND timestamp predicates still push
+        # into the scan (a post-read NTZ→LTZ cast would block pushdown).
+        # Session TZ is UTC, so the two types are value-identical here.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # scan granularity: 128 MiB splits keep one task's input within
@@ -74,6 +80,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     session (the driver harness passes us its own SparkSession)."""
     for k, v in {
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",

@@ -35,7 +35,7 @@ def stream_enriched_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the bounded events stream enriched with the tier dimension;
     returns per-tier event counts and decimal-exact value sums."""
     raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, value double, props string"
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     )
     stream = (
         spark.readStream.schema(raw_schema)

@@ -31,16 +31,15 @@ _SINK_SEQ = [0]
 def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the tumbling-window aggregation as a bounded stream; returns the
     completed result as a batch DataFrame."""
-    # the fixture stores ts as TIMESTAMP(NANOS) → read as long, convert (same
-    # handling as catalog.load_table, which a stream source must do itself)
-    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # the fixture stores ts as parquet timestamp[us]; an explicit TIMESTAMP
+    # schema reads it straight into the session-TZ (UTC) type
+    raw_schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     stream = (
         spark.readStream.schema(raw_schema)
         # the file stream source wants a directory: stream the sf dir with a
         # glob selecting just the events table
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
     agg = (
         stream.withWatermark("ts", "2 hours")
@@ -102,14 +101,13 @@ def q_stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "dedup", "events"),
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    raw_schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 
     def src() -> DataFrame:
         return (
             spark.readStream.schema(raw_schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         )
 
     deduped = (
@@ -163,12 +161,11 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window", "events"),
 )
 def q_stream_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    raw_schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
     agg = (
         stream.withWatermark("ts", "2 hours")

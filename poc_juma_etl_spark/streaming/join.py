@@ -21,7 +21,7 @@ RANGE_GAP_S = 300  # keep in lockstep with plans/advanced.q_range_join_close_eve
 
 def _event_stream(spark: SparkSession, sf_dir: str, alias: str) -> DataFrame:
     raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, value double, props string"
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     )
     return (
         spark.readStream.schema(raw_schema)
@@ -30,7 +30,7 @@ def _event_stream(spark: SparkSession, sf_dir: str, alias: str) -> DataFrame:
         .select(
             F.col("event_id").alias(f"{alias}_event_id"),
             F.col("user_id").alias(f"{alias}_user_id"),
-            F.expr("timestamp_micros(ts div 1000)").alias(f"{alias}_ts"),
+            F.col("ts").alias(f"{alias}_ts"),
         )
     )
 

@@ -52,13 +52,12 @@ def stream_events_to_warehouse(
     with the same checkpoint (committed batches are not reprocessed) AND
     safe under redelivery of an uncommitted batch (epoch-keyed overwrite)."""
     raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, value double, props string"
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     )
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
     n_batches = [0]
 

@@ -56,13 +56,12 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful counter over the bounded events stream; returns the
     final per-user totals (last state emitted per user)."""
     raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, value double, props string"
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     )
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
     counted = (
         stream.groupBy("user_id")

@@ -31,7 +31,7 @@ def test_write_epoch_redelivery_idempotent(spark, tmp_path):
     path = str(tmp_path / "wh")
     batch = (
         spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .limit(100)
     )
     write_epoch(batch, path, 0)
