@@ -151,6 +151,7 @@ def all_queries():
         "poc_juma_etl_spark.streaming.join",
         "poc_juma_etl_spark.streaming.enrich",
         "poc_juma_etl_spark.streaming.stateful",
+        "poc_juma_etl_spark.streaming.sink",
         "poc_juma_etl_spark.sources.rest_api",
     ):
         import importlib

@@ -104,3 +104,29 @@ def scd2_apply(
         untouched.unionByName(closed).unionByName(history).unionByName(opened)
     ).localCheckpoint()
     merged.write.mode("overwrite").option("partitionOverwriteMode", "static").parquet(path)
+
+
+def merge_latest(
+    spark: SparkSession, path: str, updates: DataFrame, key: str, order_cols: list[str]
+) -> None:
+    """CDC compaction merge: keep, per key, the row that sorts highest on
+    ``order_cols`` (descending) across the existing target AND the update
+    batch — the upsert rule of a change-data stream where the newest
+    version wins. Commutative over batch order: any interleaving of update
+    batches converges to the same table, which is what makes it safe under
+    out-of-order micro-batch delivery. One shuffle on the key; with a
+    key-partitioned target only touched partitions rewrite."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc_nulls_last() for c in order_cols])
+    try:
+        target = spark.read.parquet(path)
+    except AnalysisException:
+        source = updates  # first load: no target yet
+    else:
+        source = target.unionByName(updates)
+    merged = (
+        source.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint()
+    )
+    merged.write.mode("overwrite").option("partitionOverwriteMode", "static").parquet(path)

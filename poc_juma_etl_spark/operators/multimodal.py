@@ -118,3 +118,79 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Frame sampling: the video path's decode-side primitive. A real pipeline
+# seeks N key frames per clip; the plumbing is byte-range extraction per
+# item inside an Arrow-batched kernel. Because the synthetic payload is
+# utf-8 ASCII text, the oracle can replicate the exact byte slicing and
+# md5 in SQL (char slice == byte slice for ASCII) — giving this mapInPandas
+# kernel a full value-hash gate, not just a rows-only check.
+
+N_FRAMES = 4
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, offset_bytes long, frame_len long, frame_md5 string"
+)
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: per item, slice N_FRAMES evenly-strided byte
+    ranges from the payload and md5 each — the stand-in for an ffmpeg
+    keyframe seek, with the same batch shape and output contract."""
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in
+                                ("doc_id", "frame_idx", "offset_bytes", "frame_len", "frame_md5")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            stride = max(n // N_FRAMES, 1)
+            for i in range(N_FRAMES):
+                off = i * stride
+                if off >= n:
+                    break
+                frame = payload[off : off + stride]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["offset_bytes"].append(off)
+                out["frame_len"].append(len(frame))
+                out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@register(
+    "q_multimodal_frame_sample",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, text, length(text) AS n_total,
+             greatest(length(text) // {N_FRAMES}, 1) AS stride
+      FROM documents
+    ), f AS (
+      SELECT doc_id, text, n_total, stride, unnest(range(0, {N_FRAMES})) AS frame_idx
+      FROM m
+    )
+    SELECT doc_id, frame_idx,
+           CAST(frame_idx * stride AS BIGINT) AS offset_bytes,
+           CAST(length(substring(text, frame_idx * stride + 1, stride)) AS BIGINT)
+             AS frame_len,
+           md5(substring(text, frame_idx * stride + 1, stride)) AS frame_md5
+    FROM f
+    WHERE frame_idx * stride < n_total
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="Multimodal frame sampling: treat each payload as an encoded clip "
+    "and extract 4 evenly-strided byte-range 'frames' per item inside an "
+    "Arrow-batched mapInPandas kernel (hashlib md5 per frame — the slot "
+    "where an ffmpeg/PIL decode goes). Embarrassingly parallel: no "
+    "shuffle, decode parallelism = partition count. The ASCII fixture "
+    "payload lets DuckDB replicate the byte slicing in SQL, so this "
+    "Python-kernel operator is value-hash-gated, not rows-only.",
+    tags=("multimodal", "pandas-udf", "frames"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    frames = media.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+    return frames.orderBy("doc_id", "frame_idx")

@@ -666,6 +666,147 @@ def q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_W = 4  # winnowing window width (hashes per selection window)
+
+
+@register(
+    "q_text_winnow_fingerprint",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(ts) >= 3
+          THEN list_transform(range(1, len(ts) - 1),
+                 i -> struct_pack(pos := i, sh := ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+          ELSE [struct_pack(pos := 1, sh := array_to_string(ts, ' '))]
+        END) AS u
+      FROM tok
+    ), hashed AS (
+      SELECT doc_id, u.pos AS pos,
+             {SQL_MD5_LONG.format(x="u.sh")} % {MOD_P} AS h
+      FROM sh
+    ), win AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS sel,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+      FROM hashed
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT sel) AS n_fingerprints,
+           CAST(SUM(DISTINCT sel) AS BIGINT) AS fp_checksum,
+           CAST(MIN(sel) AS BIGINT) AS min_fingerprint
+    FROM win
+    WHERE pos + {WINNOW_W - 1} <= n_sh OR (n_sh < {WINNOW_W} AND pos = 1)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Winnowing fingerprints (Schleimer et al. 2003, the MOSS local "
+    "fingerprinting scheme): hash every 3-token shingle, slide a width-4 "
+    "window over the hash sequence, select each window's minimum — the "
+    "guaranteed-hit fingerprint set for substring matching, denser than one "
+    "global MinHash but far sparser than all shingles. Per-doc window over "
+    "positions = one shuffle on doc_id; selection and dedup stay inside the "
+    "partition, so a 100 TB corpus fingerprints linearly with no global "
+    "state.",
+    tags=("text", "fingerprint", "winnowing"),
+)
+def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens("text")
+    n_sh = F.size(ts) - 2
+    zip3 = F.zip_with(
+        F.zip_with(
+            F.slice(ts, 1, n_sh), F.slice(ts, 2, n_sh), lambda a, b: F.concat(a, F.lit(" "), b)
+        ),
+        F.slice(ts, 3, n_sh),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    shingles = F.when(F.size(ts) >= 3, zip3).otherwise(F.array(F.concat_ws(" ", ts)))
+    sh = d.select("doc_id", F.posexplode(shingles).alias("pos0", "shingle"))
+    hashed = sh.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (md5_long(F.col("shingle")) % MOD_P).alias("h"),
+    )
+    part = W.partitionBy("doc_id")
+    win = hashed.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(part.orderBy("pos").rowsBetween(0, WINNOW_W - 1)).alias("sel"),
+        F.count(F.lit(1)).over(part).alias("n_sh"),
+    )
+    full_window = F.col("pos") + (WINNOW_W - 1) <= F.col("n_sh")
+    short_doc = (F.col("n_sh") < WINNOW_W) & (F.col("pos") == 1)
+    return (
+        win.filter(full_window | short_doc)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sel").alias("n_fingerprints"),
+            F.sum_distinct(F.col("sel")).cast("bigint").alias("fp_checksum"),
+            F.min("sel").cast("bigint").alias("min_fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_SIZE = 100  # top-V tokens by corpus frequency
+
+
+@register(
+    "q_text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents
+    ), freq AS (
+      SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t
+    ), vocab AS (
+      SELECT t FROM freq ORDER BY cnt DESC, t LIMIT {VOCAB_SIZE}
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE v.t IS NULL) AS n_oov,
+           CAST(COUNT(*) FILTER (WHERE v.t IS NULL) AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM tok LEFT JOIN vocab v ON v.t = tok.t
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Tokenizer-vocabulary coverage: build the top-100 corpus vocabulary "
+    "by token frequency (deterministic tie-break on the token), then per "
+    "source shard the fraction of token occurrences falling outside it — "
+    "the OOV-rate audit run before committing to a tokenizer vocab. The "
+    "vocabulary is a top-k (TakeOrderedAndProject over the frequency table, "
+    "never a full sort) and broadcasts back over the corpus, so the big "
+    "side streams through one shuffle on the token key and one map-side "
+    "join at any scale.",
+    tags=("text", "vocab", "tokens"),
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        freq.orderBy(F.desc("cnt"), "t")
+        .limit(VOCAB_SIZE)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    n_oov = F.count(F.when(F.col("in_vocab").isNull(), 1))
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            n_oov.alias("n_oov"),
+            (n_oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "q_text_bigram_logprob",
     oracle="""

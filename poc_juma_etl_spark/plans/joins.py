@@ -209,3 +209,49 @@ def q_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+N_SALTS = 8  # fan-out factor for the salted-join skew mitigation
+
+
+@register(
+    "q_salted_skew_join",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN nation n ON n.n_nationkey = e.user_id % 25
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="Salted fact-dim join — the explicit skew-mitigation pattern for "
+    "when one key dominates and the dim side is too large to broadcast "
+    "(complementing AQE's runtime skew split, which only fires on "
+    "sort-merge joins past its thresholds): the fact side appends a "
+    "deterministic salt = xxhash64(row id) % 8, the dim side explodes each "
+    "row into all 8 salts, and the join runs on (key, salt) so a hot key's "
+    "rows spread over 8 tasks instead of one. The salt never reaches the "
+    "output — the oracle is the plain unsalted join. shuffle_hash-hinted "
+    "so the demo actually shuffles (a broadcast would bypass the salt).",
+    tags=("join", "skew", "salting"),
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    nat = load_table(spark, sf_dir, "nation")
+    fact = ev.select(
+        F.pmod(F.col("user_id"), F.lit(25)).alias("jk"),
+        F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).cast("int").alias("salt"),
+        "value",
+    )
+    dim = nat.select(
+        F.col("n_nationkey").alias("jk"),
+        F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))).alias("salt"),
+        "n_name",
+    )
+    return (
+        fact.join(dim.hint("shuffle_hash"), ["jk", "salt"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .orderBy("n_name")
+    )

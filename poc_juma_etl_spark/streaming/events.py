@@ -187,3 +187,70 @@ def q_stream_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink).orderBy("window_start", "event_type")
+
+
+@register(
+    "q_stream_session_window",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE user_id <= 50
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="Streaming session windows: the native session_window aggregation "
+    "(30-min gap) computed incrementally — state holds one open session per "
+    "user, merged as events arrive and closed when the watermark passes the "
+    "gap, the canonical stateful-streaming operator batch windows cannot "
+    "express. Oracled against the batch lag-gap-cumsum sessionization "
+    "(same SQL as q_session_window_builtin): incremental merge must "
+    "converge to the batch answer exactly.",
+    tags=("streaming", "sessionize", "events"),
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw_schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("user_id") <= 50)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            ts_str(F.col("sw.start"), "session_start"),
+            "n_events",
+        )
+    )
+    with _MEMSINK_LOCK:
+        _SINK_SEQ[0] += 1
+        sink = f"stream_session_out_{_SINK_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("user_id", "session_start")

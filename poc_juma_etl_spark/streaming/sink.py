@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.range_replace import PARTITION_COL
+from ..plans.queries import register
 
 EPOCH_COL = "_epoch"
 
@@ -73,3 +74,69 @@ def stream_events_to_warehouse(
     )
     q.awaitTermination()
     return n_batches[0]
+
+
+@register(
+    "q_stream_upsert_e2e",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           event_type, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="Streaming CDC upsert end-to-end: the events fixture is split into "
+    "three source files and streamed one file per micro-batch; each batch "
+    "foreachBatch-merges into a keyed table where the newest (ts, event_id) "
+    "version per user wins (operators/merge.merge_latest). The merge rule "
+    "is commutative over batch order, so any delivery interleaving "
+    "converges to the same table — verified by the oracle computing "
+    "latest-event-per-user directly from the batch source. The streaming "
+    "twin of the reference's idempotent re-load intent (utils.py:391-398) "
+    "for keyed rather than range data.",
+    tags=("streaming", "cdc", "merge", "e2e"),
+)
+def q_stream_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+    from ..operators.merge import merge_latest
+    from ..plans.queries import ts_str
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_upsert_")
+    src, tgt, ckpt = f"{tmp}/src", f"{tmp}/target", f"{tmp}/ckpt"
+    try:
+        # three source files -> three micro-batches (maxFilesPerTrigger=1)
+        ev.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        def upsert_batch(df: DataFrame, epoch_id: int) -> None:
+            merge_latest(spark, tgt, df, "user_id", ["ts", "event_id"])
+
+        q = (
+            stream.writeStream.foreachBatch(upsert_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(tgt)
+            .select("user_id", "event_id", ts_str("ts", "ts", frac=True), "event_type", "value")
+            .orderBy("user_id")
+            .localCheckpoint()  # materialize before the scratch dir dies
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

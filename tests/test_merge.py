@@ -84,3 +84,35 @@ def test_scd2_history(spark, tmp_path):
         if r.k == 2
     ]
     assert len(asof) == 1 and asof[0].name == "b-new"
+
+
+def test_merge_latest_commutes_over_batch_order(spark, tmp_path):
+    """CDC upsert rule: any interleaving of update batches converges to the
+    same table (the property the streaming foreachBatch sink relies on)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from poc_juma_etl_spark.operators.merge import merge_latest
+
+    rows = [
+        # (user_id, event_id, ts_seconds, val) — user 1 has versions in
+        # three different batches; user 2's newest is in the middle batch
+        (1, 10, 100, "a"), (2, 11, 500, "b"),
+        (1, 20, 300, "c"), (2, 21, 400, "d"),
+        (1, 30, 200, "e"),
+    ]
+    batches = [rows[0:2], rows[2:4], rows[4:5]]
+
+    def run(order):
+        path = str(tmp_path / ("t" + "".join(map(str, order))))
+        for i in order:
+            b = spark.createDataFrame(
+                batches[i], "user_id long, event_id long, ts long, val string"
+            )
+            merge_latest(spark, path, b, "user_id", ["ts", "event_id"])
+        return {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    results = [run(p) for p in itertools.permutations(range(3))]
+    assert all(r == results[0] for r in results)
+    assert results[0] == {(1, 20, 300, "c"), (2, 11, 500, "b")}

@@ -158,3 +158,33 @@ SWEEP = [
 @pytest.mark.parametrize("name", sorted(SWEEP), ids=str)
 def test_no_cartesian_product(spark, name):
     assert "CartesianProduct" not in plan_of(spark, name), name
+
+
+def test_winnow_window_is_partitioned(spark):
+    # winnowing's selection window must run per doc_id — a global window
+    # would serialize every shingle hash through one task
+    plan = plan_of(spark, "q_text_winnow_fingerprint")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan.split("Window")[0][-600:]
+
+
+def test_vocab_is_topk_and_broadcast(spark):
+    # the top-V vocabulary must come from a top-k (never a full sort of the
+    # frequency table) and must ride a broadcast back over the token stream
+    plan = plan_of(spark, "q_text_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_salted_join_shuffles_on_salted_key(spark):
+    # the whole point of the salt: a shuffled hash join on (key, salt) —
+    # a broadcast would bypass the salt and make the demo a lie
+    plan = plan_of(spark, "q_salted_skew_join")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_frame_sample_is_arrow_map(spark):
+    # the frame kernel must be an Arrow-batched python map, not a UDF row path
+    plan = plan_of(spark, "q_multimodal_frame_sample")
+    assert "MapInPandas" in plan
