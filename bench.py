@@ -63,6 +63,13 @@ HEADLINE: list[str] = [
     "q_shuffle_hash_join",
     "q8_market_share",
     "q21_suppliers_kept_waiting",
+    # round-4 operator families
+    "q_text_winnow_fingerprint",
+    "q_dedup_winnow_overlap",
+    "q_text_vocab_coverage",
+    "q_salted_skew_join",
+    "q_multimodal_frame_sample",
+    "q_event_anomaly_mad",
 ]
 
 

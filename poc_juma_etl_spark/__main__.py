@@ -11,8 +11,9 @@ plus engine extras:
     python -m poc_juma_etl_spark --curate                # corpus curation pipeline
 
 Table names are case-insensitive like the reference's argparse upper() path
-(main.py:212-215). The rich TUI dashboard (O10) is deliberately a plain
-console log here — out of engine scope per SURVEY.md §2.4."""
+(main.py:212-215). ``--all`` drives the live two-panel console dashboard
+(O10, reference main.py:55-94) via dashboard.LivePainter — ANSI repaint on
+a TTY, one clean final frame otherwise."""
 
 from __future__ import annotations
 
@@ -74,9 +75,15 @@ def main(argv: list[str] | None = None) -> int:
             print(f"loaded {name} -> {path} ({time.time() - t0:.1f}s)")
             return 0
         if args.all:
+            from .dashboard import LivePainter, StatusBoard
             from .etl import run_all
+            from .registry import TRIGGER_MAP
 
-            results = run_all(spark, args.sf_dir, wh, max_workers=args.workers)
+            board = StatusBoard(list(SERVICE_MAP), sorted(set(TRIGGER_MAP.values())))
+            with LivePainter(board):
+                results = run_all(
+                    spark, args.sf_dir, wh, max_workers=args.workers, board=board
+                )
             for name, path in sorted(results.items()):
                 print(f"  {name:24s} -> {path}")
             print(f"{len(results)} outputs in {time.time() - t0:.1f}s")

@@ -104,25 +104,47 @@ def run_all(
     max_workers: int = 4,
     materialize_gold: bool = True,
     log_dir: str | None = None,
+    board=None,
 ) -> dict[str, str]:
     """O1/O2/O3 — parallel fan-out over tables with completion-ordered Gold
     triggers (reference run_parallel_etl, main.py:97-192). With ``log_dir``
     each table writes its own ``etl_<name>.log`` (O9, reference
-    utils.py:42-71)."""
+    utils.py:42-71). With ``board`` (a dashboard.StatusBoard) each state
+    transition is published for the live console dashboard (O10, reference
+    main.py:55-94)."""
+    from . import dashboard as db
+
     names = tables or list(SERVICE_MAP)
     results: dict[str, str] = {}
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        futures = {
-            pool.submit(run_table, spark, sf_dir, warehouse_dir, n, None, log_dir): n
-            for n in names
-        }
+        futures = {}
+        for n in names:
+            if board:
+                board.mark(n, db.RUNNING)
+            futures[pool.submit(run_table, spark, sf_dir, warehouse_dir, n, None, log_dir)] = n
         for fut in as_completed(futures):
             name = futures[fut]
-            results[name] = fut.result()
+            try:
+                results[name] = fut.result()
+            except Exception:
+                if board:
+                    board.mark(name, db.FAILED)
+                raise
+            if board:
+                board.mark(name, db.DONE)
             if materialize_gold and name in TRIGGER_MAP:
                 # O3: register RAW view, then fire the dependent Gold build
-                read_table(spark, results[name]).createOrReplaceTempView(name)
                 view = TRIGGER_MAP[name]
-                gold.define_gold_view(spark, view)
-                results[view] = gold.materialize(spark, view, warehouse_dir)
+                if board:
+                    board.mark(view, db.RUNNING)
+                try:
+                    read_table(spark, results[name]).createOrReplaceTempView(name)
+                    gold.define_gold_view(spark, view)
+                    results[view] = gold.materialize(spark, view, warehouse_dir)
+                except Exception:
+                    if board:
+                        board.mark(view, db.FAILED)
+                    raise
+                if board:
+                    board.mark(view, db.DONE)
     return results

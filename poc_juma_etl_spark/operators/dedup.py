@@ -488,3 +488,62 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COS_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
+
+
+from .text import SQL_WINNOW_FP, winnow_fingerprints  # noqa: E402
+
+
+@register(
+    "q_dedup_winnow_overlap",
+    oracle=f"""
+    WITH {SQL_WINNOW_FP},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM wfp GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM wfp a JOIN wfp b ON a.sel = b.sel AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.n_shared AS BIGINT) AS n_shared,
+           CAST(p.n_shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.n_shared >= 3
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Local-fingerprint near-dup (the MOSS/winnowing use case): document "
+    "pairs sharing >= 3 winnowing-selected fingerprints, scored by "
+    "containment (shared / smaller fingerprint set). Same inverted-index "
+    "self-join shape as the shingle Jaccard dedup but over the winnowed "
+    "set — ~w x smaller index for the same guaranteed substring-match "
+    "sensitivity, which is exactly what makes local fingerprinting the "
+    "scale choice for detecting long copied passages (vs MinHash's "
+    "whole-document similarity).",
+    tags=("dedup", "winnowing", "fingerprint"),
+)
+def q_dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(d).cache()
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sel") == F.col("b.sel")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            (F.col("n_shared").cast("double") / F.least(F.col("sa.n"), F.col("sb.n"))).alias(
+                "containment"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -204,3 +204,22 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         if derived in df.columns:
             df = df.drop(derived)
     return df
+
+
+def delete_keys(spark: SparkSession, path: str, key: str, keys: DataFrame) -> None:
+    """Keyed hard delete (the GDPR right-to-erasure path): drop every row
+    whose ``key`` appears in ``keys`` from the table at ``path``.
+
+    Anti-join rewrite on plain parquet: read, LEFT ANTI against the
+    (deduplicated) key set, checkpoint, overwrite. Idempotent — re-running
+    with the same key set is a no-op rewrite. Scale notes: the key set
+    ships as a broadcast when small (the common case — an erasure batch);
+    unlike the range delete, a keyed delete cannot prune by partition
+    unless the table is partitioned by the key, so at 100 TB this is one
+    full rewrite per erasure *batch* — which is why erasure requests are
+    batched, exactly as the reference batches its range reloads."""
+    keyset = keys.select(key).distinct()
+    retained = (
+        spark.read.parquet(path).join(F.broadcast(keyset), key, "left_anti").localCheckpoint()
+    )
+    retained.write.mode("overwrite").option("partitionOverwriteMode", "static").parquet(path)

@@ -668,54 +668,44 @@ def q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOW_W = 4  # winnowing window width (hashes per selection window)
 
-
-@register(
-    "q_text_winnow_fingerprint",
-    oracle=f"""
-    WITH tok AS (
+# Shared CTE chain producing wfp(doc_id, sel) — each document's DISTINCT
+# winnowing-selected fingerprints. Used by the per-doc fingerprint query
+# below and by the cross-doc overlap dedup (operators/dedup.py), so the
+# two oracles can never drift apart.
+SQL_WINNOW_FP = f"""
+    wtok AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
-    ), sh AS (
+    ), wsh AS (
       SELECT doc_id, unnest(
         CASE WHEN len(ts) >= 3
           THEN list_transform(range(1, len(ts) - 1),
                  i -> struct_pack(pos := i, sh := ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
           ELSE [struct_pack(pos := 1, sh := array_to_string(ts, ' '))]
         END) AS u
-      FROM tok
-    ), hashed AS (
+      FROM wtok
+    ), whashed AS (
       SELECT doc_id, u.pos AS pos,
              {SQL_MD5_LONG.format(x="u.sh")} % {MOD_P} AS h
-      FROM sh
-    ), win AS (
+      FROM wsh
+    ), wwin AS (
       SELECT doc_id, pos,
              MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
                           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS sel,
              COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
-      FROM hashed
+      FROM whashed
+    ), wfp AS (
+      SELECT DISTINCT doc_id, sel FROM wwin
+      WHERE pos + {WINNOW_W - 1} <= n_sh OR (n_sh < {WINNOW_W} AND pos = 1)
     )
-    SELECT doc_id,
-           COUNT(DISTINCT sel) AS n_fingerprints,
-           CAST(SUM(DISTINCT sel) AS BIGINT) AS fp_checksum,
-           CAST(MIN(sel) AS BIGINT) AS min_fingerprint
-    FROM win
-    WHERE pos + {WINNOW_W - 1} <= n_sh OR (n_sh < {WINNOW_W} AND pos = 1)
-    GROUP BY doc_id
-    ORDER BY doc_id
-    """,
-    doc="Winnowing fingerprints (Schleimer et al. 2003, the MOSS local "
-    "fingerprinting scheme): hash every 3-token shingle, slide a width-4 "
-    "window over the hash sequence, select each window's minimum — the "
-    "guaranteed-hit fingerprint set for substring matching, denser than one "
-    "global MinHash but far sparser than all shingles. Per-doc window over "
-    "positions = one shuffle on doc_id; selection and dedup stay inside the "
-    "partition, so a 100 TB corpus fingerprints linearly with no global "
-    "state.",
-    tags=("text", "fingerprint", "winnowing"),
-)
-def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def winnow_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, sel) — distinct winnowing-selected fingerprint hashes per
+    document (Spark twin of SQL_WINNOW_FP). One shuffle on doc_id for the
+    selection window; dedup happens inside the same partitioning."""
     from pyspark.sql.window import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
     ts = tokens("text")
     n_sh = F.size(ts) - 2
     zip3 = F.zip_with(
@@ -741,12 +731,39 @@ def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     full_window = F.col("pos") + (WINNOW_W - 1) <= F.col("n_sh")
     short_doc = (F.col("n_sh") < WINNOW_W) & (F.col("pos") == 1)
+    return win.filter(full_window | short_doc).select("doc_id", "sel").distinct()
+
+
+@register(
+    "q_text_winnow_fingerprint",
+    oracle=f"""
+    WITH {SQL_WINNOW_FP}
+    SELECT doc_id,
+           COUNT(*) AS n_fingerprints,
+           CAST(SUM(sel) AS BIGINT) AS fp_checksum,
+           CAST(MIN(sel) AS BIGINT) AS min_fingerprint
+    FROM wfp
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Winnowing fingerprints (Schleimer et al. 2003, the MOSS local "
+    "fingerprinting scheme): hash every 3-token shingle, slide a width-4 "
+    "window over the hash sequence, select each window's minimum — the "
+    "guaranteed-hit fingerprint set for substring matching, denser than one "
+    "global MinHash but far sparser than all shingles. Per-doc window over "
+    "positions = one shuffle on doc_id; selection and dedup stay inside the "
+    "partition, so a 100 TB corpus fingerprints linearly with no global "
+    "state.",
+    tags=("text", "fingerprint", "winnowing"),
+)
+def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
     return (
-        win.filter(full_window | short_doc)
+        winnow_fingerprints(d)
         .groupBy("doc_id")
         .agg(
-            F.countDistinct("sel").alias("n_fingerprints"),
-            F.sum_distinct(F.col("sel")).cast("bigint").alias("fp_checksum"),
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum("sel").cast("bigint").alias("fp_checksum"),
             F.min("sel").cast("bigint").alias("min_fingerprint"),
         )
         .orderBy("doc_id")

@@ -255,3 +255,51 @@ def etl_compact_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "etl_user_erasure_e2e",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE user_id % 37 <> 0
+    GROUP BY strftime(ts, '%Y-%m-%d')
+    ORDER BY day
+    """,
+    doc="Keyed erasure end-to-end (GDPR right-to-be-forgotten): load events "
+    "into a date-partitioned warehouse, hard-delete every 37th user via the "
+    "anti-join rewrite (operators/range_replace.delete_keys), run the same "
+    "erasure twice (idempotency), read back the per-day profile. The "
+    "oracle computes the must-be state directly from the source. The keyed "
+    "twin of the reference's range delete (utils.py:255-283) — the delete "
+    "predicate is a key set instead of a date range.",
+    tags=("etl", "erasure", "e2e"),
+)
+def etl_user_erasure_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_replace import delete_keys, overwrite_table, read_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="erasure_e2e_")
+    path = f"{tmp}/events_wh"
+    try:
+        overwrite_table(ev, path, "ts")
+        erase = ev.filter(F.col("user_id") % 37 == 0).select("user_id")
+        delete_keys(spark, path, "user_id", erase)
+        delete_keys(spark, path, "user_id", erase)  # idempotent re-run
+        out = (
+            read_table(spark, path)
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                dsum("value", "total_value"),
+            )
+            .orderBy("day")
+        )
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -483,3 +483,68 @@ def q_chi_square_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("chi2"),
     )
+
+
+MAD_K = 1.4826  # normal-consistency constant: MAD*K estimates sigma
+MAD_THRESH = 3.5  # Iglewicz-Hoaglin robust z cutoff
+
+
+@register(
+    "q_event_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS med_value,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - m.med_value), 0.5) AS mad_value
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      GROUP BY e.event_type
+    )
+    SELECT m.event_type, m.n_rows, m.med_value, d.mad_value,
+           CAST(COUNT(CASE WHEN abs(e.value - m.med_value) / ({MAD_K} * d.mad_value)
+                                > {MAD_THRESH} THEN 1 END) AS BIGINT) AS n_outliers,
+           round(max(abs(e.value - m.med_value) / ({MAD_K} * d.mad_value)), 6)
+             AS max_robust_z
+    FROM events e
+    JOIN med m ON m.event_type = e.event_type
+    JOIN mad d ON d.event_type = e.event_type
+    GROUP BY m.event_type, m.n_rows, m.med_value, d.mad_value
+    ORDER BY m.event_type
+    """,
+    doc="Robust (median/MAD) anomaly detection per event type — the "
+    "outlier scan that survives the outliers it hunts, unlike the "
+    "mean/std z-score (q_zscore_outliers) which heavy tails drag. Three "
+    "passes, each a tiny per-group aggregate broadcast back over the "
+    "fact: median, MAD (median absolute deviation), then robust-z "
+    "scoring against the Iglewicz-Hoaglin 3.5 cutoff. Exact percentiles "
+    "match DuckDB's quantile_cont bitwise; at 100 TB swap "
+    "approx_percentile into the same two call sites (partial-mergeable "
+    "sketch, identical plan shape).",
+    tags=("stats", "outliers", "robust"),
+)
+def q_event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med_value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med_value), 0.5)").alias("mad_value"))
+    )
+    rz = F.abs(F.col("value") - F.col("med_value")) / (MAD_K * F.col("mad_value"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n_rows", "med_value", "mad_value")
+        .agg(
+            F.count(F.when(rz > MAD_THRESH, 1)).cast("bigint").alias("n_outliers"),
+            F.round(F.max(rz), 6).alias("max_robust_z"),
+        )
+        .orderBy("event_type")
+    )

@@ -213,12 +213,22 @@ def test_refresh_recent_window(spark, tmp_path):
 
 
 def test_run_all_end_to_end(spark, tmp_path):
+    from poc_juma_etl_spark.dashboard import DONE, StatusBoard
     from poc_juma_etl_spark.etl import run_all
     from poc_juma_etl_spark.registry import SERVICE_MAP, TRIGGER_MAP
 
     wh = str(tmp_path / "wh")
     logs = tmp_path / "logs"
-    results = run_all(spark, SF_SMOKE, wh, max_workers=4, log_dir=str(logs))
+    board = StatusBoard(list(SERVICE_MAP), sorted(set(TRIGGER_MAP.values())))
+    results = run_all(
+        spark, SF_SMOKE, wh, max_workers=4, log_dir=str(logs), board=board
+    )
+    # O10: every panel entry reached DONE and the board reports finished
+    raw, gold_states, elapsed, _ = board.snapshot()
+    assert board.finished()
+    assert all(s == DONE for s in raw.values())
+    assert all(s == DONE for s in gold_states.values())
+    assert all(name in elapsed for name in raw)
     for name in SERVICE_MAP:
         assert name in results, f"table {name} not loaded"
         src = spark.read.parquet(f"{SF_SMOKE}/{name}.parquet")
