@@ -70,6 +70,7 @@ HEADLINE: list[str] = [
     "q_salted_skew_join",
     "q_multimodal_frame_sample",
     "q_event_anomaly_mad",
+    "q_asof_nearest_purchase",
 ]
 
 

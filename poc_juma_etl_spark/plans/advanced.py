@@ -310,3 +310,86 @@ def q_recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY month
         """
     )
+
+
+NEAREST_TOL_S = 6 * 3600  # attribution window: ±6 hours
+
+
+@register(
+    "q_asof_nearest_purchase",
+    oracle=f"""
+    WITH cand AS (
+      SELECT c.event_id, c.user_id, c.ts,
+             p.event_id AS purchase_id, p.value AS purchase_value,
+             abs(epoch_us(c.ts) - epoch_us(p.ts)) AS adiff_us
+      FROM events c JOIN events p
+        ON p.user_id = c.user_id AND p.event_type = 'purchase'
+      WHERE c.event_type = 'click'
+        AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= CAST({NEAREST_TOL_S} AS BIGINT) * 1000000
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                   ORDER BY adiff_us, purchase_id) AS rn
+      FROM cand
+    )
+    SELECT event_id, user_id, purchase_id, purchase_value,
+           CAST(adiff_us // 1000000 AS BIGINT) AS gap_s
+    FROM ranked WHERE rn = 1
+    ORDER BY event_id
+    """,
+    doc=f"Nearest-as-of join (attribution): each click matched to the SAME "
+    f"user's temporally closest purchase within ±{NEAREST_TOL_S // 3600}h — "
+    "the both-directions variant of the backward as-of join "
+    "(q_asof_join_last_order). Scale shape: both sides bucket time into "
+    "tolerance-width bins, the purchase side fans out to its 3 adjacent "
+    "bins, and candidates come from a (user, bin) equi-join — never an "
+    "inequality-only pair explosion; the argmin is a per-click window over "
+    "candidates. The oracle brute-forces candidates (superset, invisible "
+    "past the exact tolerance filter + argmin). Deterministic tie-break: "
+    "smaller gap, then purchase_id.",
+    tags=("join", "asof", "attribution"),
+)
+def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tol_us = NEAREST_TOL_S * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+        F.floor(F.unix_micros("ts") / tol_us).alias("bin"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.unix_micros("ts").alias("p_us"),
+        F.explode(
+            F.array(
+                F.floor(F.unix_micros("ts") / tol_us) - 1,
+                F.floor(F.unix_micros("ts") / tol_us),
+                F.floor(F.unix_micros("ts") / tol_us) + 1,
+            )
+        ).alias("bin"),
+    )
+    adiff = F.abs(F.col("c_us") - F.col("p_us"))
+    cand = (
+        clicks.join(
+            purchases,
+            (clicks.user_id == purchases.p_user) & (clicks.bin == purchases.bin),
+        )
+        .filter(adiff <= tol_us)
+        .select("event_id", "user_id", "purchase_id", "purchase_value", adiff.alias("adiff_us"))
+    )
+    w = W.partitionBy("event_id").orderBy("adiff_us", "purchase_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "purchase_id",
+            "purchase_value",
+            F.expr("CAST(adiff_us DIV 1000000 AS BIGINT)").alias("gap_s"),
+        )
+        .orderBy("event_id")
+    )
