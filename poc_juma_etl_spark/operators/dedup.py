@@ -547,3 +547,66 @@ def q_dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+PASSAGE_TOKENS = 20  # exact-dedup chunk width (tokens)
+
+
+@register(
+    "q_dedup_passage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, CAST(ceil(len(ts) / {PASSAGE_TOKENS}.0) AS BIGINT)),
+               i -> struct_pack(
+                 idx := i,
+                 passage := array_to_string(
+                   list_slice(ts, i * {PASSAGE_TOKENS} + 1, (i + 1) * {PASSAGE_TOKENS}), ' '))))
+               AS u
+      FROM tok
+    ), hashed AS (
+      SELECT doc_id, {SQL_MD5_LONG.format(x="u.passage")} % {MOD_P} AS passage_hash
+      FROM chunks
+    )
+    SELECT passage_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM hashed
+    GROUP BY passage_hash
+    HAVING COUNT(*) >= 2
+    ORDER BY passage_hash
+    """,
+    doc=f"Passage-level exact dedup (the chunk-granularity C4/RefinedWeb "
+    f"pass): documents split into fixed {PASSAGE_TOKENS}-token passages "
+    "in-row, passages hashed, and every passage occurring more than once "
+    "in the corpus reported with its document spread. Catches copied "
+    "passages inside otherwise-distinct documents, which document-level "
+    "exact dedup (q_dedup_exact) cannot see. One shuffle on the passage "
+    "hash — the same linear scale shape as exact dedup, at ~n_tokens/"
+    f"{PASSAGE_TOKENS} keys.",
+    tags=("dedup", "passage", "exact"),
+)
+def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens("text")
+    n_chunks = F.ceil(F.size(ts) / float(PASSAGE_TOKENS)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(ts, i * PASSAGE_TOKENS + 1, PASSAGE_TOKENS)),
+    )
+    hashed = d.select(
+        "doc_id", F.explode(passages).alias("passage")
+    ).select("doc_id", (md5_long(F.col("passage")) % MOD_P).alias("passage_hash"))
+    return (
+        hashed.groupBy("passage_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy("passage_hash")
+    )

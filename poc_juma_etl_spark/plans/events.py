@@ -139,3 +139,70 @@ def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# Seeded nested JSON (the props column is uniformly {"k": N}, too thin to
+# exercise the JSON surface): build a deterministic document per event from
+# its own fields — identically in both engines, same discipline as the PII
+# seeding in operators/text.py — then parse it back through the engine's
+# JSON functions. What is under test is the parse/extract path, not the
+# construction.
+_SQL_JSON_DOC = (
+    "'{\"id\": ' || CAST(event_id AS VARCHAR)"
+    " || ', \"tags\": [\"t' || CAST(event_id % 3 AS VARCHAR)"
+    " || '\", \"t' || CAST(event_id % 5 AS VARCHAR) || '\"]'"
+    " || ', \"meta\": {\"v\": ' || CAST(event_id % 97 AS VARCHAR) || '}}'"
+)
+
+
+def _spark_json_doc() -> F.Column:
+    eid = F.col("event_id")
+    return F.concat(
+        F.lit('{"id": '), eid.cast("string"),
+        F.lit(', "tags": ["t'), (eid % 3).cast("string"),
+        F.lit('", "t'), (eid % 5).cast("string"), F.lit('"]'),
+        F.lit(', "meta": {"v": '), (eid % 97).cast("string"), F.lit("}}"),
+    )
+
+
+@register(
+    "q_json_function_suite",
+    oracle=f"""
+    WITH j AS (SELECT event_id, {_SQL_JSON_DOC} AS doc FROM events)
+    SELECT json_extract_string(doc, '$.tags[1]') AS tag2,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(doc, '$.id') AS BIGINT)) AS BIGINT) AS sum_id,
+           CAST(SUM(CAST(json_extract_string(doc, '$.meta.v') AS BIGINT)) AS BIGINT) AS sum_meta_v,
+           CAST(MAX(json_array_length(doc, '$.tags')) AS BIGINT) AS max_tags
+    FROM j
+    GROUP BY tag2
+    ORDER BY tag2
+    """,
+    doc="JSON function suite: nested-path extraction (get_json_object "
+    "$.meta.v ⇔ json_extract_string), array indexing ($.tags[1]), and "
+    "json_array_length, aggregated per extracted tag. The JSON documents "
+    "are seeded deterministically from event fields (props is uniformly "
+    "flat) so both engines parse identical bytes; integer sums keep the "
+    "aggregate exact. All extraction is JVM-side Catalyst — no Python in "
+    "the row path, linear at any scale.",
+    tags=("events", "json", "functions"),
+)
+def q_json_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    doc = _spark_json_doc()
+    return (
+        ev.select(
+            F.get_json_object(doc, "$.tags[1]").alias("tag2"),
+            F.get_json_object(doc, "$.id").cast("bigint").alias("id"),
+            F.get_json_object(doc, "$.meta.v").cast("bigint").alias("meta_v"),
+            F.json_array_length(F.get_json_object(doc, "$.tags")).alias("n_tags"),
+        )
+        .groupBy("tag2")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("id").cast("bigint").alias("sum_id"),
+            F.sum("meta_v").cast("bigint").alias("sum_meta_v"),
+            F.max("n_tags").cast("bigint").alias("max_tags"),
+        )
+        .orderBy("tag2")
+    )
