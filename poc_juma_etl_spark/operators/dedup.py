@@ -523,7 +523,9 @@ from .text import SQL_WINNOW_FP, winnow_fingerprints  # noqa: E402
     tags=("dedup", "winnowing", "fingerprint"),
 )
 def q_dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # spread(): the in-row fingerprint build is CPU-heavy per row; a small
+    # single-file scan would run it on one core (no-op at real scale)
+    d = spread(load_table(spark, sf_dir, "documents"))
     fp = winnow_fingerprints(d).cache()
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = fp.alias("a"), fp.alias("b")

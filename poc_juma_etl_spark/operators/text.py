@@ -700,12 +700,17 @@ SQL_WINNOW_FP = f"""
 """
 
 
-def winnow_fingerprints(d: DataFrame) -> DataFrame:
-    """(doc_id, sel) — distinct winnowing-selected fingerprint hashes per
-    document (Spark twin of SQL_WINNOW_FP). One shuffle on doc_id for the
-    selection window; dedup happens inside the same partitioning."""
-    from pyspark.sql.window import Window as W
+def winnow_fp_array() -> Column:
+    """Per-document DISTINCT winnowing fingerprint set as an in-row array
+    expression over ``text`` (Spark twin of SQL_WINNOW_FP).
 
+    Winnowing is purely document-local, so the whole selection runs inside
+    the row: shingle hashes, then a rolling width-W minimum built by
+    zipping W shifted slices with ``least`` (the same zipped-slice idiom as
+    the shingle build — no per-index array walk), then array_distinct.
+    ZERO shuffle — the window-function formulation this replaced shuffled
+    every shingle hash on doc_id first, which at 100 TB is the difference
+    between a map-only pass and shuffling ~n_tokens rows."""
     ts = tokens("text")
     n_sh = F.size(ts) - 2
     zip3 = F.zip_with(
@@ -716,22 +721,20 @@ def winnow_fingerprints(d: DataFrame) -> DataFrame:
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     shingles = F.when(F.size(ts) >= 3, zip3).otherwise(F.array(F.concat_ws(" ", ts)))
-    sh = d.select("doc_id", F.posexplode(shingles).alias("pos0", "shingle"))
-    hashed = sh.select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        (md5_long(F.col("shingle")) % MOD_P).alias("h"),
+    hashes = F.transform(shingles, lambda s: md5_long(s) % MOD_P)
+    n_win = F.size(hashes) - (WINNOW_W - 1)
+    acc = F.slice(hashes, 1, n_win)
+    for j in range(2, WINNOW_W + 1):
+        acc = F.zip_with(acc, F.slice(hashes, j, n_win), lambda a, b: F.least(a, b))
+    sels = F.when(F.size(hashes) >= WINNOW_W, acc).otherwise(
+        F.array(F.array_min(hashes))
     )
-    part = W.partitionBy("doc_id")
-    win = hashed.select(
-        "doc_id",
-        "pos",
-        F.min("h").over(part.orderBy("pos").rowsBetween(0, WINNOW_W - 1)).alias("sel"),
-        F.count(F.lit(1)).over(part).alias("n_sh"),
-    )
-    full_window = F.col("pos") + (WINNOW_W - 1) <= F.col("n_sh")
-    short_doc = (F.col("n_sh") < WINNOW_W) & (F.col("pos") == 1)
-    return win.filter(full_window | short_doc).select("doc_id", "sel").distinct()
+    return F.array_distinct(sels)
+
+
+def winnow_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, sel) — one row per distinct winnowing fingerprint per doc."""
+    return d.select("doc_id", F.explode(winnow_fp_array()).alias("sel"))
 
 
 @register(
@@ -757,17 +760,20 @@ def winnow_fingerprints(d: DataFrame) -> DataFrame:
     tags=("text", "fingerprint", "winnowing"),
 )
 def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        winnow_fingerprints(d)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_fingerprints"),
-            F.sum("sel").cast("bigint").alias("fp_checksum"),
-            F.min("sel").cast("bigint").alias("min_fingerprint"),
-        )
-        .orderBy("doc_id")
-    )
+    from ..catalog import spread
+
+    # spread(): the in-row fingerprint build is CPU-heavy per row; a small
+    # single-file scan would run it on one core (no-op at real scale)
+    d = spread(load_table(spark, sf_dir, "documents"))
+    fp = winnow_fp_array()
+    # the per-doc rollup stays in-row too: count/sum/min over the distinct
+    # fingerprint array — the whole query is a shuffle-free map + sort
+    return d.select(
+        "doc_id",
+        F.size(fp).cast("bigint").alias("n_fingerprints"),
+        F.aggregate(fp, F.lit(0).cast("bigint"), lambda a, v: a + v).alias("fp_checksum"),
+        F.array_min(fp).cast("bigint").alias("min_fingerprint"),
+    ).orderBy("doc_id")
 
 
 VOCAB_SIZE = 100  # top-V tokens by corpus frequency
@@ -927,6 +933,57 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.sum("n_in_doc")
                 )
             ).alias("mean_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_text_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+    ),
+    cnts AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY doc_id, t),
+    tot AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_unique
+            FROM cnts GROUP BY doc_id)
+    SELECT c.doc_id, MIN(t.n) AS n_tokens, MIN(t.n_unique) AS n_unique,
+           CAST(-SUM(CAST((CAST(cnt AS DOUBLE) / t.n) * ln(CAST(cnt AS DOUBLE) / t.n)
+                          AS DECIMAL(25,6))) AS DOUBLE) AS token_entropy
+    FROM cnts c JOIN tot t ON t.doc_id = c.doc_id
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+    doc="Token-distribution entropy per document (Shannon, natural log) — "
+    "the gibberish/boilerplate signal between type-token ratio (structure-"
+    "blind) and LM scoring (needs corpus stats): near-zero for one token "
+    "repeated, ln(n) for all-distinct. Per-(doc, token) counts shuffle on "
+    "the composite key; each entropy term is a deterministic double op "
+    "and terms are decimal-summed, so aggregation order cannot move the "
+    "result. Self-contained per doc — no corpus table, linear at 100 TB.",
+    tags=("text", "quality", "entropy"),
+)
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cnts = (
+        d.select("doc_id", F.explode(tokens("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = cnts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n")
+    term = (p * F.log(p)).cast("decimal(25,6)")
+    return (
+        cnts.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.min("n").alias("n_tokens"),
+            F.min("n_unique").alias("n_unique"),
+            (-F.sum(term)).cast("double").alias("token_entropy"),
         )
         .orderBy("doc_id")
     )

@@ -303,3 +303,44 @@ def etl_user_erasure_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "etl_schema_evolution_e2e",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment ELSE NULL END AS c_mktsegment
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    doc="Schema evolution end-to-end: a v1 batch lands without "
+    "c_mktsegment, a later v2 batch appends WITH it; reading the table "
+    "with mergeSchema unions the file schemas and null-backfills the "
+    "pre-evolution rows — the additive-column migration every long-lived "
+    "warehouse table goes through (the reference inherits this from "
+    "BigQuery's schema relaxation; here the engine owns it). The oracle "
+    "computes the must-be state: even keys are v1 (null segment), odd "
+    "keys are v2.",
+    tags=("etl", "schema-evolution", "e2e"),
+)
+def etl_schema_evolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    path = f"{tmp}/customers_wh"
+    try:
+        v1 = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name", "c_acctbal")
+        v1.write.parquet(path)
+        v2 = c.filter(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        )
+        v2.write.mode("append").parquet(path)
+        out = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(path)
+            .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+            .orderBy("c_custkey")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

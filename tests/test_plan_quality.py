@@ -160,12 +160,13 @@ def test_no_cartesian_product(spark, name):
     assert "CartesianProduct" not in plan_of(spark, name), name
 
 
-def test_winnow_window_is_partitioned(spark):
-    # winnowing's selection window must run per doc_id — a global window
-    # would serialize every shingle hash through one task
+def test_winnow_is_shuffle_free(spark):
+    # winnowing is document-local: the whole fingerprint query must be an
+    # in-row map + sort — no window operator, no hash-partitioned exchange
+    # (the window formulation this replaced shuffled every shingle hash)
     plan = plan_of(spark, "q_text_winnow_fingerprint")
-    assert "Window" in plan
-    assert "SinglePartition" not in plan.split("Window")[0][-600:]
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan
 
 
 def test_vocab_is_topk_and_broadcast(spark):
