@@ -297,3 +297,47 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "q_rolling_wau",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT du.user_id) AS wau,
+           COUNT(DISTINCT CASE WHEN du.d = days.d THEN du.user_id END) AS dau
+    FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    ORDER BY day
+    """,
+    doc="Rolling 7-day distinct actives (WAU) alongside same-day actives "
+    "(DAU) — the sliding distinct-count every product dashboard needs and "
+    "plain windows cannot express (COUNT DISTINCT over a moving frame). "
+    "Scale shape: reduce to distinct (user, day) first (one shuffle), "
+    "then each row fans out to the <= 7 target days it contributes to and "
+    "a second shuffle counts distinct users per target — work is "
+    "O(actives x 7), never a self-join of the raw event stream. The "
+    "oracle states the same thing as a range join.",
+    tags=("events", "behavior", "window-agg"),
+)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct().select(F.col("d").alias("target"))
+    fanout = du.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("target"),
+    ).join(days, "target")
+    return (
+        fanout.groupBy("target")
+        .agg(
+            F.countDistinct("user_id").alias("wau"),
+            F.countDistinct(F.when(F.col("d") == F.col("target"), F.col("user_id"))).alias(
+                "dau"
+            ),
+        )
+        .select(F.date_format("target", "yyyy-MM-dd").alias("day"), "wau", "dau")
+        .orderBy("day")
+    )

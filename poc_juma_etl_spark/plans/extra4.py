@@ -548,3 +548,69 @@ def q_event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+RECON_TOL = 0.01  # header-vs-detail reconciliation tolerance (1%)
+
+
+@register(
+    "q_dq_reconcile_orders",
+    oracle=f"""
+    WITH l AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(25,6))) AS DOUBLE) AS line_total
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_with_lines,
+           CAST(COUNT(CASE WHEN abs(o.o_totalprice - l.line_total)
+                                <= {RECON_TOL} * o.o_totalprice THEN 1 END) AS BIGINT)
+             AS n_reconciled,
+           round(CAST(SUM(CAST(abs(o.o_totalprice - l.line_total) / o.o_totalprice
+                               AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(l.l_orderkey), 6) AS mean_rel_diff
+    FROM orders o LEFT JOIN l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="Cross-table reconciliation audit (header vs detail): per order, "
+    "the o_totalprice header is compared against the recomputed lineitem "
+    "total (extprice x (1-disc) x (1+tax), the TPC-H invariant); per "
+    "priority class the audit reports how many orders have lines, how "
+    "many reconcile within 1%, and the mean relative discrepancy. The "
+    "standard financial-close DQ check: one shuffle on the order key, "
+    "detail side pre-aggregated before the join so the fact never "
+    "amplifies. (The synthetic fixtures deliberately do NOT maintain the "
+    "invariant — the audit's job is to report that, and both engines "
+    "must agree on the exact discrepancy profile.)",
+    tags=("dq", "reconciliation", "audit"),
+)
+def q_dq_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    l = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+            .cast("decimal(25,6)")
+        )
+        .cast("double")
+        .alias("line_total")
+    )
+    rel = F.abs(F.col("o_totalprice") - F.col("line_total")) / F.col("o_totalprice")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.count("l_orderkey").cast("bigint").alias("n_with_lines"),
+            F.count(F.when(F.abs(F.col("o_totalprice") - F.col("line_total")) <= RECON_TOL * F.col("o_totalprice"), 1))
+            .cast("bigint")
+            .alias("n_reconciled"),
+            F.round(
+                F.sum(rel.cast("decimal(25,6)")).cast("double") / F.count("l_orderkey"), 6
+            ).alias("mean_rel_diff"),
+        )
+        .orderBy("o_orderpriority")
+    )
