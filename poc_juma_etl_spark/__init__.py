@@ -146,6 +146,7 @@ def all_queries():
         "poc_juma_etl_spark.operators.udtf_ngrams",
         "poc_juma_etl_spark.operators.multimodal",
         "poc_juma_etl_spark.operators.arrow_ops",
+        "poc_juma_etl_spark.operators.cms",
         "poc_juma_etl_spark.operators.graph",
         "poc_juma_etl_spark.streaming.events",
         "poc_juma_etl_spark.streaming.join",
