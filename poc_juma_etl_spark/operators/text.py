@@ -753,10 +753,10 @@ def winnow_fingerprints(d: DataFrame) -> DataFrame:
     "fingerprinting scheme): hash every 3-token shingle, slide a width-4 "
     "window over the hash sequence, select each window's minimum — the "
     "guaranteed-hit fingerprint set for substring matching, denser than one "
-    "global MinHash but far sparser than all shingles. Per-doc window over "
-    "positions = one shuffle on doc_id; selection and dedup stay inside the "
-    "partition, so a 100 TB corpus fingerprints linearly with no global "
-    "state.",
+    "global MinHash but far sparser than all shingles. Selection is "
+    "document-local, so the whole build runs IN-ROW (rolling min via "
+    "zipped shifted slices) — a shuffle-free map at any scale; the only "
+    "exchange is the small-file spread() guard.",
     tags=("text", "fingerprint", "winnowing"),
 )
 def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
