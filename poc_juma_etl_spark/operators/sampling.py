@@ -153,3 +153,62 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+SPLIT_TRAIN_PCT = 80  # train buckets [0, 80), val [80, 90), test [90, 100)
+SPLIT_VAL_PCT = 90
+
+
+@register(
+    "q_sample_leakage_safe_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             {SQL_MD5_LONG.format(x="source")} % 100 AS b
+      FROM documents
+    )
+    SELECT CASE WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN b < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="Leakage-safe train/val/test split: the split key is the SOURCE "
+    "(domain/shard), not the document — every document of a source lands "
+    "in the same split, so near-duplicate documents within a source can "
+    "never straddle the train/eval boundary (the standard leakage control "
+    "before dedup even runs). Assignment is the same stable md5 bucket "
+    "hash as the sampling family: reproducible across engines, runs and "
+    "cluster sizes, and rows never move between splits when the corpus "
+    "grows. Pure map + one aggregate — linear at any scale.",
+    tags=("sampling", "split", "leakage"),
+)
+def q_sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    b = md5_long(F.col("source")) % 100
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "source",
+            F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )

@@ -51,3 +51,26 @@ def test_painter_non_tty_emits_single_final_frame():
     assert "\x1b[" not in text
     assert text.count("RAW") == 1
     assert "✔ t1" in text and "1/1 done" in text
+
+
+class _FakeTty(io.StringIO):
+    def isatty(self):
+        return True
+
+
+def test_painter_tty_repaints_with_ansi():
+    import time
+
+    b = StatusBoard(["t1"], [])
+    out = _FakeTty()
+    with LivePainter(b, stream=out):
+        b.mark("t1", RUNNING)
+        time.sleep(0.6)  # > 2 refresh intervals at 4 Hz
+        b.mark("t1", DONE)
+        time.sleep(0.3)
+    text = out.getvalue()
+    # live repaint: multiple frames, cursor-up rewrites between them, and
+    # the final frame shows the terminal state
+    assert text.count("RAW") >= 2
+    assert "\x1b[" in text
+    assert "✔ t1" in text

@@ -189,3 +189,10 @@ def test_frame_sample_is_arrow_map(spark):
     # the frame kernel must be an Arrow-batched python map, not a UDF row path
     plan = plan_of(spark, "q_multimodal_frame_sample")
     assert "MapInPandas" in plan
+
+
+def test_cms_lookup_rides_a_broadcast(spark):
+    # the 3x512 sketch is tiny and must broadcast to the candidate lookups;
+    # shuffling the lookups against it would add a pointless exchange
+    plan = plan_of(spark, "q_sketch_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
