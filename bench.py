@@ -71,6 +71,7 @@ HEADLINE: list[str] = [
     "q_multimodal_frame_sample",
     "q_event_anomaly_mad",
     "q_asof_nearest_purchase",
+    "q_sketch_cms_heavy_hitters",
 ]
 
 

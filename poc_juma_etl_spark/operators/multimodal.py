@@ -194,3 +194,63 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     frames = media.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
     return frames.orderBy("doc_id", "frame_idx")
+
+
+# --------------------------------------------------------------------------
+# Resize plumbing: the image path's other decode-side primitive. The stub
+# "resize" is a stride-4 byte subsample — the raw-bytes analog of a
+# nearest-neighbor downsample — deterministic, so DuckDB replicates it in
+# SQL (char slice == byte slice on the ASCII fixture payload) and the
+# kernel is value-hash-gated like the frame sampler. A Pillow thumbnail
+# call drops into the same kernel without touching the Spark plumbing.
+
+RESIZE_STRIDE = 4
+
+RESIZE_SCHEMA = "doc_id long, orig_bytes long, resized_bytes long, resized_md5 string"
+
+
+def resize_items(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: stride-subsample each payload (the resize slot)."""
+    import hashlib
+
+    for pdf in batches:
+        resized = [p[::RESIZE_STRIDE] for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": [len(p) for p in pdf["payload"]],
+                "resized_bytes": [len(r) for r in resized],
+                "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+            }
+        )
+
+
+@register(
+    "q_multimodal_resize",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    sub AS (
+      SELECT doc_id, n,
+             array_to_string(list_transform(range(1, n + 1, {RESIZE_STRIDE}),
+                                            i -> substring(text, i, 1)), '') AS resized
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS orig_bytes,
+           CAST(length(resized) AS BIGINT) AS resized_bytes,
+           md5(resized) AS resized_md5
+    FROM sub
+    ORDER BY doc_id
+    """,
+    doc="Multimodal resize plumbing: per-item downsample inside an Arrow-"
+    "batched mapInPandas kernel (stride-4 byte subsample standing in for "
+    "a nearest-neighbor thumbnail; a Pillow call slots into the same "
+    "kernel). Embarrassingly parallel, no shuffle; the ASCII fixture "
+    "payload lets DuckDB replicate the subsample in SQL, so the resize "
+    "kernel is value-hash-gated rather than rows-only.",
+    tags=("multimodal", "pandas-udf", "resize"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return media.mapInPandas(resize_items, schema=RESIZE_SCHEMA).orderBy("doc_id")
