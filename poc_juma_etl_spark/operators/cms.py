@@ -77,8 +77,12 @@ def _bucket(d_col, t_col) -> F.Column:
     tags=("sketch", "cms", "heavy-hitters"),
 )
 def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(tokens("text")).alias("t"))
+    from ..catalog import spread
+
+    # spread(): 3x md5 per token occurrence is CPU-heavy; a small
+    # single-file scan would hash the whole corpus on one core
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(tokens("text")).alias("t")).cache()
     ds = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d")
     occ = tok.select("t", ds).select("t", "d", _bucket(F.col("d"), F.col("t")).alias("bucket"))
     sketch = occ.groupBy("d", "bucket").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
