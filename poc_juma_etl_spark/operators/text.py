@@ -885,7 +885,9 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each bigram's decimal log-prob by its in-doc count — decimal×int is
     # exact repeated addition, so this equals the oracle's per-occurrence
     # sum bit-for-bit.
-    d = load_table(spark, sf_dir, "documents")
+    from ..catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
     ts = tokens("text")
     # zip_with over two shifted slices builds the bigram list in-row (no
     # shuffle, no per-index element_at — measured 4x faster than the
