@@ -206,3 +206,43 @@ def q_json_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tag2")
     )
+
+
+@register(
+    "q_rollup_cascade",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+    ORDER BY day, event_type
+    """,
+    doc="Cascading time rollup (the hypertable/continuous-aggregate "
+    "pattern): the daily aggregate is computed FROM the hourly aggregate "
+    "— counts sum, and value partials stay DECIMAL through the cascade so "
+    "re-aggregation is exact and order-independent — while the oracle "
+    "computes the day level directly from raw events; equality proves the "
+    "partial-merge discipline. At 100 TB this is the difference between "
+    "re-scanning the fact table per granularity and maintaining each "
+    "coarser rollup from the finer one (24x less input per level).",
+    tags=("events", "rollup", "cascade"),
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # keep the partial as DECIMAL: the cascade re-aggregates it, and
+        # only exact decimal addition is associative across levels
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("value_partial"),
+    )
+    return (
+        hourly.groupBy(F.date_format("hour", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_partial").cast("double").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
