@@ -266,10 +266,12 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     ORDER BY event_type
     """,
-    doc="Format-agnostic IO: write events to JSON and ORC, read both back, "
-    "union-verify per-type aggregates agree with the parquet original "
-    "(the oracle). Timestamps survive via explicit ISO-microsecond "
-    "serialization; the engine's source/sink surface is not parquet-bound.",
+    doc="Format-agnostic IO: write events to JSON, ORC and CSV, read all "
+    "three back, verify-join per-type aggregates agree pairwise, and "
+    "oracle against the parquet original. Timestamps survive via "
+    "explicit ISO-microsecond serialization; CSV quoting round-trips the "
+    "embedded-JSON props column; the engine's source/sink surface is not "
+    "parquet-bound.",
     tags=("etl", "formats", "e2e"),
 )
 def etl_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,12 +284,21 @@ def etl_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
         ev.write.option("timestampFormat", ts_fmt).mode("overwrite").json(f"{tmp}/ev_json")
         ev.write.mode("overwrite").orc(f"{tmp}/ev_orc")
+        ev.write.option("timestampFormat", ts_fmt).option("header", "true").mode(
+            "overwrite"
+        ).csv(f"{tmp}/ev_csv")
         back_json = (
             spark.read.schema(ev.schema)
             .option("timestampFormat", ts_fmt)
             .json(f"{tmp}/ev_json")
         )
         back_orc = spark.read.orc(f"{tmp}/ev_orc")
+        back_csv = (
+            spark.read.schema(ev.schema)
+            .option("timestampFormat", ts_fmt)
+            .option("header", "true")
+            .csv(f"{tmp}/ev_csv")
+        )
         agg = lambda df: (  # noqa: E731
             df.groupBy("event_type").agg(
                 F.count(F.lit(1)).alias("n_events"),
@@ -295,12 +306,19 @@ def etl_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.countDistinct("user_id").alias("n_users"),
             )
         )
-        j, oc = agg(back_json).alias("j"), agg(back_orc).alias("o")
-        # verify-join: every per-type aggregate must agree between formats
-        both = j.join(oc, "event_type").filter(
-            (F.col("j.n_events") == F.col("o.n_events"))
-            & (F.col("j.tv") == F.col("o.tv"))
-            & (F.col("j.n_users") == F.col("o.n_users"))
+        j, oc, cv = agg(back_json).alias("j"), agg(back_orc).alias("o"), agg(back_csv).alias("c")
+        # verify-join: every per-type aggregate must agree across formats
+        both = (
+            j.join(oc, "event_type")
+            .join(cv, "event_type")
+            .filter(
+                (F.col("j.n_events") == F.col("o.n_events"))
+                & (F.col("j.tv") == F.col("o.tv"))
+                & (F.col("j.n_users") == F.col("o.n_users"))
+                & (F.col("c.n_events") == F.col("o.n_events"))
+                & (F.col("c.tv") == F.col("o.tv"))
+                & (F.col("c.n_users") == F.col("o.n_users"))
+            )
         )
         out = both.select(
             "event_type",
