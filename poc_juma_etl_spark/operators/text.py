@@ -989,3 +989,135 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# GPT-2-style pretokenizer (contractions | space-word | space-number |
+# space-punct-run | whitespace-run) restricted to the regex subset Java
+# (Spark) and RE2 (DuckDB) evaluate identically — no lookarounds.
+BPE_SPLIT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+# the corpus is plain lowercase words; seed punctuation/numbers/contractions
+# deterministically from doc_id (same discipline as the PII seeding) so the
+# pretokenizer has real work to do, identically in both engines
+_SQL_BPE_TEXT = (
+    "text || ' v' || CAST(doc_id % 9 AS VARCHAR) || '.' || CAST(doc_id % 7 AS VARCHAR)"
+    " || ', #tag-' || CAST(doc_id % 100 AS VARCHAR) || '! it''s fine'"
+)
+
+
+def _spark_bpe_text() -> Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" v"), (did % 9).cast("string"), F.lit("."), (did % 7).cast("string"),
+        F.lit(", #tag-"), (did % 100).cast("string"), F.lit("! it's fine"),
+    )
+
+
+@register(
+    "q_text_bpe_token_count",
+    oracle=f"""
+    WITH seeded AS (SELECT doc_id, {_SQL_BPE_TEXT} AS btext FROM documents)
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(btext), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(btext, '{BPE_SPLIT.replace("'", "''")}')) AS BIGINT)
+             AS n_bpe_pieces,
+           CAST(len(regexp_extract_all(btext, '{BPE_SPLIT.replace("'", "''")}')) AS DOUBLE)
+             / len(string_split_regex(trim(btext), '\\s+')) AS pieces_per_word
+    FROM seeded
+    ORDER BY doc_id
+    """,
+    doc="BPE-ish token counting: the GPT-2 pretokenizer regex (contraction "
+    "/ word / number / punctuation-run / whitespace-run alternation, "
+    "restricted to the Java-RE2-identical subset) counted per document "
+    "alongside the whitespace count — pieces-per-word is the standard "
+    "tokenizer-cost estimator run before committing a corpus to training. "
+    "Punctuation and contractions are seeded deterministically (the "
+    "fixture is plain words). Pure regexp_count, JVM-side, zero shuffle.",
+    tags=("text", "tokens", "bpe"),
+)
+def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    btext = _spark_bpe_text()
+    n_ws = F.size(F.split(F.trim(btext), TOKEN_SPLIT)).cast("bigint")
+    n_bpe = F.regexp_count(btext, F.lit(BPE_SPLIT)).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_pieces"),
+        (n_bpe.cast("double") / n_ws).alias("pieces_per_word"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_concat_packed",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, text,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, text, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+               AS cum_tokens
+      FROM tok
+    ), assigned AS (
+      SELECT source || '#' || CAST(CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS VARCHAR)
+               AS seq_id,
+             doc_id, text, n_tokens
+      FROM cum
+    )
+    SELECT seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           md5(string_agg(text, ' <eos> ' ORDER BY doc_id)) AS seq_md5
+    FROM assigned
+    GROUP BY seq_id
+    ORDER BY seq_id
+    """,
+    doc="Packed-sequence materialization: documents concatenated into their "
+    "~2048-token training sequences (same per-shard assignment as "
+    "q_text_pack_sequences) with an <eos> separator, emitted as an md5 "
+    "per sequence so the gate verifies the exact concatenation without "
+    "shipping megabyte rows. Order inside a sequence is pinned by doc_id "
+    "(sort_array over (doc_id, text) structs ⇔ string_agg ORDER BY), so "
+    "both engines build byte-identical sequences. One shuffle on the "
+    "shard key — the final tokenize-and-pack write of a 100 TB corpus.",
+    tags=("text", "packing"),
+)
+def q_text_concat_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text")).cast("bigint")
+    w = W.partitionBy("source").orderBy("doc_id")
+    assigned = (
+        d.select("doc_id", "source", "text", n_tokens.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            F.concat(
+                F.col("source"),
+                F.lit("#"),
+                F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(2048)).cast("string"),
+            ).alias("seq_id"),
+            "doc_id",
+            "text",
+            "n_tokens",
+        )
+    )
+    ordered_concat = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+            lambda x: x["text"],
+        ),
+        " <eos> ",
+    )
+    return (
+        assigned.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+            F.md5(ordered_concat).alias("seq_md5"),
+        )
+        .orderBy("seq_id")
+    )
