@@ -1121,3 +1121,80 @@ def q_text_concat_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+# Seeded HTML wrapper: the fixture corpus is plain text, so each document is
+# deterministically wrapped in markup (variant chosen by doc_id, identical
+# in both engines) and the operator under test is the strip that follows.
+_SQL_HTML_TEXT = (
+    "'<html><body>' ||"
+    " CASE WHEN doc_id % 3 = 0 THEN '<nav>home &amp; about</nav>' ELSE '' END"
+    " || '<p>' || text || '</p>'"
+    " || CASE WHEN doc_id % 2 = 0 THEN '<div class=\"ad\">buy now!!</div>' ELSE '' END"
+    " || '<br/></body></html>'"
+)
+
+TAG_RE = r"<[^>]+>"
+AD_RE = r"<div class=\"ad\">[^<]*</div>"
+NAV_RE = r"<nav>[^<]*</nav>"
+
+
+def _spark_html_text() -> Column:
+    did = F.col("doc_id")
+    nav = F.when(did % 3 == 0, "<nav>home &amp; about</nav>").otherwise("")
+    ad = F.when(did % 2 == 0, '<div class="ad">buy now!!</div>').otherwise("")
+    return F.concat(
+        F.lit("<html><body>"), nav, F.lit("<p>"), F.col("text"), F.lit("</p>"), ad,
+        F.lit("<br/></body></html>"),
+    )
+
+
+@register(
+    "q_text_html_strip",
+    oracle=f"""
+    WITH seeded AS (SELECT doc_id, {_SQL_HTML_TEXT} AS html FROM documents),
+    stripped AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(html, '{TAG_RE}')) AS BIGINT) AS n_tags,
+             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 html, '{AD_RE.replace("'", "''")}', ' ', 'g'),
+                 '{NAV_RE}', ' ', 'g'),
+                 '{TAG_RE}', ' ', 'g'),
+                 '\\s+', ' ', 'g')) AS no_tags
+      FROM seeded
+    )
+    SELECT doc_id, n_tags,
+           replace(no_tags, '&amp;', '&') AS cleaned,
+           CAST(length(replace(no_tags, '&amp;', '&')) AS BIGINT) AS n_clean_chars
+    FROM stripped
+    ORDER BY doc_id
+    """,
+    doc="HTML boilerplate stripping (the C4 extraction step): remove ad/nav "
+    "boilerplate blocks, strip remaining tags, collapse whitespace, decode "
+    "entities, and count what was removed — markup is seeded "
+    "deterministically (the corpus is plain text) so the gate checks the "
+    "strip itself. Pure chained regexp_replace in the regex subset Java "
+    "and RE2 evaluate identically — JVM-side, zero shuffle, linear.",
+    tags=("text", "cleaning", "html"),
+)
+def q_text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    html = _spark_html_text()
+    no_tags = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.regexp_replace(html, AD_RE, " "), NAV_RE, " "),
+                TAG_RE,
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    cleaned = F.replace(no_tags, F.lit("&amp;"), F.lit("&"))
+    return d.select(
+        "doc_id",
+        F.regexp_count(html, F.lit(TAG_RE)).cast("bigint").alias("n_tags"),
+        cleaned.alias("cleaned"),
+        F.length(cleaned).cast("bigint").alias("n_clean_chars"),
+    ).orderBy("doc_id")
