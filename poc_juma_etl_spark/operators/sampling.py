@@ -212,3 +212,52 @@ def q_sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+K_PER_CLASS = 20  # balanced-subset size per language
+
+
+@register(
+    "q_sample_k_per_class",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {SQL_MD5_LONG.format(x="CAST(doc_id AS VARCHAR)")},
+                                         doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
+    FROM ranked
+    WHERE rn <= {K_PER_CLASS}
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc=f"Balanced k-per-class sampling: exactly {K_PER_CLASS} documents "
+    "per language, chosen by ranking the stable md5 document hash inside "
+    "each class — a deterministic, engine-independent 'random' order, so "
+    "the balanced subset is reproducible anywhere (the eval-set and "
+    "few-shot-pool construction primitive; rate-based stratified sampling "
+    "in this module scales proportionally instead). One shuffle on the "
+    "class key; per-class ranking never sees another class's rows.",
+    tags=("sampling", "balanced", "split"),
+)
+def q_sample_k_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(md5_long(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= K_PER_CLASS)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.sum("doc_id").cast("bigint").alias("doc_checksum"),
+        )
+        .orderBy("lang")
+    )
