@@ -612,3 +612,103 @@ def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") >= 2)
         .orderBy("passage_hash")
     )
+
+
+INC_DROP_FRAC = 0.5  # drop an incoming doc when >= 50% of its passages are known
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, CAST(ceil(len(ts) / {PASSAGE_TOKENS}.0) AS BIGINT)),
+               i -> {SQL_MD5_LONG.format(x=f"array_to_string(list_slice(ts, i * {PASSAGE_TOKENS} + 1, (i + 1) * {PASSAGE_TOKENS}), ' ')")} % {MOD_P}))
+               AS passage_hash
+      FROM tok
+    ), newp AS (
+      SELECT DISTINCT doc_id, passage_hash FROM chunks WHERE doc_id % 10 = 7
+    ), oldp AS (
+      SELECT DISTINCT passage_hash FROM chunks WHERE doc_id % 10 <> 7
+    ), content AS (
+      SELECT doc_id, md5(text) AS ch FROM tok
+    ), oldc AS (SELECT DISTINCT ch FROM content WHERE doc_id % 10 <> 7),
+    per_doc AS (
+      SELECT n.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_passages,
+             CAST(COUNT(o.passage_hash) AS BIGINT) AS n_seen
+      FROM newp n LEFT JOIN oldp o ON o.passage_hash = n.passage_hash
+      GROUP BY n.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(CASE WHEN c.ch IN (SELECT ch FROM oldc) THEN 1 ELSE 0 END AS BIGINT)
+             AS exact_dup,
+           p.n_passages, p.n_seen,
+           CAST(CASE WHEN c.ch IN (SELECT ch FROM oldc)
+                       OR p.n_seen >= {INC_DROP_FRAC} * p.n_passages
+                     THEN 1 ELSE 0 END AS BIGINT) AS drop_doc
+    FROM per_doc p JOIN content c ON c.doc_id = p.doc_id
+    ORDER BY p.doc_id
+    """,
+    doc="Incremental batch-vs-corpus dedup — the PRODUCTION dedup shape: an "
+    "incoming batch (10% of docs stand in for new data) is checked against "
+    "the existing corpus index, never corpus-vs-corpus. Two asymmetric "
+    "probes: exact content hash membership, and the fraction of the "
+    "incoming doc's passages already present (drop at >= 50% — catches "
+    "re-crawls with boilerplate churn that exact hashing misses). Both "
+    "probes join the SMALL batch side against the big index on hash keys; "
+    "at 100 TB the index is a materialized table and only the batch "
+    "rescans — O(batch), not O(corpus), per ingest.",
+    tags=("dedup", "incremental", "passage"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens("text")
+    n_chunks = F.ceil(F.size(ts) / float(PASSAGE_TOKENS)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: md5_long(
+            F.concat_ws(" ", F.slice(ts, i * PASSAGE_TOKENS + 1, PASSAGE_TOKENS))
+        )
+        % MOD_P,
+    )
+    hashed = d.select("doc_id", F.explode(passages).alias("passage_hash"))
+    is_new = F.col("doc_id") % 10 == 7
+    newp = hashed.filter(is_new).distinct()
+    oldp = hashed.filter(~is_new).select("passage_hash").distinct()
+    content = d.select("doc_id", F.md5("text").alias("ch"))
+    oldc = content.filter(~is_new).select("ch").distinct()
+    per_doc = (
+        newp.join(oldp.withColumn("seen", F.lit(1)), "passage_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_passages"),
+            F.count("seen").cast("bigint").alias("n_seen"),
+        )
+    )
+    exact = F.when(F.col("ch_old").isNotNull(), 1).otherwise(0).cast("bigint")
+    return (
+        per_doc.join(content.filter(is_new), "doc_id")
+        .join(
+            F.broadcast(oldc.select(F.col("ch").alias("ch_old")).distinct()),
+            F.col("ch") == F.col("ch_old"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            exact.alias("exact_dup"),
+            "n_passages",
+            "n_seen",
+            F.when(
+                (F.col("ch_old").isNotNull())
+                | (F.col("n_seen") >= INC_DROP_FRAC * F.col("n_passages")),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("drop_doc"),
+        )
+        .orderBy("doc_id")
+    )
