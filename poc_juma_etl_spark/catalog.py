@@ -125,21 +125,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one registered table. Parquet supplies the physical schema
-    (pushdown + pruning intact); we assert it matches the declared catalog
-    schema by field name so drift fails fast instead of mid-query."""
-    if name not in SCHEMAS:
-        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    df = spark.read.parquet(table_path(sf_dir, name))
-    # Normalize timestamp columns to session-TZ TIMESTAMP regardless of how
-    # the file stores them. Generations of the testdata have used
-    # TIMESTAMP(NANOS) (read as long nanos via
-    # spark.sql.legacy.parquet.nanosAsLong) and timestamp[us] with
-    # isAdjustedToUTC=false (read as TIMESTAMP_NTZ). The session timezone is
-    # pinned to UTC, so NTZ→TIMESTAMP is value-preserving and matches
-    # DuckDB's UTC-naive timestamps; a uniform TIMESTAMP type keeps
-    # epoch arithmetic (`cast(ts as long)`) legal everywhere downstream.
+def normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
+    """Normalize timestamp columns to session-TZ TIMESTAMP regardless of how
+    the file stores them. Generations of the testdata have used
+    TIMESTAMP(NANOS) (read as long nanos via
+    spark.sql.legacy.parquet.nanosAsLong) and timestamp[us] with
+    isAdjustedToUTC=false (read as TIMESTAMP_NTZ). The session timezone is
+    pinned to UTC, so NTZ→TIMESTAMP is value-preserving and matches
+    DuckDB's UTC-naive timestamps; a uniform TIMESTAMP type keeps
+    epoch arithmetic (`cast(ts as long)`) legal everywhere downstream.
+    Shared by the batch loader and the streaming source so both absorb a
+    fixture encoding flip identically."""
     for f in df.schema.fields:
         declared_t = next(
             (d.dataType for d in SCHEMAS[name].fields if d.name == f.name.lower()), None
@@ -151,12 +147,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(f.name, F.expr(f"timestamp_micros({f.name} div 1000)"))
         elif dt == "timestamp_ntz":
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one registered table. Parquet supplies the physical schema
+    (pushdown + pruning intact); we assert it matches the declared catalog
+    schema by field name so drift fails fast instead of mid-query."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    df = normalize_timestamps(spark.read.parquet(table_path(sf_dir, name)), name)
     declared = [f.name for f in SCHEMAS[name].fields]
     if [c.lower() for c in df.columns] != declared:
         raise ValueError(
             f"schema drift for {name}: file has {df.columns}, catalog declares {declared}"
         )
     return df
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming twin of :func:`load_table`. The read schema comes from the
+    fixture's own parquet footer (driver-side footer inspection via a batch
+    reader — no job runs), NOT a hardcoded DDL string, so a testdata
+    regeneration that flips the ``ts`` physical type (TIMESTAMP(NANOS) ↔
+    timestamp[us]/NTZ) is absorbed by the same
+    :func:`normalize_timestamps` path batch reads use instead of failing
+    every streaming query at scan."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    physical = spark.read.parquet(table_path(sf_dir, name)).schema
+    stream = (
+        spark.readStream.schema(physical)
+        # the file stream source wants a directory: stream the sf dir with a
+        # glob selecting just this table's file
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_timestamps(stream, name)
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import stream_table
 from ..plans.queries import register
 from .events import _MEMSINK_LOCK, _SINK_SEQ
 
@@ -34,15 +35,7 @@ def user_tier_dim(spark: SparkSession) -> DataFrame:
 def stream_enriched_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the bounded events stream enriched with the tier dimension;
     returns per-tier event counts and decimal-exact value sums."""
-    raw_schema = (
-        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("event_id", "user_id", "value")
-    )
+    stream = stream_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     enriched = stream.join(F.broadcast(user_tier_dim(spark)), "user_id", "left")
     agg = enriched.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_events"),

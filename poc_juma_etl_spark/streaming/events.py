@@ -22,6 +22,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import stream_table
 from ..plans.queries import dsum, register, ts_str
 
 _MEMSINK_LOCK = threading.Lock()
@@ -31,16 +32,9 @@ _SINK_SEQ = [0]
 def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the tumbling-window aggregation as a bounded stream; returns the
     completed result as a batch DataFrame."""
-    # the fixture stores ts as parquet timestamp[us]; an explicit TIMESTAMP
-    # schema reads it straight into the session-TZ (UTC) type
-    raw_schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    stream = (
-        spark.readStream.schema(raw_schema)
-        # the file stream source wants a directory: stream the sf dir with a
-        # glob selecting just the events table
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # schema derives from the fixture's parquet footer (catalog.stream_table)
+    # so ts encoding flips between testdata generations can't break the scan
+    stream = stream_table(spark, sf_dir, "events")
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -101,14 +95,8 @@ def q_stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "dedup", "events"),
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw_schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-
     def src() -> DataFrame:
-        return (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        return stream_table(spark, sf_dir, "events")
 
     deduped = (
         src()
@@ -161,12 +149,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window", "events"),
 )
 def q_stream_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw_schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = stream_table(spark, sf_dir, "events")
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
@@ -225,13 +208,7 @@ def q_stream_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "sessionize", "events"),
 )
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw_schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .filter(F.col("user_id") <= 50)
-    )
+    stream = stream_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import stream_table
 from ..plans.queries import register
 from .events import _MEMSINK_LOCK, _SINK_SEQ
 
@@ -20,13 +21,8 @@ RANGE_GAP_S = 300  # keep in lockstep with plans/advanced.q_range_join_close_eve
 
 
 def _event_stream(spark: SparkSession, sf_dir: str, alias: str) -> DataFrame:
-    raw_schema = (
-        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    )
     return (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        stream_table(spark, sf_dir, "events")
         .select(
             F.col("event_id").alias(f"{alias}_event_id"),
             F.col("user_id").alias(f"{alias}_user_id"),

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import stream_table
 from ..operators.range_replace import PARTITION_COL
 from ..plans.queries import register
 
@@ -52,14 +53,7 @@ def stream_events_to_warehouse(
     table; returns the number of micro-batches written. Safe to call again
     with the same checkpoint (committed batches are not reprocessed) AND
     safe under redelivery of an uncommitted batch (epoch-keyed overwrite)."""
-    raw_schema = (
-        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = stream_table(spark, sf_dir, "events")
     n_batches = [0]
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:

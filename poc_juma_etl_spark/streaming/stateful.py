@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..catalog import stream_table
 from ..plans.queries import register
 from .events import _MEMSINK_LOCK, _SINK_SEQ
 
@@ -55,14 +56,7 @@ def _update_user_state(
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful counter over the bounded events stream; returns the
     final per-user totals (last state emitted per user)."""
-    raw_schema = (
-        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = stream_table(spark, sf_dir, "events")
     counted = (
         stream.groupBy("user_id")
         .applyInPandasWithState(
