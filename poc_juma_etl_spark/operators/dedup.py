@@ -18,16 +18,23 @@ final exact-threshold filter makes candidate-set differences invisible in
 the output).
 
 Skew note: an inverted-index join over shingles is skewed by frequent
-shingles (stop-phrase problem). The standard mitigation — drop shingles with
-document frequency above a cutoff — is both a quality and a scale fix; here
-the synthetic corpus is uniform so the cutoff is left to the caller. AQE
-skew-join splitting is enabled session-wide as the backstop.
+shingles (stop-phrase problem): a stop-shingle appearing in d documents
+contributes d² candidate pairs to the ``a.shingle == b.shingle`` self-join,
+so at corpus scale a single "of the and" makes the join quadratic on that
+key. The standard mitigation — drop shingles whose document frequency
+exceeds ``NGRAM_DF_CUTOFF`` before the join — is applied in
+q_dedup_ngram_jaccard (and mirrored in its oracle): Jaccard is computed
+over the *discriminative* shingle space only, an industry-standard
+approximation that is invisible for near-dup pairs in realistic corpora
+(a shingle shared by >1000 documents carries no pair-level signal). AQE
+skew-join splitting remains enabled session-wide as the backstop.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table, spread
 from ..plans.queries import register
@@ -101,15 +108,65 @@ _SQL_SHINGLES = """
     )
 """
 
+# Stop-shingle document-frequency cutoff: shingles present in more than this
+# many distinct documents are dropped before the inverted-index self-join.
+# 1000 bounds any single join key to ≤ cutoff² ≈ 10⁶ candidate pairs (a few
+# tasks' worth) no matter how large the corpus, while staying far above the
+# df of any shingle that still discriminates near-duplicates. The sf0.01
+# fixture's max shingle df is 7, so the fixture output is unchanged — the
+# cap is exercised by tests/test_m4_operators.py with a tiny cutoff.
+NGRAM_DF_CUTOFF = 1000
+
+
+def ngram_jaccard_pairs(
+    d: DataFrame, threshold: float = 0.10, df_cutoff: int = NGRAM_DF_CUTOFF
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs with Jaccard ≥ threshold over the
+    discriminative (df ≤ df_cutoff) 3-shingle space."""
+    sh = _shingles(d)
+    # document-frequency cap: sh is already distinct per (doc_id, shingle),
+    # so count(*) per shingle IS the document frequency
+    kept = (
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= df_cutoff)
+        .drop("df")
+        .cache()
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    out = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
 
 @register(
     "q_dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SQL_SHINGLES},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {NGRAM_DF_CUTOFF}
+    ),
+    kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT i.doc_a, i.doc_b,
@@ -122,32 +179,14 @@ _SQL_SHINGLES = """
     """,
     doc="N-gram Jaccard near-dup: inverted 3-shingle index self-join — only "
     "pairs sharing ≥1 shingle are generated (never the n² cross join), then "
-    "|A∩B|/|A∪B| ≥ 0.10. Integer counts ⇒ exact double ratios.",
+    "|A∩B|/|A∪B| ≥ 0.10 over the discriminative shingle space (document "
+    f"frequency ≤ {NGRAM_DF_CUTOFF}; stop-shingles would make the join "
+    "quadratic on their key at corpus scale). Integer counts ⇒ exact "
+    "double ratios.",
     tags=("dedup", "jaccard"),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_shared").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
-    )
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.10)
-        .orderBy("doc_a", "doc_b")
-    )
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
 _SQL_BASE_HASH = f"({SQL_MD5_LONG.format(x='shingle')} % {MOD_P})"
@@ -261,14 +300,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# SimHash: 32-bit fingerprint; hamming radius 6; pigeonhole over 4 blocks of
-# 8 bits (radius 6 < 7 blocks-1... with 4 blocks and radius 6, a colliding
-# pair may differ in every block — so Spark uses 7 blocks? No: pigeonhole
-# needs blocks > radius to guarantee a shared block. We use radius 3 with 4
-# blocks: any pair within hamming 3 shares at least one exact 8-bit block.)
+# SimHash pigeonhole blocking (Manku et al., WWW'07): a pair within hamming
+# radius r is guaranteed to share at least one exact block when the
+# fingerprint is split into ≥ r+1 blocks. With radius 3 over 48 bits the
+# minimal split is 4 blocks — which is also the WIDEST block (12 bits) that
+# keeps the guarantee, and block width is what bounds candidate-join skew:
+# each (blk, blk_val) bucket holds ~n/2^width docs and the equi-join is
+# quadratic within a bucket. Collision bound: two random fingerprints share
+# a given 12-bit block with p = 2^-12, so expected spurious candidates are
+# ≤ 4·n²/4096 pairs — 16× fewer than the previous 8-bit blocks (6×256
+# buckets), at identical output (radius unchanged). At 10⁹+ docs, the next
+# step is Manku's sorted-table refinement (order buckets by the remaining
+# 36 bits and scan ranges) rather than ever-wider equi-join blocks.
 SIM_BITS = 48
-SIM_BLOCKS = 6
-SIM_RADIUS = 3
+SIM_BLOCKS = 4
+SIM_BLOCK_BITS = SIM_BITS // SIM_BLOCKS  # 12
+SIM_RADIUS = 3  # requires SIM_BLOCKS >= SIM_RADIUS + 1 (pigeonhole)
+assert SIM_BLOCKS >= SIM_RADIUS + 1
 
 
 @register(
@@ -300,8 +348,9 @@ SIM_RADIUS = 3
     """,
     doc=f"SimHash near-dup: {SIM_BITS}-bit sign fingerprint of token-hash "
     f"bit votes; pairs within hamming ≤ {SIM_RADIUS}. Spark generates "
-    f"candidates by the pigeonhole block join ({SIM_BLOCKS} blocks of 8 bits "
-    f"— any pair within radius {SIM_RADIUS} shares an exact block), oracle "
+    f"candidates by the pigeonhole block join ({SIM_BLOCKS} blocks of "
+    f"{SIM_BLOCK_BITS} bits — any pair within radius {SIM_RADIUS} shares an "
+    "exact block, and 2^12 bucket values per block bound join skew), oracle "
     "brute-forces; the exact hamming filter makes both sets identical.",
     tags=("dedup", "simhash"),
 )
@@ -323,12 +372,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END")
         ).alias("simhash")
     )
-    # pigeonhole candidate generation: explode each doc into its 8-bit blocks
+    # pigeonhole candidate generation: explode each doc into its blocks
     blocks = simh.select(
         "doc_id",
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(SIM_BLOCKS - 1))).alias("blk"),
-    ).withColumn("blk_val", F.expr("(simhash >> (blk * 8)) & 255"))
+    ).withColumn(
+        "blk_val",
+        F.expr(f"(simhash >> (blk * {SIM_BLOCK_BITS})) & {(1 << SIM_BLOCK_BITS) - 1}"),
+    )
     a = blocks.alias("a")
     b = blocks.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

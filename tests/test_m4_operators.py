@@ -92,3 +92,70 @@ def test_jaccard_bounds(spark):
     rows = SPECS["q_dedup_ngram_jaccard"].fn(spark, SF_ORACLE).collect()
     assert all(0.10 <= r.jaccard <= 1.0 for r in rows)
     assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_simhash_pigeonhole_guarantee():
+    """Any pair of fingerprints within SIM_RADIUS must share at least one
+    exact block under the block split used for candidate generation — the
+    recall guarantee the equi-join relies on (Manku et al. WWW'07)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from poc_juma_etl_spark.operators.dedup import (
+        SIM_BITS,
+        SIM_BLOCK_BITS,
+        SIM_BLOCKS,
+        SIM_RADIUS,
+    )
+
+    assert SIM_BLOCKS * SIM_BLOCK_BITS == SIM_BITS
+    mask = (1 << SIM_BLOCK_BITS) - 1
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        x=st.integers(min_value=0, max_value=(1 << SIM_BITS) - 1),
+        flips=st.lists(
+            st.integers(min_value=0, max_value=SIM_BITS - 1),
+            min_size=0,
+            max_size=SIM_RADIUS,
+        ),
+    )
+    def check(x, flips):
+        y = x
+        for b in flips:
+            y ^= 1 << b
+        shared = any(
+            (x >> (i * SIM_BLOCK_BITS)) & mask == (y >> (i * SIM_BLOCK_BITS)) & mask
+            for i in range(SIM_BLOCKS)
+        )
+        assert shared
+
+    check()
+
+
+def test_jaccard_df_cutoff_drops_stop_shingles(spark):
+    """The document-frequency cap must remove stop-shingles from candidate
+    generation: docs related ONLY through a shingle present in every doc
+    produce no pair, while genuinely near-duplicate docs still match."""
+    from poc_juma_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    stop = "of the and"  # one 3-shingle shared by all docs -> df = 4 > cutoff 2
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta {stop}"),
+            (2, f"alpha beta gamma delta {stop}"),  # near-dup of 1
+            (3, f"unrelated words entirely here {stop}"),
+            (4, f"different content again now {stop}"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, df_cutoff=2).collect()}
+    assert (1, 2) in pairs  # real near-dup survives the cap
+    # 3 and 4 share ONLY the stop shingle: the cap must kill those pairs
+    assert not {(1, 3), (1, 4), (2, 3), (2, 4), (3, 4)} & pairs
+    # without the cap the stop shingle links every doc pair at jaccard>0
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=1e-9, df_cutoff=10**9).collect()
+    }
+    assert (3, 4) in uncapped
