@@ -78,6 +78,17 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 
+# Queries added in round 3, after 61 earlier queries had accumulated zero
+# driver verifications. They sort after every one of those (so the round-3
+# window lands exactly on the 50 longest-waiting queries) but before any
+# once-verified query — the half-step keeps them first in line among
+# newcomers for the round-4 window without displacing the backlog.
+LATE_ADDITIONS: tuple[str, ...] = (
+    "q_ann_ivf_assign",
+    "q_ann_pq_adc",
+)
+
+
 def _verified_counts() -> dict[str, int]:
     """How many driver rounds have fully verified each query, read from the
     CORRECTNESS_r*.json files the driver drops in the repo root. A row
@@ -166,6 +177,10 @@ def all_queries():
     reg = {n: i for i, n in enumerate(_q.QUERIES)}
     names = sorted(
         _q.QUERIES,
-        key=lambda n: (verified.get(n, 0), prio.get(n, len(prio)), reg[n]),
+        key=lambda n: (
+            verified.get(n, 0) + (0.5 if n in LATE_ADDITIONS else 0),
+            prio.get(n, len(prio)),
+            reg[n],
+        ),
     )
     return {n: _q.QUERIES[n] for n in names}

@@ -165,6 +165,70 @@ def kmeans_fit(
 
 
 @register(
+    "q_ann_ivf_assign",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4194304) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, qv AS cv
+      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {K})
+    ),
+    dist AS (
+      SELECT q.vec_id, s.cid,
+             CAST(list_sum(list_transform(list_zip(q.qv, s.cv),
+                                          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d
+      FROM q, seeds s
+    ),
+    best AS (
+      SELECT vec_id, cid, d,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM dist
+    )
+    SELECT vec_id, cid AS cell, d AS sq_dist
+    FROM best WHERE rn = 1
+    ORDER BY vec_id
+    """,
+    doc=f"IVF cell assignment with fixed centroids: the {K} lowest-vec_id "
+    "vectors seed the cells (the same deterministic init kmeans_fit uses) "
+    "and every vector maps to its nearest cell by squared distance, ties to "
+    "the lower cell id. This is the per-iteration assignment kernel of "
+    "q_ann_ivf_topk isolated from the float-iterative Lloyd loop, so it IS "
+    "SQL-expressible: distances run over 2^22-quantized int64 components "
+    "(exact in both engines; 64·(2^24)² < 2^63, no overflow) and the full "
+    "(vec_id, cell, sq_dist) map hash-matches the DuckDB oracle. One narrow "
+    "codegen map over a centroid literal at any corpus size — no shuffle.",
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import SPARK_QVEC
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
+    first = vecs.orderBy("vec_id").limit(K).collect()
+    dist_cols = []
+    for cid, r in enumerate(first):
+        arr = F.array(*[F.lit(int(x)) for x in r.qv])
+        d = F.aggregate(
+            F.zip_with(F.col("qv"), arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        dist_cols.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+    best = F.array_min(F.array(*dist_cols))
+    return (
+        vecs.select(
+            "vec_id",
+            best["cid"].alias("cell"),
+            best["d"].alias("sq_dist"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "q_ann_ivf_topk",
     oracle=None,  # iterative k-means training — the contract's rows-only case
     doc=f"IVF ANN top-{TOP_K}: k-means ({K} cells, {ITERS} Lloyd iterations, "

@@ -174,6 +174,127 @@ def pq_query_luts(
 
 
 @register(
+    "q_ann_pq_adc",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4194304) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS k, qv
+      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {K})
+    ),
+    cb AS (
+      SELECT CAST(r.m AS INTEGER) AS m, k,
+             list_slice(qv, r.m * {64 // M} + 1, (r.m + 1) * {64 // M}) AS cv
+      FROM seeds, range(0, {M}) r(m)
+    ),
+    subs AS (
+      SELECT vec_id, CAST(r.m AS INTEGER) AS m,
+             list_slice(qv, r.m * {64 // M} + 1, (r.m + 1) * {64 // M}) AS sv
+      FROM q, range(0, {M}) r(m)
+    ),
+    dists AS (
+      SELECT s.vec_id, s.m, c.k,
+             CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
+                                          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d
+      FROM subs s JOIN cb c ON c.m = s.m
+    ),
+    enc AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT l.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(l.d) AS BIGINT) AS adc_dist
+      FROM enc e JOIN dists l ON l.m = e.m AND l.k = e.code
+      WHERE l.vec_id < {N_QUERIES} AND e.vec_id <> l.vec_id
+      GROUP BY l.vec_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
+      FROM adc
+    ) WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+    doc=f"PQ ADC scan with fixed codebooks: the {K} lowest-vec_id vectors "
+    f"seed each of the {M} sub-quantizers (pq_fit's deterministic init), the "
+    "corpus is encoded to nearest sub-centroids (ties to the lower code), "
+    f"and queries rank neighbors by the summed per-subspace LUT distances — "
+    "the ADC kernel of q_ann_pq_topk isolated from the float-iterative Lloyd "
+    "loop, making it SQL-expressible: all distances run over 2^22-quantized "
+    "int64 components, exact in both engines, so the top-k hash-matches the "
+    "DuckDB oracle. Corpus side is one codegen encode map + a broadcast of "
+    "the 10-query LUT table — no shuffle grows with corpus size.",
+    tags=("similarity", "ann", "pq"),
+)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .dedup import SPARK_QVEC
+
+    def int_sq_dist(a: F.Column, b: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    d = 64 // M
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
+    first = vecs.orderBy("vec_id").limit(K).collect()
+    # codebook[m][k] = m-th quantized subvector of the k-th seed
+    cb = [[[int(x) for x in r.qv[mi * d : (mi + 1) * d]] for r in first] for mi in range(M)]
+    subs = [F.slice(F.col("qv"), mi * d + 1, d) for mi in range(M)]
+
+    def sub_dists(mi: int) -> list[F.Column]:
+        return [
+            int_sq_dist(subs[mi], F.array(*[F.lit(x) for x in cb[mi][k]]))
+            for k in range(K)
+        ]
+
+    codes = F.array(
+        *[
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(dk.alias("d"), F.lit(k).alias("cid"))
+                        for k, dk in enumerate(sub_dists(mi))
+                    ]
+                )
+            )["cid"]
+            for mi in range(M)
+        ]
+    )
+    coded = vecs.select(F.col("vec_id").alias("neighbor_id"), codes.alias("codes"))
+    luts = F.array(*[F.array(*sub_dists(mi)) for mi in range(M)])
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), luts.alias("luts")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("luts"), lambda c, lut: F.element_at(lut, c + 1)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        coded.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", adc)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
     "q_ann_pq_topk",
     oracle=None,  # iterative k-means training — the contract's rows-only case
     doc=f"PQ ANN top-{TOP_K}: {M}×{K}-centroid product quantizer (joint "
