@@ -200,7 +200,35 @@ class HttpTransport:
     def fetch_page(self, page: int):
         import pyarrow as pa
 
-        return pa.Table.from_pylist(self._post(page).get("registros", []))
+        data = self._post(page)
+        return pa.Table.from_pylist(data.get("registros", data.get("data", [])))
+
+    def fetch_all(self):
+        """Reference-parity sequential page loop (reference utils.py:200-226):
+        advance a page counter, accept rows under ``registros`` or ``data``,
+        and stop on an empty page or ``hasNext`` false — for servers whose
+        ``total_paginas`` cannot be trusted (or is absent). The Spark
+        DataSource path prefers :meth:`n_pages` + one InputPartition per page
+        (parallel fetch); this loop is the sequential fallback and the
+        protocol-compatibility surface for reference-shaped servers."""
+        import pyarrow as pa
+
+        page, chunks = 0, []
+        while True:
+            data = self._post(page)
+            recs = data.get("registros", data.get("data", []))
+            if not recs:
+                break
+            chunks.append(pa.Table.from_pylist(recs))
+            has_next = data.get("hasNext")
+            if has_next is None:
+                has_next = page + 1 < int(data.get("total_paginas", 1))
+            if not has_next:
+                break
+            page += 1
+        if not chunks:
+            return pa.Table.from_pylist([])
+        return pa.concat_tables(chunks)
 
 
 if HAVE_DATASOURCE_API:
