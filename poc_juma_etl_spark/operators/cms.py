@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..plans.queries import register
+from ..plans.queries import register, scoped_cache
 from .text import MOD_P, SQL_MD5_LONG, md5_long, tokens
 
 CMS_D = 3  # hash rows
@@ -82,7 +82,7 @@ def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread(): 3x md5 per token occurrence is CPU-heavy; a small
     # single-file scan would hash the whole corpus on one core
     d = spread(load_table(spark, sf_dir, "documents"))
-    tok = d.select(F.explode(tokens("text")).alias("t")).cache()
+    tok = scoped_cache(d.select(F.explode(tokens("text")).alias("t")))
     ds = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d")
     occ = tok.select("t", ds).select("t", "d", _bucket(F.col("d"), F.col("t")).alias("bucket"))
     sketch = occ.groupBy("d", "bucket").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.queries import register
+from ..plans.queries import register, scoped_cache
 from .dedup import _shingles
 
 JACCARD_T = 0.10
@@ -74,7 +74,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
 def jaccard_edges(d: DataFrame) -> DataFrame:
     """(src, dst) near-dup pairs with 3-shingle Jaccard >= JACCARD_T, via
     the inverted shingle-index self-join (never all-pairs)."""
-    sh = _shingles(d).cache()
+    sh = scoped_cache(_shingles(d))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

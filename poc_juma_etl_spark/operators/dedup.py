@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table, spread
-from ..plans.queries import register
+from ..plans.queries import register, scoped_cache
 from .srp import spark_srp_bucket, sql_srp_bucket
 from .text import MOD_P, SQL_MD5_LONG, md5_long, tokens
 
@@ -126,11 +126,10 @@ def ngram_jaccard_pairs(
     sh = _shingles(d)
     # document-frequency cap: sh is already distinct per (doc_id, shingle),
     # so count(*) per shingle IS the document frequency
-    kept = (
+    kept = scoped_cache(
         sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
         .filter(F.col("df") <= df_cutoff)
         .drop("df")
-        .cache()
     )
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = kept.alias("a")
@@ -239,7 +238,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread(): a small documents.parquet scans as ONE split, serializing the
     # shingle+md5 CPU onto one core; no-op once the scan has real splits
     d = spread(load_table(spark, sf_dir, "documents"))
-    sh = _shingles(d).cache()
+    sh = scoped_cache(_shingles(d))
     hashed = sh.select("doc_id", (md5_long(F.col("shingle")) % MOD_P).alias("h"))
     # one wide aggregation computes the whole signature — 32 min() columns
     # with map-side partial combine; no 32× row explosion, one shuffle
@@ -578,7 +577,7 @@ def q_dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread(): the in-row fingerprint build is CPU-heavy per row; a small
     # single-file scan would run it on one core (no-op at real scale)
     d = spread(load_table(spark, sf_dir, "documents"))
-    fp = winnow_fingerprints(d).cache()
+    fp = scoped_cache(winnow_fingerprints(d))
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = fp.alias("a"), fp.alias("b")
     pairs = (

@@ -107,6 +107,7 @@ def run_gate(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, di
     """Run every registered query with an oracle and compare. Returns
     {name: report}."""
     from . import all_queries
+    from .plans.queries import release_caches
 
     specs = all_queries()
     con = duckdb_connect(sf_dir)
@@ -117,9 +118,13 @@ def run_gate(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, di
         if spec.oracle is None:
             df = spec.fn(spark, sf_dir)
             results[name] = {"match": None, "rows_only": df.count()}
-            continue
-        oracle_pdf = con.execute(spec.oracle).fetchdf()
-        results[name] = compare(spec.fn(spark, sf_dir), oracle_pdf)
+        else:
+            oracle_pdf = con.execute(spec.oracle).fetchdf()
+            results[name] = compare(spec.fn(spark, sf_dir), oracle_pdf)
+        # drop this query's scoped caches before the next one: 160 queries
+        # in one session would otherwise pile cached blocks in executor
+        # storage for the whole gate run
+        release_caches()
     return results
 
 

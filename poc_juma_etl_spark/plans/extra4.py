@@ -565,9 +565,13 @@ RECON_TOL = 0.01  # header-vs-detail reconciliation tolerance (1%)
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_with_lines,
+           -- CAST to DOUBLE so the tolerance multiply is the same IEEE
+           -- double op as Spark's RECON_TOL * col — a bare 0.01 literal is
+           -- DECIMAL in DuckDB and computes an exact product, which can
+           -- disagree with the double product by 1 ulp right at the boundary
            CAST(COUNT(CASE WHEN abs(o.o_totalprice - l.line_total)
-                                <= {RECON_TOL} * o.o_totalprice THEN 1 END) AS BIGINT)
-             AS n_reconciled,
+                                <= CAST({RECON_TOL} AS DOUBLE) * o.o_totalprice THEN 1 END)
+                AS BIGINT) AS n_reconciled,
            round(CAST(SUM(CAST(abs(o.o_totalprice - l.line_total) / o.o_totalprice
                                AS DECIMAL(25,6))) AS DOUBLE)
                  / COUNT(l.l_orderkey), 6) AS mean_rel_diff

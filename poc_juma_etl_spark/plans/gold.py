@@ -170,18 +170,26 @@ def refresh_incremental(
         # broken upstream view must not wipe the range); full rebuilds via
         # materialize() are the path for intentional deletions
         return out
-    affected: list = []
+    # one metadata job collects both partition-value sets (old in-range
+    # partitions on disk + partitions the recomputation produces) instead of
+    # two separate collects — the union's sides run inside a single action
+    new_parts = fresh.select(F.col(pf).alias("p")).distinct().withColumn(
+        "is_old", F.lit(False)
+    )
+    both = new_parts
     try:
-        affected = [
-            r[0]
-            for r in spark.read.parquet(out)
+        both = new_parts.unionByName(
+            spark.read.parquet(out)
             .filter(in_range)
-            .select(pf)
+            .select(F.col(pf).alias("p"))
             .distinct()
-            .collect()
-        ]
+            .withColumn("is_old", F.lit(True))
+        )
     except AnalysisException:
-        pass  # first build
+        pass  # first build — nothing on disk yet
+    part_rows = both.collect()
+    desired = {r.p for r in part_rows if not r.is_old}
+    affected = [r.p for r in part_rows if r.is_old]
     if spec.cluster_fields:
         fresh = fresh.sortWithinPartitions(*[F.col(c) for c in spec.cluster_fields])
     (
@@ -190,7 +198,6 @@ def refresh_incremental(
         .partitionBy(pf)
         .parquet(out)
     )
-    desired = {r[0] for r in fresh.select(pf).distinct().collect()}
     stale = [p for p in affected if p not in desired]
     if stale:
         # gold partitions use the spec's own column name (not p_date)

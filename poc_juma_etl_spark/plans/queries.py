@@ -70,6 +70,30 @@ def register(
 # oracle-parity helpers
 
 
+_SCOPED_CACHES: list[DataFrame] = []
+
+
+def scoped_cache(df: DataFrame) -> DataFrame:
+    """``cache()`` with release tracking. Query functions cache reused
+    intermediates (shingle sets, token explodes); a long-lived session
+    driving the whole registry (oracle gate, bench) would accumulate those
+    blocks in executor storage across 160 queries. Harnesses call
+    :func:`release_caches` once a query's result is materialized; inside a
+    single query the cache behaves exactly like ``.cache()``."""
+    out = df.cache()
+    _SCOPED_CACHES.append(out)
+    return out
+
+
+def release_caches() -> None:
+    """Unpersist every scoped cache registered since the last call."""
+    while _SCOPED_CACHES:
+        try:
+            _SCOPED_CACHES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped / block already evicted
+
+
 def dsum(col: Column | str, alias: str) -> Column:
     """Order-independent double SUM: cast per-row value to DECIMAL(25,6),
     sum exactly, cast the total back to double."""

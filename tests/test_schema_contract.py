@@ -9,8 +9,10 @@ when every value matches. This test catches that class instantly; the
 oracle gate (which executes) stays the value-level check.
 
 Queries with side effects (e2e writers, stream drains) build real pipelines
-at plan time, so only pure q_* queries are schema-derived on the Spark side;
-their oracles are still DESCRIBE-checked against the catalog views.
+at plan time, so only pure q_* queries get the two-sided Spark-vs-oracle
+check; the excluded queries' oracle SQL still gets a one-sided DESCRIBE
+validity pass (parses, binds to the catalog views, no duplicate columns) in
+test_side_effect_oracles_describe.
 """
 
 import duckdb
@@ -33,6 +35,9 @@ PURE = sorted(
     and not n.startswith("q_stream_")
 )
 
+# oracled queries excluded from the two-sided check (side-effectful plans)
+SIDE_EFFECT = sorted(n for n, s in SPECS.items() if s.oracle is not None and n not in PURE)
+
 
 @pytest.fixture(scope="module")
 def con():
@@ -53,3 +58,14 @@ def test_columns_match_oracle(spark, con, name):
     # duplicate names on either side would silently corrupt the driver's
     # sorted-column hash even if the sets "match"
     assert len(spark_cols) == len(set(spark_cols)), name
+
+
+@pytest.mark.parametrize("name", SIDE_EFFECT, ids=str)
+def test_side_effect_oracles_describe(con, name):
+    """One-sided pass for e2e/stream queries: their Spark half cannot be
+    schema-derived without running pipelines, but the oracle SQL must still
+    parse, bind against the catalog views, and produce unique column names
+    (the Spark-side names are pinned by the executing oracle gate)."""
+    cols = oracle_cols(con, SPECS[name].oracle)
+    assert cols, name
+    assert len(cols) == len(set(cols)), name
