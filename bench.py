@@ -72,6 +72,11 @@ HEADLINE: list[str] = [
     "q_event_anomaly_mad",
     "q_asof_nearest_purchase",
     "q_sketch_cms_heavy_hitters",
+    # round-5 operator families (and round-3-rewritten candidate generation)
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_ann_ivf_assign",
+    "q_ann_pq_adc",
 ]
 
 

@@ -86,6 +86,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 LATE_ADDITIONS: tuple[str, ...] = (
     "q_ann_ivf_assign",
     "q_ann_pq_adc",
+    "q_sample_mixture",
 )
 
 

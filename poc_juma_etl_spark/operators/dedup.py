@@ -354,7 +354,9 @@ assert SIM_BLOCKS >= SIM_RADIUS + 1
     tags=("dedup", "simhash"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # spread(): the 48-bit-per-token explode is CPU-heavy; a small
+    # single-file scan would run it on one core (no-op at real scale)
+    d = spread(load_table(spark, sf_dir, "documents"))
     tokh = (
         d.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .distinct()

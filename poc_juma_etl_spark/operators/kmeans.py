@@ -205,19 +205,23 @@ def kmeans_fit(
 def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import SPARK_QVEC
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # spread(): K quantized 64-dim distances per row on a single-file scan
+    # would serialize onto one core (no-op once the scan has real splits)
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
     first = vecs.orderBy("vec_id").limit(K).collect()
-    dist_cols = []
+    # centroid literals rendered as one SQL string, parsed in a single
+    # expr() call — K*64 F.lit() Column objects would cost py4j round-trips
+    # per invocation (see q_ann_pq_adc for the measured cost)
+    structs = []
     for cid, r in enumerate(first):
-        arr = F.array(*[F.lit(int(x)) for x in r.qv])
-        d = F.aggregate(
-            F.zip_with(F.col("qv"), arr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
+        arr = "array(" + ",".join(f"{int(x)}L" for x in r.qv) + ")"
+        dist = (
+            f"aggregate(zip_with(qv, {arr}, (x,y) -> (x-y)*(x-y)), "
+            "CAST(0 AS BIGINT), (acc,v) -> acc + v)"
         )
-        dist_cols.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-    best = F.array_min(F.array(*dist_cols))
+        structs.append(f"named_struct('d', {dist}, 'cid', {cid})")
+    best = F.expr("array_min(array(" + ",".join(structs) + "))")
     return (
         vecs.select(
             "vec_id",

@@ -237,44 +237,47 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .dedup import SPARK_QVEC
 
-    def int_sq_dist(a: F.Column, b: F.Column) -> F.Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-
     d = 64 // M
-    e = load_table(spark, sf_dir, "embeddings")
+    # spread(): the encode map evaluates M*K subspace distances per row; a
+    # single-file scan would run the whole corpus on one core (no-op at scale)
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
     first = vecs.orderBy("vec_id").limit(K).collect()
     # codebook[m][k] = m-th quantized subvector of the k-th seed
     cb = [[[int(x) for x in r.qv[mi * d : (mi + 1) * d]] for r in first] for mi in range(M)]
-    subs = [F.slice(F.col("qv"), mi * d + 1, d) for mi in range(M)]
 
-    def sub_dists(mi: int) -> list[F.Column]:
-        return [
-            int_sq_dist(subs[mi], F.array(*[F.lit(x) for x in cb[mi][k]]))
+    # The M*K centroid literals are rendered as ONE SQL string and parsed in
+    # a single expr() call: building the same tree from 1024 F.lit() Column
+    # objects costs ~2 s of py4j round-trips per invocation (measured at
+    # sf0.1) before any job runs — string rendering is microseconds.
+    def arr(vals: list[int]) -> str:
+        return "array(" + ",".join(f"{v}L" for v in vals) + ")"
+
+    def sq_dist(sv: str, cv: list[int]) -> str:
+        return (
+            f"aggregate(zip_with({sv}, {arr(cv)}, (x,y) -> (x-y)*(x-y)), "
+            "CAST(0 AS BIGINT), (acc,v) -> acc + v)"
+        )
+
+    def sv(mi: int) -> str:
+        return f"slice(qv, {mi * d + 1}, {d})"
+
+    codes = "array(" + ",".join(
+        "array_min(array("
+        + ",".join(
+            f"named_struct('d', {sq_dist(sv(mi), cb[mi][k])}, 'cid', {k})"
             for k in range(K)
-        ]
-
-    codes = F.array(
-        *[
-            F.array_min(
-                F.array(
-                    *[
-                        F.struct(dk.alias("d"), F.lit(k).alias("cid"))
-                        for k, dk in enumerate(sub_dists(mi))
-                    ]
-                )
-            )["cid"]
-            for mi in range(M)
-        ]
-    )
-    coded = vecs.select(F.col("vec_id").alias("neighbor_id"), codes.alias("codes"))
-    luts = F.array(*[F.array(*sub_dists(mi)) for mi in range(M)])
+        )
+        + ")).cid"
+        for mi in range(M)
+    ) + ")"
+    coded = vecs.select(F.col("vec_id").alias("neighbor_id"), F.expr(codes).alias("codes"))
+    luts = "array(" + ",".join(
+        "array(" + ",".join(sq_dist(sv(mi), cb[mi][k]) for k in range(K)) + ")"
+        for mi in range(M)
+    ) + ")"
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), luts.alias("luts")
+        F.col("vec_id").alias("query_id"), F.expr(luts).alias("luts")
     )
     adc = F.aggregate(
         F.zip_with(

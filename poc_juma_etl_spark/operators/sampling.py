@@ -261,3 +261,89 @@ def q_sample_k_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Data-mixture construction: global token budget = 2/5 of the corpus,
+# apportioned across sources by deterministic per-source weights. Weights
+# derive from the source name's stable hash (1..4) so the operator is
+# scale-agnostic — real pipelines substitute curated weights per source
+# (the Pile/Dolma mixing table); the mechanics are identical.
+MIX_NUM, MIX_DEN = 2, 5
+MIX_W_BUCKETS = 4
+
+
+@register(
+    "q_sample_mixture",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             {SQL_MD5_LONG.format(x="source || ':' || CAST(doc_id AS VARCHAR)")} AS h,
+             {SQL_MD5_LONG.format(x="source")} % {MIX_W_BUCKETS} + 1 AS w
+      FROM documents
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total_tokens FROM t),
+    sw AS (
+      SELECT SUM(w) AS sum_w FROM (
+        SELECT DISTINCT source, {SQL_MD5_LONG.format(x="source")} % {MIX_W_BUCKETS} + 1 AS w
+        FROM t
+      )
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens, w,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT c.doc_id, c.source, c.n_tokens
+    FROM c, tot, sw
+    WHERE c.cum - c.n_tokens < ((tot.total_tokens * {MIX_NUM}) // {MIX_DEN}) * c.w // sw.sum_w
+    ORDER BY c.doc_id
+    """,
+    doc=f"Data-mixture construction: a global token budget ({MIX_NUM}/{MIX_DEN} "
+    "of the corpus) is split across sources proportionally to per-source "
+    "mixture weights, and each source contributes its docs in stable-hash "
+    "order until its token budget fills (the doc crossing the boundary is "
+    "kept) — the pretraining data-mixing stage (Pile/Dolma-style source "
+    "weighting) as a deterministic, engine-reproducible operator. All "
+    "arithmetic is integer (token counts, hash weights, floor division), so "
+    "membership is bit-identical across engines. Scale shape: one window "
+    "cumsum per source plus two 1-row broadcast aggregates — no shuffle "
+    "grows beyond the corpus token-count scan.",
+    tags=("sampling", "mixture"),
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        md5_long(
+            F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+        (md5_long(F.col("source")) % MIX_W_BUCKETS + 1).alias("w"),
+    )
+    tot = t.agg(F.sum("n_tokens").alias("total_tokens"))
+    sw = (
+        t.select("source", "w")
+        .distinct()
+        .agg(F.sum("w").alias("sum_w"))
+    )
+    win = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(win))
+    budget = F.expr(f"((total_tokens * {MIX_NUM}) div {MIX_DEN}) * w div sum_w")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(sw))
+        .filter(F.col("cum") - F.col("n_tokens") < budget)
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    )

@@ -50,3 +50,43 @@ def test_sample_bucket_partitioning_invariant(spark):
         .collect()
     }
     assert b1 == b2
+
+
+def test_sample_mixture_budget_bound(spark):
+    """Mixture semantics: per source, kept tokens stay within the source's
+    budget plus at most one boundary-crossing doc, sources with a nonzero
+    budget contribute at least one doc, and membership is a pure function
+    of the data (re-run identical)."""
+    from poc_juma_etl_spark import all_queries
+    from poc_juma_etl_spark.operators.sampling import (
+        MIX_DEN,
+        MIX_NUM,
+        MIX_W_BUCKETS,
+    )
+    from poc_juma_etl_spark.operators.text import md5_long, tokens
+
+    fn = all_queries()["q_sample_mixture"].fn
+    kept = fn(spark, SF_ORACLE).collect()
+    assert kept == fn(spark, SF_ORACLE).collect()  # deterministic re-run
+
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    t = d.select(
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        (md5_long(F.col("source")) % MIX_W_BUCKETS + 1).alias("w"),
+    ).collect()
+    total = sum(r.n_tokens for r in t)
+    weights = {r.source: r.w for r in t}
+    sum_w = sum(set_w for set_w in {r.source: r.w for r in t}.values())
+    budgets = {
+        s: ((total * MIX_NUM) // MIX_DEN) * w // sum_w for s, w in weights.items()
+    }
+    per_source_tokens: dict[str, int] = {}
+    max_doc = max(r.n_tokens for r in t)
+    for r in kept:
+        per_source_tokens[r.source] = per_source_tokens.get(r.source, 0) + r.n_tokens
+    for s, b in budgets.items():
+        got = per_source_tokens.get(s, 0)
+        assert got <= b + max_doc, (s, got, b)
+        if b > 0:
+            assert got > 0, (s, b)  # nonzero budget -> source represented
