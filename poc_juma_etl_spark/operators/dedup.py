@@ -354,24 +354,29 @@ assert SIM_BLOCKS >= SIM_RADIUS + 1
     tags=("dedup", "simhash"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread(): the 48-bit-per-token explode is CPU-heavy; a small
-    # single-file scan would run it on one core (no-op at real scale)
+    # spread(): the per-token bit voting is CPU-heavy; a small single-file
+    # scan would run it on one core (no-op at real scale)
     d = spread(load_table(spark, sf_dir, "documents"))
-    tokh = (
-        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .distinct()
-        .select("doc_id", md5_long(F.col("tok")).alias("h"))
-        .distinct()
+    # The fingerprint is document-local, so it is built entirely IN-ROW
+    # (one aggregate pass accumulating all 48 bit counters in an array
+    # accumulator) — the earlier explode-to-(doc, bit)-rows build shuffled
+    # tokens×48 rows through two groupBys for the same result; map-only
+    # until the block join is the winnowing lesson applied here.
+    hs = (
+        "array_distinct(transform(ts, t -> "
+        "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)))"
     )
-    bits = tokh.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(SIM_BITS - 1))).alias("i"), "h"
-    ).groupBy("doc_id", "i").agg(
-        F.sum(F.expr("CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END")).alias("w")
+    counts = (
+        f"aggregate({hs}, array_repeat(CAST(0 AS BIGINT), {SIM_BITS}), "
+        "(acc, h) -> transform(acc, (a, i) -> a + IF((h >> i) & 1 = 1, 1L, -1L)))"
     )
-    simh = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END")
-        ).alias("simhash")
+    simhash = (
+        f"aggregate(zip_with({counts}, sequence(0, {SIM_BITS - 1}), "
+        "(w, i) -> IF(w > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    simh = d.select("doc_id", tokens("text").alias("ts")).select(
+        "doc_id", F.expr(simhash).alias("simhash")
     )
     # pigeonhole candidate generation: explode each doc into its blocks
     blocks = simh.select(
