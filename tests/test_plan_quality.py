@@ -191,6 +191,34 @@ def test_frame_sample_is_arrow_map(spark):
     assert "MapInPandas" in plan
 
 
+def test_ivf_assign_is_map_only(spark):
+    # cell assignment must be a narrow codegen map over the centroid
+    # literal: no hash-partitioned exchange, no window, no python — the
+    # only exchange allowed is the presentation sort's range partitioning
+    plan = plan_of(spark, "q_ann_ivf_assign")
+    assert "hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pq_adc_broadcasts_query_luts(spark):
+    # the 10-query LUT side must ride a broadcast across the code scan
+    # (non-equi join -> nested-loop is fine with a 10-row build side);
+    # a sort-merge join would shuffle the full corpus codes
+    plan = plan_of(spark, "q_ann_pq_adc")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_windows_per_source_and_broadcasts_totals(spark):
+    # the budget cumsum must run per source partition, and both 1-row
+    # aggregates (corpus tokens, weight sum) must ride broadcasts
+    plan = plan_of(spark, "q_sample_mixture")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan.split("Window")[0][-600:]
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+
+
 def test_cms_lookup_rides_a_broadcast(spark):
     # the 3x512 sketch is tiny and must broadcast to the candidate lookups;
     # shuffling the lookups against it would add a pointless exchange
