@@ -34,7 +34,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..catalog import load_table, spread
 from ..plans.queries import register, scoped_cache
@@ -122,23 +121,45 @@ def ngram_jaccard_pairs(
     d: DataFrame, threshold: float = 0.10, df_cutoff: int = NGRAM_DF_CUTOFF
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) pairs with Jaccard ≥ threshold over the
-    discriminative (df ≤ df_cutoff) 3-shingle space."""
-    sh = _shingles(d)
-    # document-frequency cap: sh is already distinct per (doc_id, shingle),
-    # so count(*) per shingle IS the document frequency
-    kept = scoped_cache(
-        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    discriminative (df ≤ df_cutoff) 3-shingle space.
+
+    Candidate generation is posting-list based, not a self-join: each kept
+    shingle's sorted doc list is built once (bounded ≤ df_cutoff rows per
+    key, so the list aggregate can never blow up on a hot shingle — the
+    stop-shingle filter runs FIRST as a plain count groupBy, whose map-side
+    partial aggregation is skew-immune) and the i<j pairs are emitted in-row
+    with a higher-order transform. That is one shuffle of the shingle table
+    plus one of the pair table, versus the window-sort + double-shuffle
+    self-join of the naive inverted index."""
+    sh = scoped_cache(_shingles(d))
+    # document-frequency cap: sh is distinct per (doc_id, shingle), so
+    # count(*) per shingle IS the document frequency
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= df_cutoff)
-        .drop("df")
+        .select("shingle")
     )
+    kept = scoped_cache(sh.join(keep, "shingle"))
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = kept.alias("a")
-    b = kept.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    posts = (
+        kept.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
     )
+    # all i<j pairs from each sorted posting list, generated in-row: for the
+    # element at 0-based index i, pair it with every later element (1-based
+    # slice start i+2); sortedness makes doc_a < doc_b by construction
+    pairs = posts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) -> "
+                "transform(slice(docs, i + 2, size(docs)), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_shared"))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n_shared").cast("double") / (
@@ -375,8 +396,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(w, i) -> IF(w > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
-    simh = d.select("doc_id", tokens("text").alias("ts")).select(
-        "doc_id", F.expr(simhash).alias("simhash")
+    # cached: both sides of the pigeonhole self-join read the fingerprints,
+    # and the 48-counter aggregate is the expensive part of the query — an
+    # uncached plan runs it twice (once per join side)
+    simh = scoped_cache(
+        d.select("doc_id", tokens("text").alias("ts")).select(
+            "doc_id", F.expr(simhash).alias("simhash")
+        )
     )
     # pigeonhole candidate generation: explode each doc into its blocks
     blocks = simh.select(
