@@ -24,8 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.queries import register, scoped_cache
-from .dedup import _shingles
+from ..plans.queries import register
+from .dedup import NGRAM_DF_CUTOFF, ngram_jaccard_pairs
 
 JACCARD_T = 0.10
 MAX_ROUNDS = 20
@@ -72,25 +72,14 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
 
 
 def jaccard_edges(d: DataFrame) -> DataFrame:
-    """(src, dst) near-dup pairs with 3-shingle Jaccard >= JACCARD_T, via
-    the inverted shingle-index self-join (never all-pairs)."""
-    sh = scoped_cache(_shingles(d))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    jac = F.col("n_shared").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
-    )
-    return (
-        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_T)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    """(src, dst) near-dup pairs with 3-shingle Jaccard >= JACCARD_T.
+
+    Delegates to :func:`ngram_jaccard_pairs` — posting-list candidate
+    generation with the stop-shingle document-frequency cutoff, the same
+    scale guards as q_dedup_ngram_jaccard (one capped shingle shuffle, no
+    inverted-index self-join)."""
+    return ngram_jaccard_pairs(d, threshold=JACCARD_T).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
 
 
@@ -107,10 +96,14 @@ def jaccard_edges(d: DataFrame) -> DataFrame:
                                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
       FROM tok
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {NGRAM_DF_CUTOFF}
+    ),
+    kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
     edges AS (
@@ -171,10 +164,14 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
       FROM tok
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {NGRAM_DF_CUTOFF}
+    ),
+    kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
     edges AS (

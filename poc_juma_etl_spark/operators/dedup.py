@@ -278,8 +278,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(MH_BANDS)
     ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
+    # cached: both sides of the band-bucket self-join read the band keys, and
+    # an uncached plan recomputes the 32-permutation signature aggregation
+    # (the expensive shuffle of this query) once per join side
+    bands = scoped_cache(
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+            "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
+        )
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -546,7 +551,9 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "embedding"),
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = (
+    # cached: quantize + norm + SRP hash run once per vector, not once per
+    # side of the bucket self-join
+    e = scoped_cache(
         spread(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", "label", "embedding")
         .withColumn("qv", F.expr(SPARK_QVEC.format(a="embedding")))
