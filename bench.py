@@ -115,20 +115,28 @@ def main() -> None:
     spark.catalog.clearCache()
     release_caches()  # drain the tracker; blocks are already cleared above
 
-    # two measured runs per query, report the min — the standard steady-state
-    # estimator (TPC-style power runs); a single sample is dominated by GC /
-    # scheduler jitter at these sub-second durations
+    # three measured runs per query, report the min — the standard
+    # steady-state estimator (TPC-style power runs); a single sample is
+    # dominated by GC / scheduler jitter at these sub-second durations, and
+    # at n=2 a full-GC pause landing on both samples still shows multi-second
+    # swings run-to-run (observed: same query 0.47 s vs 2.46 s across
+    # otherwise-identical bench invocations)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    jvm_gc = spark.sparkContext._jvm.System.gc
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = best
-        # release between queries (not between the two runs — the second run
-        # legitimately reuses the first run's cache, as any warm session would)
+        # release between queries (not between runs — later runs legitimately
+        # reuse the first run's cache, as any warm session would), then nudge
+        # the JVM to collect so one query's garbage doesn't bill the next
+        # query's samples with a mid-stage full GC
         release_caches()
+        jvm_gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
