@@ -113,6 +113,18 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
         .localCheckpoint()  # node-sized; reused by every iteration
     )
+    # Physical strategy switch, decided on the measured node count (free —
+    # deg is already materialized): on a SMALL graph the per-iteration rank
+    # table fits a broadcast, so AQE turns e⋈contrib into a broadcast join
+    # and no edge bytes ever shuffle. On a LARGE graph contrib exceeds the
+    # broadcast threshold and every iteration would sort-merge-shuffle the
+    # whole edge list — there, re-cut e hash-partitioned on src once
+    # (LogicalRDD preserves the partitioning), so iterations shuffle only
+    # the node-size side: O(1) edge shuffles instead of O(iters), the
+    # GraphX edge-partitioning idiom. ~500k nodes ≈ 10 MB of (long,double)
+    # rank rows — the default autoBroadcastJoinThreshold.
+    if deg.count() > 500_000:
+        e = e.repartition(F.col("src")).localCheckpoint()
     n = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     # rank state carries its degree so each iteration is ONE edge-size join
     # (messages) + one node-size join (re-attach degree) instead of two
