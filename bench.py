@@ -77,6 +77,8 @@ HEADLINE: list[str] = [
     "q_dedup_simhash",
     "q_ann_ivf_assign",
     "q_ann_pq_adc",
+    "q_bpe_train_merges",
+    "q_sample_token_budget",
 ]
 
 

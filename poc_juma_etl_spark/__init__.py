@@ -87,6 +87,8 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_ann_ivf_assign",
     "q_ann_pq_adc",
     "q_sample_mixture",
+    "q_bpe_train_merges",
+    "q_sample_token_budget",
 )
 
 
@@ -160,6 +162,7 @@ def all_queries():
         "poc_juma_etl_spark.operators.arrow_ops",
         "poc_juma_etl_spark.operators.cms",
         "poc_juma_etl_spark.operators.graph",
+        "poc_juma_etl_spark.operators.bpe",
         "poc_juma_etl_spark.streaming.events",
         "poc_juma_etl_spark.streaming.join",
         "poc_juma_etl_spark.streaming.enrich",

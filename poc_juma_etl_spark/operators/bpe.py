@@ -1,0 +1,193 @@
+"""BPE merge training — the tokenizer-training loop as a distributed job.
+
+The byte-pair-encoding training algorithm (Sennrich et al. 2016, the
+algorithm behind GPT/Llama tokenizers): repeatedly (1) count every adjacent
+symbol pair in the corpus, (2) pick the most frequent pair, (3) merge every
+left-to-right non-overlapping occurrence of it into a single symbol. Here
+symbols start as whitespace tokens (word-level BPE — the merge dynamics are
+identical to byte-level, without needing byte fixtures).
+
+Scale shape, per merge round:
+- pair counting is ONE map-side-combinable groupBy over in-row adjacent
+  pairs (``arrays_zip`` of the token array with its own tail — no
+  positional explode of the corpus into (doc, pos) rows);
+- the argmax is a ``TakeOrdered`` (orderBy + limit 1) — only the single
+  winning pair ever reaches the driver, exactly like k-means centroid
+  seeds (operators/kmeans.py);
+- the merge itself is a document-local in-row fold (``F.aggregate``):
+  append each token to an accumulator, fusing it with the accumulator's
+  last element whenever the two spell the winning pair. Greedy
+  left-to-right semantics fall out of the fold order, and the
+  self-overlap case (run of identical symbols, pair (a,a)) is handled
+  for free: a freshly merged symbol is the space-joined pair text, which
+  can never equal the bare left symbol, so "aaa" merges positions 1-2
+  and leaves 3 — the reference greedy behavior.
+- the corpus is re-cached each round (and the previous round released) so
+  round k+1's count pass reads round k's materialized arrays instead of
+  replaying k nested folds over the scan.
+
+The DuckDB oracle replays the same rounds with a COMPLETELY different
+algorithm — positional rows, window-function pair detection, and
+gaps-and-islands parity for the self-overlap runs — making this a strong
+cross-engine check in the spirit of q_dedup_components (label propagation
+vs recursive-CTE closure).
+
+Reference scope: the reference repo has no tokenizer layer; this operator
+belongs to the beyond-reference training-data-pipeline surface (SURVEY.md
+§6) alongside dedup/sampling/packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, spread
+from ..plans.queries import register, scoped_cache
+from .text import tokens
+
+N_MERGES = 6
+
+
+def _adjacent_pairs(corpus: DataFrame) -> DataFrame:
+    """(l, r, cnt) for every adjacent symbol pair in the corpus — built
+    in-row (zip of the array with its own tail), one combinable groupBy."""
+    ts = F.col("ts")
+    zipped = F.arrays_zip(
+        F.slice(ts, 1, F.size(ts) - 1).alias("l"),
+        F.slice(ts, 2, F.size(ts) - 1).alias("r"),
+    )
+    return (
+        corpus.select(F.explode(zipped).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _apply_merge(left: str, right: str) -> Column:
+    """Token array with every greedy left-to-right (left, right) adjacency
+    fused into one space-joined symbol — a document-local fold."""
+    return F.aggregate(
+        F.col("ts"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), F.lit(" "), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_merges(corpus: DataFrame, n_merges: int = N_MERGES) -> list[tuple]:
+    """Run ``n_merges`` BPE rounds over ``corpus`` (doc_id, ts) and return
+    [(rank, left, right, count), ...]. Only the per-round winning pair is
+    collected; the corpus never leaves the cluster."""
+    corpus = scoped_cache(corpus)
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        win = (
+            _adjacent_pairs(corpus)
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not win:  # corpus merged down to single-symbol docs
+            break
+        l, r, cnt = win[0].l, win[0].r, win[0].cnt
+        merges.append((rank, l, r, cnt))
+        corpus = scoped_cache(corpus.select("doc_id", _apply_merge(l, r).alias("ts")))
+    return merges
+
+
+def _oracle_sql(n_merges: int = N_MERGES) -> str:
+    """Chained-CTE replay: positional rows, LEAD() pair detection, and
+    gaps-and-islands parity for self-overlapping (a,a) runs."""
+    parts = [
+        """
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    c0 AS (
+      SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts) + 1),
+                                     i -> struct_pack(pos := i, tok := ts[i]))) AS u
+        FROM tok
+      )
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        p, c = f"c{k - 1}", f"c{k}"
+        parts.append(
+            f"""
+    cnt{k} AS (
+      SELECT l, r, COUNT(*) AS cnt FROM (
+        SELECT tok AS l, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS r
+        FROM {p}
+      ) WHERE r IS NOT NULL GROUP BY l, r
+    ),
+    win{k} AS (SELECT l, r, cnt FROM cnt{k} ORDER BY cnt DESC, l, r LIMIT 1),
+    st{k} AS (  -- pair-start positions
+      SELECT c.doc_id, c.pos, c.tok,
+             COALESCE(c.tok = w.l
+                      AND LEAD(c.tok) OVER (PARTITION BY c.doc_id ORDER BY c.pos) = w.r,
+                      FALSE) AS is_start
+      FROM {p} c CROSS JOIN win{k} w
+    ),
+    isl{k} AS (  -- islands of CONSECUTIVE pair-starts (only possible when l = r)
+      SELECT *, CASE WHEN is_start
+                     THEN pos - ROW_NUMBER() OVER (PARTITION BY doc_id, is_start ORDER BY pos)
+                END AS isl
+      FROM st{k}
+    ),
+    act{k} AS (  -- greedy left-to-right = odd positions within each island
+      SELECT *, is_start
+                AND ROW_NUMBER() OVER (PARTITION BY doc_id, isl ORDER BY pos) % 2 = 1
+                AS active
+      FROM isl{k}
+    ),
+    {c} AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+             CASE WHEN active THEN tok || ' ' || nxt ELSE tok END AS tok
+      FROM (
+        SELECT *, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+               LAG(active) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_active
+        FROM act{k}
+      )
+      WHERE prev_active IS DISTINCT FROM TRUE  -- drop consumed right halves
+    )"""
+        )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM win{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH" + ",".join(parts) + f"\n    {finals}\n    ORDER BY merge_rank"
+    )
+
+
+@register(
+    "q_bpe_train_merges",
+    oracle=_oracle_sql(),
+    doc=f"BPE merge training, {N_MERGES} rounds: count adjacent symbol "
+    "pairs (one combinable groupBy per round), take the global argmax "
+    "(TakeOrdered — one row to the driver), fuse every greedy occurrence "
+    "in-row, repeat. The oracle replays the rounds with positional window "
+    "functions and gaps-and-islands parity — a different algorithm "
+    "reaching the same merge table.",
+    tags=("text", "bpe", "tokenizer", "iterative"),
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread(): the per-round fold is CPU-heavy per row; a small single-file
+    # scan would run it on one core (no-op at real scale)
+    d = spread(load_table(spark, sf_dir, "documents"))
+    merges = train_merges(d.select("doc_id", tokens("text").alias("ts")))
+    return spark.createDataFrame(
+        [(r, l, rt, int(c)) for r, l, rt, c in merges],
+        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    ).orderBy("merge_rank")

@@ -347,3 +347,85 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+TOKEN_BUDGET = 12_000
+
+
+@register(
+    "q_sample_token_budget",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS quality
+      FROM tok
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+               AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, quality, cum_tokens
+    FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
+    ORDER BY doc_id
+    """,
+    doc=f"Token-budget corpus selection: rank documents by quality "
+    f"(distinct-token ratio), keep the best until a global budget of "
+    f"{TOKEN_BUDGET} tokens is filled — the data-curation primitive "
+    "behind 'train on the best N tokens'. The global ordered cumulative "
+    "sum is computed the scale-safe way: range-repartition on the rank "
+    "key, per-partition running sums in parallel windows, and only the "
+    "per-partition TOTALS (one row per partition) reach the driver to "
+    "become broadcast offsets — never a single-partition global window, "
+    "which would serialize the whole corpus through one task.",
+    tags=("sampling", "curation", "budget"),
+)
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..plans.queries import scoped_cache
+    from .text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens("text")
+    scored = d.select(
+        "doc_id",
+        F.size(ts).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(ts)).cast("double") / F.size(ts)).alias("quality"),
+    )
+    # range-partition on the global rank order, sort within partitions, and
+    # pin the layout with a cache so the offsets pass and the window pass
+    # see the same partitioning (repartitionByRange samples to pick bounds)
+    nb = max(2, spark.sparkContext.defaultParallelism)
+    rp = scoped_cache(
+        scored.repartitionByRange(nb, F.desc("quality"), F.asc("doc_id"))
+        .sortWithinPartitions(F.desc("quality"), F.asc("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # one row per partition to the driver; exclusive prefix sum -> offsets
+    totals = {
+        r.pid: r.t for r in rp.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(totals):
+        offs.append((pid, acc))
+        acc += totals[pid]
+    offsets = F.broadcast(
+        spark.createDataFrame(offs or [(0, 0)], "pid int, off bigint")
+    )
+    w = (
+        W.partitionBy("pid")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        rp.join(offsets, "pid")
+        .withColumn("cum_tokens", F.col("off") + F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "n_tokens", "quality", "cum_tokens")
+        .orderBy("doc_id")
+    )

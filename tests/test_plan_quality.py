@@ -224,3 +224,12 @@ def test_cms_lookup_rides_a_broadcast(spark):
     # shuffling the lookups against it would add a pointless exchange
     plan = plan_of(spark, "q_sketch_cms_heavy_hitters")
     assert "BroadcastHashJoin" in plan
+
+
+def test_token_budget_window_is_partition_parallel(spark):
+    # the global ordered cumsum must run as per-partition windows keyed on
+    # the range-partition id — a windowspec with NO partition key would pull
+    # the whole corpus through one task at 100 TB
+    plan = plan_of(spark, "q_sample_token_budget")
+    assert "windowspecdefinition(pid#" in plan
+    assert "BroadcastHashJoin" in plan  # offsets ride a broadcast
