@@ -156,8 +156,24 @@ SWEEP = [
 
 
 @pytest.mark.parametrize("name", sorted(SWEEP), ids=str)
-def test_no_cartesian_product(spark, name):
-    assert "CartesianProduct" not in plan_of(spark, name), name
+def test_no_cartesian_product_or_global_window(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+    # no partition-less windowspec anywhere in the registry: a global window
+    # moves ALL rows to a single partition — fine on a 3-row summary today,
+    # a 100 TB serialization point the day someone feeds it a corpus. A
+    # spec whose first argument is already a sort direction has no
+    # partition keys.
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        first_arg = m.group(1).split(",")[0]
+        assert not (
+            first_arg.endswith(" ASC NULLS FIRST")
+            or first_arg.endswith(" ASC NULLS LAST")
+            or first_arg.endswith(" DESC NULLS FIRST")
+            or first_arg.endswith(" DESC NULLS LAST")
+        ), f"{name}: partition-less window: {m.group(1)[:120]}"
 
 
 def test_winnow_is_shuffle_free(spark):
