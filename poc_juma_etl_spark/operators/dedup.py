@@ -133,14 +133,18 @@ def ngram_jaccard_pairs(
     self-join of the naive inverted index."""
     sh = scoped_cache(_shingles(d))
     # document-frequency cap: sh is distinct per (doc_id, shingle), so
-    # count(*) per shingle IS the document frequency
-    keep = (
+    # count(*) per shingle IS the document frequency. Filter by ANTI-joining
+    # the HOT set (df > cutoff) rather than inner-joining the keep list:
+    # hot is bounded by corpus_size/cutoff distinct values — usually tiny,
+    # so AQE broadcasts it — while the keep list is nearly the whole
+    # shingle vocabulary and would force a full shuffle join of both sides.
+    hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= df_cutoff)
+        .filter(F.col("df") > df_cutoff)
         .select("shingle")
     )
-    kept = scoped_cache(sh.join(keep, "shingle"))
+    kept = scoped_cache(sh.join(hot, "shingle", "left_anti"))
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     posts = (
         kept.groupBy("shingle")
