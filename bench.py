@@ -79,6 +79,7 @@ HEADLINE: list[str] = [
     "q_ann_pq_adc",
     "q_bpe_train_merges",
     "q_sample_token_budget",
+    "q_ann_ivfpq_topk",
 ]
 
 

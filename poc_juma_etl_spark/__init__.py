@@ -89,6 +89,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_sample_mixture",
     "q_bpe_train_merges",
     "q_sample_token_budget",
+    "q_ann_ivfpq_topk",
 )
 
 

@@ -357,3 +357,183 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "adc_dist", "cosine", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed IVF + PQ index (the FAISS IVFADC layout, by_residual=false):
+# a coarse quantizer routes every vector to a cell; queries probe only their
+# NPROBE nearest cells and ADC-scan the codes stored there. The scan cost
+# per query drops from O(corpus) to O(corpus * NPROBE / NCELLS) — the
+# composition that makes billion-vector ANN tractable. Both codebooks are
+# the deterministic lowest-vec_id seeds (q_ann_ivf_assign / q_ann_pq_adc),
+# so the whole index — routing, codes, probes, ranks — is int-exact and
+# fully SQL-oracled.
+NCELLS = 8
+NPROBE = 2
+
+
+@register(
+    "q_ann_ivfpq_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4194304) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cseeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, qv AS cv
+      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {NCELLS})
+    ),
+    cdist AS (
+      SELECT q.vec_id, s.cid,
+             CAST(list_sum(list_transform(list_zip(q.qv, s.cv),
+                                          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d
+      FROM q, cseeds s
+    ),
+    cells AS (  -- coarse routing: every vector's nearest cell
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM cdist
+      ) WHERE rn = 1
+    ),
+    probes AS (  -- queries probe their {NPROBE} nearest cells
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM cdist WHERE vec_id < {N_QUERIES}
+      ) WHERE rn <= {NPROBE}
+    ),
+    pseeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS k, qv
+      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {K})
+    ),
+    cb AS (
+      SELECT CAST(r.m AS INTEGER) AS m, k,
+             list_slice(qv, r.m * {64 // M} + 1, (r.m + 1) * {64 // M}) AS cv
+      FROM pseeds, range(0, {M}) r(m)
+    ),
+    subs AS (
+      SELECT vec_id, CAST(r.m AS INTEGER) AS m,
+             list_slice(qv, r.m * {64 // M} + 1, (r.m + 1) * {64 // M}) AS sv
+      FROM q, range(0, {M}) r(m)
+    ),
+    dists AS (
+      SELECT s.vec_id, s.m, c.k,
+             CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
+                                          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d
+      FROM subs s JOIN cb c ON c.m = s.m
+    ),
+    enc AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    adc AS (  -- ADC over probed cells only
+      SELECT l.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(l.d) AS BIGINT) AS adc_dist
+      FROM enc e
+      JOIN dists l ON l.m = e.m AND l.k = e.code
+      JOIN cells c ON c.vec_id = e.vec_id
+      JOIN probes p ON p.query_id = l.vec_id AND p.cell = c.cell
+      WHERE l.vec_id < {N_QUERIES} AND e.vec_id <> l.vec_id
+      GROUP BY l.vec_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
+      FROM adc
+    ) WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+    doc=f"IVF+PQ composed index (FAISS IVFADC layout, by_residual=false): "
+    f"a {NCELLS}-cell coarse quantizer routes every vector at encode time; "
+    f"queries probe their {NPROBE} nearest cells and ADC-scan only the "
+    f"codes stored there — per-query scan cost O(corpus·{NPROBE}/{NCELLS}) "
+    "instead of O(corpus), the composition that makes billion-vector ANN "
+    "tractable. Corpus side is one codegen map (cell + codes) and never "
+    "shuffles on corpus size; the probe table is queries×nprobe rows and "
+    "rides a broadcast into the candidate join. Deterministic seeded "
+    "codebooks keep the whole index int-exact and SQL-oracled.",
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .dedup import SPARK_QVEC
+
+    d = 64 // M
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    vecs = e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
+    first = vecs.orderBy("vec_id").limit(max(K, NCELLS)).collect()
+    coarse = [[int(x) for x in r.qv] for r in first[:NCELLS]]
+    cb = [[[int(x) for x in r.qv[mi * d : (mi + 1) * d]] for r in first[:K]] for mi in range(M)]
+
+    def arr(vals: list[int]) -> str:
+        return "array(" + ",".join(f"{v}L" for v in vals) + ")"
+
+    def sq_dist(sv: str, cv: list[int]) -> str:
+        return (
+            f"aggregate(zip_with({sv}, {arr(cv)}, (x,y) -> (x-y)*(x-y)), "
+            "CAST(0 AS BIGINT), (acc,v) -> acc + v)"
+        )
+
+    def sv(mi: int) -> str:
+        return f"slice(qv, {mi * d + 1}, {d})"
+
+    # coarse distances to all cells, as one sorted struct array: element 1
+    # is the vector's cell; the first NPROBE are a query's probe set
+    csorted = (
+        "array_sort(array("
+        + ",".join(
+            f"named_struct('d', {sq_dist('qv', coarse[cid])}, 'cid', {cid})"
+            for cid in range(NCELLS)
+        )
+        + "))"
+    )
+    codes = "array(" + ",".join(
+        "array_min(array("
+        + ",".join(
+            f"named_struct('d', {sq_dist(sv(mi), cb[mi][k])}, 'cid', {k})"
+            for k in range(K)
+        )
+        + ")).cid"
+        for mi in range(M)
+    ) + ")"
+    coded = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(f"{csorted}[0].cid").alias("cell"),
+        F.expr(codes).alias("codes"),
+    )
+    luts = "array(" + ",".join(
+        "array(" + ",".join(sq_dist(sv(mi), cb[mi][k]) for k in range(K)) + ")"
+        for mi in range(M)
+    ) + ")"
+    probes = (
+        vecs.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(f"transform(slice({csorted}, 1, {NPROBE}), s -> s.cid)").alias("pcells"),
+            F.expr(luts).alias("luts"),
+        )
+        .select("query_id", F.explode("pcells").alias("p_cell"), "luts")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("luts"), lambda c, lut: F.element_at(lut, c + 1)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        coded.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("p_cell"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn("adc_dist", adc)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rk")
+        .orderBy("query_id", "rk")
+    )
