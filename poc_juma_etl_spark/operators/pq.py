@@ -480,16 +480,18 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sv(mi: int) -> str:
         return f"slice(qv, {mi * d + 1}, {d})"
 
-    # coarse distances to all cells, as one sorted struct array: element 1
-    # is the vector's cell; the first NPROBE are a query's probe set
-    csorted = (
-        "array_sort(array("
+    # coarse distances to all cells as a struct array: the corpus side only
+    # needs the argmin (array_min — no per-row sort); the 10-query probe
+    # side sorts to take the NPROBE nearest
+    cstructs = (
+        "array("
         + ",".join(
             f"named_struct('d', {sq_dist('qv', coarse[cid])}, 'cid', {cid})"
             for cid in range(NCELLS)
         )
-        + "))"
+        + ")"
     )
+    csorted = f"array_sort({cstructs})"
     codes = "array(" + ",".join(
         "array_min(array("
         + ",".join(
@@ -501,7 +503,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + ")"
     coded = vecs.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.expr(f"{csorted}[0].cid").alias("cell"),
+        F.expr(f"array_min({cstructs}).cid").alias("cell"),
         F.expr(codes).alias("codes"),
     )
     luts = "array(" + ",".join(
