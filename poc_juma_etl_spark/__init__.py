@@ -90,6 +90,8 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_bpe_train_merges",
     "q_sample_token_budget",
     "q_ann_ivfpq_topk",
+    "q_bpe_encode",
+    "q_entity_resolution",
 )
 
 
@@ -164,6 +166,7 @@ def all_queries():
         "poc_juma_etl_spark.operators.cms",
         "poc_juma_etl_spark.operators.graph",
         "poc_juma_etl_spark.operators.bpe",
+        "poc_juma_etl_spark.operators.entity",
         "poc_juma_etl_spark.streaming.events",
         "poc_juma_etl_spark.streaming.join",
         "poc_juma_etl_spark.streaming.enrich",

@@ -82,10 +82,10 @@ def _apply_merge(left: str, right: str) -> Column:
     )
 
 
-def train_merges(corpus: DataFrame, n_merges: int = N_MERGES) -> list[tuple]:
+def train(corpus: DataFrame, n_merges: int = N_MERGES) -> tuple[list[tuple], DataFrame]:
     """Run ``n_merges`` BPE rounds over ``corpus`` (doc_id, ts) and return
-    [(rank, left, right, count), ...]. Only the per-round winning pair is
-    collected; the corpus never leaves the cluster."""
+    ([(rank, left, right, count), ...], final_corpus). Only the per-round
+    winning pair is collected; the corpus never leaves the cluster."""
     corpus = scoped_cache(corpus)
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
@@ -100,7 +100,12 @@ def train_merges(corpus: DataFrame, n_merges: int = N_MERGES) -> list[tuple]:
         l, r, cnt = win[0].l, win[0].r, win[0].cnt
         merges.append((rank, l, r, cnt))
         corpus = scoped_cache(corpus.select("doc_id", _apply_merge(l, r).alias("ts")))
-    return merges
+    return merges, corpus
+
+
+def train_merges(corpus: DataFrame, n_merges: int = N_MERGES) -> list[tuple]:
+    """Merge table only — see :func:`train`."""
+    return train(corpus, n_merges)[0]
 
 
 def _oracle_sql(n_merges: int = N_MERGES) -> str:
@@ -162,18 +167,35 @@ def _oracle_sql(n_merges: int = N_MERGES) -> str:
       WHERE prev_active IS DISTINCT FROM TRUE  -- drop consumed right halves
     )"""
         )
+    return "WITH" + ",".join(parts)
+
+
+def _oracle_merge_table(n_merges: int = N_MERGES) -> str:
     finals = "\n    UNION ALL ".join(
         f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM win{k}"
         for k in range(1, n_merges + 1)
     )
+    return _oracle_sql(n_merges) + f"\n    {finals}\n    ORDER BY merge_rank"
+
+
+def _oracle_encoded_counts(n_merges: int = N_MERGES) -> str:
     return (
-        "WITH" + ",".join(parts) + f"\n    {finals}\n    ORDER BY merge_rank"
+        _oracle_sql(n_merges)
+        + f"""
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_symbols,
+           CAST(SUM(CASE WHEN tok LIKE '% %' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_merged_symbols,
+           CAST(MAX(len(string_split(tok, ' '))) AS BIGINT) AS longest_symbol_words
+    FROM c{n_merges}
+    GROUP BY doc_id
+    ORDER BY doc_id"""
     )
 
 
 @register(
     "q_bpe_train_merges",
-    oracle=_oracle_sql(),
+    oracle=_oracle_merge_table(),
     doc=f"BPE merge training, {N_MERGES} rounds: count adjacent symbol "
     "pairs (one combinable groupBy per round), take the global argmax "
     "(TakeOrdered — one row to the driver), fuse every greedy occurrence "
@@ -191,3 +213,33 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, l, rt, int(c)) for r, l, rt, c in merges],
         "merge_rank int, left_sym string, right_sym string, pair_count bigint",
     ).orderBy("merge_rank")
+
+@register(
+    "q_bpe_encode",
+    oracle=_oracle_encoded_counts(),
+    doc=f"BPE encoding: apply the {N_MERGES} learned merges to the corpus "
+    "(each an in-row greedy fold, map-only) and report per-document "
+    "compression — symbol count after merging, how many symbols are "
+    "multi-word merges, and the longest merged symbol. The encode pass is "
+    "embarrassingly parallel at any corpus size: the merge table is "
+    "driver-small, the folds never shuffle, and only the per-doc counts "
+    "aggregate. Oracle replays the identical chain with window functions.",
+    tags=("text", "bpe", "tokenizer"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    _, corpus = train(d.select("doc_id", tokens("text").alias("ts")))
+    return (
+        corpus.select("doc_id", F.explode("ts").alias("tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_symbols"),
+            F.sum(F.when(F.col("tok").contains(" "), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_merged_symbols"),
+            F.max(F.size(F.split(F.col("tok"), " ", -1)))
+            .cast("bigint")
+            .alias("longest_symbol_words"),
+        )
+        .orderBy("doc_id")
+    )
