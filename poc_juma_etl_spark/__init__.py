@@ -92,6 +92,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_ann_ivfpq_topk",
     "q_bpe_encode",
     "q_entity_resolution",
+    "q_trend_fit_forecast",
 )
 
 

@@ -618,3 +618,89 @@ def q_dq_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_trend_fit_forecast",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS grp,
+             CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS x,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(MAX(x) AS BIGINT) AS xmax
+      FROM m GROUP BY grp
+    )
+    SELECT grp, n AS n_months,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 4) AS intercept_cents,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+                 + (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(xmax + 1 AS DOUBLE),
+                 4) AS forecast_cents
+    FROM a
+    ORDER BY grp
+    """,
+    doc="Per-group OLS trend fit + one-step forecast: monthly revenue per "
+    "order priority regressed on the month index, slope/intercept from the "
+    "closed-form normal equations, forecast at x_max+1. Cross-engine "
+    "exactness by construction: revenue is quantized to integer cents, "
+    "every sum (n, Σx, Σx², Σy, Σxy) is exact int64, and the combined "
+    "terms stay below 2^53 so even the int→double conversions are exact — "
+    "the one division then runs on bit-identical operands in both engines. "
+    "Two map-side-combinable aggregations, no window, no driver math: the "
+    "same plan fits millions of series at 100 TB.",
+    tags=("stats", "regression", "forecast"),
+)
+def q_trend_fit_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = (
+        (F.year("o_orderdate") - F.lit(1992)) * 12 + F.month("o_orderdate") - 1
+    ).cast("bigint")
+    m = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("grp"), x.alias("x")
+        ).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    a = m.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.max("x").cast("bigint").alias("xmax"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    forecast = intercept + slope * (F.col("xmax") + 1).cast("double")
+    return (
+        a.select(
+            "grp",
+            F.col("n").alias("n_months"),
+            F.round(slope, 6).alias("slope_cents"),
+            F.round(intercept, 4).alias("intercept_cents"),
+            F.round(forecast, 4).alias("forecast_cents"),
+        )
+        .orderBy("grp")
+    )
