@@ -93,6 +93,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_bpe_encode",
     "q_entity_resolution",
     "q_trend_fit_forecast",
+    "q_basket_lift",
 )
 
 
@@ -168,6 +169,7 @@ def all_queries():
         "poc_juma_etl_spark.operators.graph",
         "poc_juma_etl_spark.operators.bpe",
         "poc_juma_etl_spark.operators.entity",
+        "poc_juma_etl_spark.operators.basket",
         "poc_juma_etl_spark.streaming.events",
         "poc_juma_etl_spark.streaming.join",
         "poc_juma_etl_spark.streaming.enrich",
