@@ -94,6 +94,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_entity_resolution",
     "q_trend_fit_forecast",
     "q_basket_lift",
+    "q_graph_triangles",
 )
 
 
