@@ -95,6 +95,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_trend_fit_forecast",
     "q_basket_lift",
     "q_graph_triangles",
+    "q_event_attribution",
 )
 
 

@@ -346,3 +346,92 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("target", "yyyy-MM-dd").alias("day"), "wau", "dau")
         .orderBy("day")
     )
+
+
+ATTR_WINDOW_S = 7 * 86400  # attribution lookback
+
+
+@register(
+    "q_event_attribution",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec, value
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_type, sec, value,
+             MAX(CASE WHEN event_type = 'click' THEN sec END) OVER (
+               PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN {ATTR_WINDOW_S} PRECEDING AND 1 PRECEDING
+             ) AS last_click_sec,
+             MIN(CASE WHEN event_type = 'click' THEN sec END) OVER (
+               PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN {ATTR_WINDOW_S} PRECEDING AND 1 PRECEDING
+             ) AS first_click_sec
+      FROM ev
+    ),
+    p AS (SELECT * FROM w WHERE event_type = 'purchase'),
+    attr AS (
+      SELECT 'first' AS touch, first_click_sec // 86400 AS attr_day, value
+      FROM p WHERE first_click_sec IS NOT NULL
+      UNION ALL
+      SELECT 'last', last_click_sec // 86400, value
+      FROM p WHERE last_click_sec IS NOT NULL
+    )
+    SELECT touch, CAST(attr_day AS BIGINT) AS attr_day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS attributed_value
+    FROM attr
+    GROUP BY touch, attr_day
+    ORDER BY touch, attr_day
+    """,
+    doc="Marketing attribution: each purchase's value is credited to the "
+    "user's first and last click inside a 7-day lookback, then revenue is "
+    "rolled up by attribution day (epoch-day integer — no tz arithmetic) "
+    "and touch model. The lookup is a conditional RANGE-frame window "
+    "(MAX/MIN of click times over the preceding-seconds frame) partitioned "
+    "per user — no self-join of the event stream, state bounded by the "
+    "frame, parallel across users at any event volume. Value totals are "
+    "decimal-summed for order independence.",
+    tags=("events", "attribution", "behavior", "window"),
+)
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("sec"),
+        "value",
+    )
+    frame = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-ATTR_WINDOW_S, -1)
+    )
+    click_sec = F.when(F.col("event_type") == "click", F.col("sec"))
+    p = (
+        ev.withColumn("last_click_sec", F.max(click_sec).over(frame))
+        .withColumn("first_click_sec", F.min(click_sec).over(frame))
+        .filter(F.col("event_type") == "purchase")
+    )
+    first = p.filter(F.col("first_click_sec").isNotNull()).select(
+        F.lit("first").alias("touch"),
+        F.expr("CAST(first_click_sec DIV 86400 AS BIGINT)").alias("attr_day"),
+        "value",
+    )
+    last = p.filter(F.col("last_click_sec").isNotNull()).select(
+        F.lit("last").alias("touch"),
+        F.expr("CAST(last_click_sec DIV 86400 AS BIGINT)").alias("attr_day"),
+        "value",
+    )
+    return (
+        first.unionByName(last)
+        .groupBy("touch", "attr_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            dsum("value", "attributed_value"),
+        )
+        .orderBy("touch", "attr_day")
+    )
