@@ -246,12 +246,17 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = scoped_cache(e1.join(e2, "b").join(e3, ["a", "c"]))
-    total = tri.agg(F.count(F.lit(1)).cast("bigint").alias("total_triangles"))
-    pernode = (
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # one pass over the (potentially huge) triangle table: per-node counts
+    # by exploding each triangle's corners, and the global total recovered
+    # as sum/3 — no second scan, no cache of the triangle table
+    pernode = scoped_cache(
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    total = pernode.agg(
+        (F.sum("n_triangles") / 3).cast("bigint").alias("total_triangles")
     )
     return (
         pernode.crossJoin(F.broadcast(total))
