@@ -96,6 +96,12 @@ def er_match_edges(p: DataFrame, lev_max: int = ER_LEV_MAX) -> DataFrame:
 )
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    return golden_records(p)
+
+
+def golden_records(p: DataFrame) -> DataFrame:
+    """Golden records for ``p`` (p_partkey, p_name, p_brand, p_retailprice):
+    match → cluster → survivorship, one row per resolved entity."""
     comp = connected_components(er_match_edges(p))
     clustered = (
         p.join(comp, p.p_partkey == comp.node, "left")

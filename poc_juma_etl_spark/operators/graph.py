@@ -205,9 +205,15 @@ TRI_TOP = 10
     tags=("graph", "triangles", "cooccurrence"),
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return triangle_top(li)
+
+
+def triangle_top(li: DataFrame, top: int = TRI_TOP) -> DataFrame:
+    """Top-``top`` parts by triangle participation over the co-purchase
+    graph of ``li`` (l_orderkey, l_partkey), plus the global count."""
     from ..plans.queries import scoped_cache
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
@@ -261,5 +267,5 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pernode.crossJoin(F.broadcast(total))
         .orderBy(F.desc("n_triangles"), "node")
-        .limit(TRI_TOP)
+        .limit(top)
     )

@@ -1,0 +1,115 @@
+"""Round-3 operators: corner semantics pinned on hand-built frames (the
+oracle gate proves fixture-level parity; these pin the boundary rules a
+plausible-looking rewrite could silently change)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_attribution_frame_boundaries(spark):
+    # click at purchase-1s attributes; click at the same second as the
+    # purchase does NOT (frame ends at 1 PRECEDING); click exactly 7 days
+    # earlier attributes (RANGE lower bound is inclusive)
+    from poc_juma_etl_spark.plans.behavior import ATTR_WINDOW_S
+
+    base = datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # user 1: click 1s before purchase -> last-touch hit
+        (1, 1, "click", datetime(2024, 1, 10, 11, 59, 59), 0.0),
+        (2, 1, "purchase", base, 100.0),
+        # user 2: click at the same second -> excluded
+        (3, 2, "click", base, 0.0),
+        (4, 2, "purchase", base, 50.0),
+        # user 3: click exactly ATTR_WINDOW_S earlier -> included
+        (5, 3, "click", datetime.fromtimestamp(base.timestamp() - ATTR_WINDOW_S), 0.0),
+        (6, 3, "purchase", base, 25.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    ev = df.select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("sec"), "value"
+    )
+    from pyspark.sql import Window as W
+
+    frame = W.partitionBy("user_id").orderBy("sec").rangeBetween(-ATTR_WINDOW_S, -1)
+    click_sec = F.when(F.col("event_type") == "click", F.col("sec"))
+    p = (
+        ev.withColumn("last_click_sec", F.max(click_sec).over(frame))
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "last_click_sec")
+        .collect()
+    )
+    got = {r.user_id: r.last_click_sec for r in p}
+    assert got[1] is not None
+    assert got[2] is None
+    assert got[3] is not None
+
+
+def test_basket_pairs_need_two_distinct_items(spark):
+    from poc_juma_etl_spark.operators.basket import q_basket_lift  # noqa: F401
+
+    b = spark.createDataFrame(
+        [(1, ["A"]), (2, ["A", "B", "C"])], "l_orderkey long, brands array<string>"
+    )
+    pairs = (
+        b.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, (x, i) -> "
+                    "transform(slice(brands, i + 2, size(brands)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .collect()
+    )
+    got = {(r.a, r.b) for r in pairs}
+    assert got == {("A", "B"), ("A", "C"), ("B", "C")}  # singleton emits none
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 minus one edge has exactly 2 triangles; nodes on the shared edge
+    # participate in both
+    from poc_juma_etl_spark.operators.graph import triangle_top
+    from poc_juma_etl_spark.plans.queries import release_caches
+
+    li = spark.createDataFrame(
+        # order 1 = {1,2,3}, order 2 = {2,3,4}: edges of K4 minus (1,4)
+        [(1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (2, 4)],
+        "l_orderkey long, l_partkey long",
+    )
+    try:
+        rows = triangle_top(li).collect()
+    finally:
+        release_caches()
+    by_node = {r.node: r.n_triangles for r in rows}
+    assert rows[0].total_triangles == 2
+    assert by_node == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_entity_survivorship_price_vs_name(spark):
+    # canonical name comes from the MIN-key member even when another
+    # member carries the surviving (max) price
+    from poc_juma_etl_spark.operators.entity import golden_records
+    from poc_juma_etl_spark.plans.queries import release_caches
+
+    p = spark.createDataFrame(
+        [
+            (10, "alpha widget", "B1", 5.0),
+            (11, "alpha widgex", "B1", 9.0),  # 1 edit away, higher price
+            (12, "unrelated thing", "B1", 7.0),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_retailprice double",
+    )
+    try:
+        rows = golden_records(p).collect()
+    finally:
+        release_caches()
+    ent = {r.entity_id: r for r in rows}
+    assert ent[10].n_members == 2
+    assert ent[10].canonical_name == "alpha widget"
+    assert ent[10].best_price == 9.0
+    assert ent[12].n_members == 1
