@@ -385,9 +385,6 @@ TOKEN_BUDGET = 12_000
     tags=("sampling", "curation", "budget"),
 )
 def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    from ..plans.queries import scoped_cache
     from .text import tokens
 
     d = load_table(spark, sf_dir, "documents")
@@ -397,6 +394,18 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ts).cast("bigint").alias("n_tokens"),
         (F.size(F.array_distinct(ts)).cast("double") / F.size(ts)).alias("quality"),
     )
+    return budget_select(spark, scored, TOKEN_BUDGET)
+
+
+def budget_select(spark: SparkSession, scored: DataFrame, budget: int) -> DataFrame:
+    """Keep the highest-quality documents of ``scored`` (doc_id, n_tokens,
+    quality) whose inclusive global cumulative token count stays within
+    ``budget`` — the distributed ordered-prefix-sum, never a
+    single-partition window."""
+    from pyspark.sql.window import Window as W
+
+    from ..plans.queries import scoped_cache
+
     # range-partition on the global rank order, sort within partitions, and
     # pin the layout with a cache so the offsets pass and the window pass
     # see the same partitioning (repartitionByRange samples to pick bounds)
@@ -425,7 +434,7 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rp.join(offsets, "pid")
         .withColumn("cum_tokens", F.col("off") + F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .filter(F.col("cum_tokens") <= budget)
         .select("doc_id", "n_tokens", "quality", "cum_tokens")
         .orderBy("doc_id")
     )

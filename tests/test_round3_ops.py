@@ -113,3 +113,48 @@ def test_entity_survivorship_price_vs_name(spark):
     assert ent[10].canonical_name == "alpha widget"
     assert ent[10].best_price == 9.0
     assert ent[12].n_members == 1
+
+
+def test_token_budget_matches_naive_model(spark):
+    # distributed range-partitioned prefix sum == naive sorted cumsum, for
+    # arbitrary sizes/qualities including duplicates of quality values
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from poc_juma_etl_spark.operators.sampling import budget_select
+    from poc_juma_etl_spark.plans.queries import release_caches
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(1, 40), st.sampled_from([0.25, 0.5, 0.75, 1.0])),
+            min_size=1,
+            max_size=60,
+        ),
+        budget=st.integers(1, 600),
+    )
+    def run(rows, budget):
+        data = [(i, n, q) for i, (n, q) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "doc_id long, n_tokens bigint, quality double"
+        )
+        try:
+            got = {
+                r.doc_id: r.cum_tokens
+                for r in budget_select(spark, df, budget).collect()
+            }
+        finally:
+            release_caches()
+        expect, acc = {}, 0
+        for doc_id, n, q in sorted(data, key=lambda r: (-r[2], r[0])):
+            acc += n
+            if acc > budget:
+                break
+            expect[doc_id] = acc
+        assert got == expect
+
+    run()
