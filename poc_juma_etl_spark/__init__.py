@@ -96,6 +96,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_basket_lift",
     "q_graph_triangles",
     "q_event_attribution",
+    "q_snapshot_diff",
 )
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .queries import register
+from .queries import dsum, register
 
 
 @register(
@@ -703,4 +703,88 @@ def q_trend_fit_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(forecast, 4).alias("forecast_cents"),
         )
         .orderBy("grp")
+    )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 3
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 17 = 2 THEN o_totalprice * 2 ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 5
+    ),
+    d AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+             CASE
+               WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+             END AS change_type,
+             COALESCE(n.o_totalprice, o.o_totalprice) AS price
+      FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(k) AS BIGINT) AS min_key, CAST(MAX(k) AS BIGINT) AS max_key,
+           CAST(SUM(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+    FROM d WHERE change_type IS NOT NULL
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+    doc="Snapshot diff / change-data audit: two loads of the orders table "
+    "(derived deterministically — rows missing from the old load, rows "
+    "deleted from the new one, and price-doubled rows as updates) are "
+    "full-outer joined on the key and classified added / removed / "
+    "changed with null-safe comparisons, then summarized per change type. "
+    "One shuffle on the key — the operator a warehouse runs to validate "
+    "every incremental load, and the join shape Delta/Iceberg CDF "
+    "materializes natively.",
+    tags=("etl", "diff", "audit", "cdc"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 11 != 3)
+    new = o.filter(F.col("o_orderkey") % 13 != 5).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 17 == 2, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    j = old.alias("o").join(
+        new.alias("n"),
+        F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .when(
+            ~F.col("o.o_orderstatus").eqNullSafe(F.col("n.o_orderstatus"))
+            | ~F.col("o.o_totalprice").eqNullSafe(F.col("n.o_totalprice")),
+            "changed",
+        )
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("k"),
+            change.alias("change_type"),
+            F.coalesce(F.col("n.o_totalprice"), F.col("o.o_totalprice")).alias("price"),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("k").cast("bigint").alias("min_key"),
+            F.max("k").cast("bigint").alias("max_key"),
+            dsum("price", "sum_price"),
+        )
+        .orderBy("change_type")
     )
