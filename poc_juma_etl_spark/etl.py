@@ -14,6 +14,7 @@ firing a Gold materialization as soon as its upstream RAW table lands.
 from __future__ import annotations
 
 import datetime as dt
+import time
 from concurrent.futures import ThreadPoolExecutor, as_completed
 
 from pyspark.sql import DataFrame, SparkSession
@@ -105,6 +106,8 @@ def run_all(
     materialize_gold: bool = True,
     log_dir: str | None = None,
     board=None,
+    retries: int = 2,
+    retry_backoff_s: float = 0.5,
 ) -> dict[str, str]:
     """O1/O2/O3 — parallel fan-out over tables with completion-ordered Gold
     triggers (reference run_parallel_etl, main.py:97-192). With ``log_dir``
@@ -124,7 +127,21 @@ def run_all(
         # wait instead of execution
         if board:
             board.mark(n, db.RUNNING)
-        return run_table(spark, sf_dir, warehouse_dir, n, None, log_dir)
+        # Bounded retry with exponential backoff. This is SAFE to do blindly
+        # because the write path is R1's atomic dynamic-partition overwrite:
+        # a failed attempt either never committed its partitions or replaced
+        # them whole, so re-running the same range is idempotent — retrying
+        # a non-idempotent writer here would be a correctness bug, not a
+        # robustness feature.
+        last: Exception | None = None
+        for attempt in range(retries + 1):
+            try:
+                return run_table(spark, sf_dir, warehouse_dir, n, None, log_dir)
+            except Exception as exc:  # noqa: BLE001 — transient executor/IO errors
+                last = exc
+                if attempt < retries:
+                    time.sleep(retry_backoff_s * (2**attempt))
+        raise last  # type: ignore[misc]
 
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         futures = {}

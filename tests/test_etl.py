@@ -351,3 +351,59 @@ def test_gold_incremental_refresh(spark, tmp_path):
     assert incremental.count() == full_df.count()
     assert incremental.exceptAll(full_df).isEmpty()
     assert full_df.exceptAll(incremental).isEmpty()
+
+
+def test_run_all_retries_transient_failures(spark, tmp_path, monkeypatch):
+    # a table whose first attempt dies must be retried and succeed — safe
+    # precisely because the write path is the atomic range replacement
+    import poc_juma_etl_spark.etl as etl_mod
+    from poc_juma_etl_spark.etl import run_all
+    from poc_juma_etl_spark.registry import SERVICE_MAP
+
+    victim = next(iter(SERVICE_MAP))
+    real = etl_mod.run_table
+    failures = {"left": 1}
+
+    def flaky(spark_, sf_dir, wh, name, *a, **kw):
+        if name == victim and failures["left"] > 0:
+            failures["left"] -= 1
+            raise RuntimeError("injected transient failure")
+        return real(spark_, sf_dir, wh, name, *a, **kw)
+
+    monkeypatch.setattr(etl_mod, "run_table", flaky)
+    results = run_all(
+        spark,
+        SF_SMOKE,
+        str(tmp_path / "wh"),
+        tables=[victim],
+        materialize_gold=False,
+        retries=2,
+        retry_backoff_s=0.01,
+    )
+    assert victim in results
+    assert failures["left"] == 0  # the injected failure actually fired
+
+
+def test_run_all_exhausted_retries_raise(spark, tmp_path, monkeypatch):
+    import pytest
+
+    import poc_juma_etl_spark.etl as etl_mod
+    from poc_juma_etl_spark.etl import run_all
+    from poc_juma_etl_spark.registry import SERVICE_MAP
+
+    victim = next(iter(SERVICE_MAP))
+
+    def always_fail(*a, **kw):
+        raise RuntimeError("permanent failure")
+
+    monkeypatch.setattr(etl_mod, "run_table", always_fail)
+    with pytest.raises(RuntimeError, match="permanent failure"):
+        run_all(
+            spark,
+            SF_SMOKE,
+            str(tmp_path / "wh"),
+            tables=[victim],
+            materialize_gold=False,
+            retries=1,
+            retry_backoff_s=0.01,
+        )
