@@ -66,20 +66,50 @@ def _adjacent_pairs(corpus: DataFrame) -> DataFrame:
 
 def _apply_merge(left: str, right: str) -> Column:
     """Token array with every greedy left-to-right (left, right) adjacency
-    fused into one space-joined symbol — a document-local fold."""
-    return F.aggregate(
-        F.col("ts"),
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (x == F.lit(right)),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.concat(F.element_at(acc, -1), F.lit(" "), x)),
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
+    fused into one space-joined symbol — document-local, O(len) per doc.
+
+    When left != right (every realistic winner), two pair-starts can never
+    be adjacent, so greedy == "merge at every start, drop every position
+    whose predecessor is a start" — a linear filter + transform over the
+    index sequence with no sequential state. The accumulator fold (which
+    copies the whole accumulator array per token, O(len²) per document —
+    fine at fixture lengths, hostile to 4k-token documents at corpus
+    scale) is kept only for the left == right case, where runs of the
+    symbol need the sequential consumed-position chain."""
+    ts = F.col("ts")
+    if left == right:
+        return F.aggregate(
+            ts,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), F.lit(" "), x)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+    n = F.size(ts)
+
+    def tok(i: Column) -> Column:
+        return F.get(ts, i)
+
+    def start_at(i: Column) -> Column:
+        return (i < n - 1) & (tok(i) == F.lit(left)) & (tok(i + F.lit(1)) == F.lit(right))
+
+    kept = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: ~((i > 0) & start_at(i - F.lit(1))),
     )
+    merged = F.transform(
+        kept,
+        lambda i: F.when(
+            start_at(i), F.concat(tok(i), F.lit(" "), tok(i + F.lit(1)))
+        ).otherwise(tok(i)),
+    )
+    return F.when(n > 0, merged).otherwise(F.array().cast("array<string>"))
 
 
 def train(corpus: DataFrame, n_merges: int = N_MERGES) -> tuple[list[tuple], DataFrame]:
