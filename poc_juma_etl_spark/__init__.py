@@ -97,6 +97,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_graph_triangles",
     "q_event_attribution",
     "q_snapshot_diff",
+    "q_ann_ivfpq_residual_topk",
 )
 
 
