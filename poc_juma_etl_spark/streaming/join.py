@@ -6,7 +6,18 @@ unbounded, so each side buffers state and the watermark + time-range
 condition bound how much state is retained (without them the join would
 buffer forever — Spark rejects it in append mode). The batch twin is
 q_range_join_close_events (plans/advanced.py); the test drives this bounded
-stream and checks it converges to exactly the batch answer."""
+stream and checks it converges to exactly the batch answer.
+
+Deliberately absent: the LEFT OUTER variant. Outer-join null rows emit
+only when the watermark passes their eviction point BETWEEN micro-batches;
+under the gate's availableNow drain the fixture lands in one batch, the
+watermark never advances past the tail, and the unmatched rows for the
+last watermark-horizon of events are retained in state rather than
+emitted — so an outer entry could not converge to any batch oracle and
+would be a permanently flaky gate row, not a capability. (Spark documents
+this delayed/withheld emission for outer stream-stream joins.) Users who
+need unmatched events batch-diff the inner result against the stream
+instead — q_snapshot_diff's full-outer classify is the batch shape."""
 
 from __future__ import annotations
 

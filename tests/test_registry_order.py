@@ -39,3 +39,22 @@ def test_priority_list_names_are_registered():
     names = set(all_queries())
     missing = [n for n in DRIVER_WINDOW_PRIORITY if n not in names]
     assert not missing, f"priority list references unknown queries: {missing}"
+
+
+def test_late_additions_queue_behind_backlog():
+    # new queries must never displace the never-driver-verified backlog from
+    # the window, but must still outrank every already-verified query
+    from poc_juma_etl_spark import LATE_ADDITIONS
+
+    counts = _verified_counts()
+    names = list(all_queries())
+    pos = {n: i for i, n in enumerate(names)}
+    backlog = [
+        n for n in names if counts.get(n, 0) == 0 and n not in LATE_ADDITIONS
+    ]
+    verified = [n for n in names if counts.get(n, 0) >= 1]
+    for la in LATE_ADDITIONS:
+        if la not in pos or counts.get(la, 0) > 0:
+            continue  # verified in a later round — rotates normally
+        assert all(pos[la] > pos[b] for b in backlog), la
+        assert all(pos[la] < pos[v] for v in verified), la
