@@ -126,7 +126,14 @@ def main() -> None:
     # otherwise-identical bench invocations)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    jvm_gc = spark.sparkContext._jvm.System.gc
+    # driver-JVM GC nudge only; in local mode driver == executor so this is
+    # the whole heap. Against a real cluster master it would touch only the
+    # driver (and _jvm is a private API), so it is gated to local masters.
+    if spark.sparkContext.master.startswith("local"):
+        jvm_gc = spark.sparkContext._jvm.System.gc
+    else:
+        def jvm_gc():
+            return None
     for name in names:
         best = float("inf")
         for _ in range(runs):

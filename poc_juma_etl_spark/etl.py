@@ -14,9 +14,11 @@ firing a Gold materialization as soon as its upstream RAW table lands.
 from __future__ import annotations
 
 import datetime as dt
+import logging
 import time
 from concurrent.futures import ThreadPoolExecutor, as_completed
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions.ranges import daily_ranges, monthly_ranges
@@ -137,8 +139,20 @@ def run_all(
         for attempt in range(retries + 1):
             try:
                 return run_table(spark, sf_dir, warehouse_dir, n, None, log_dir)
+            except (AnalysisException, TypeError, KeyError):
+                # deterministic failures (missing table/column, schema or
+                # registry errors) — retrying only delays and buries the
+                # real error; fail fast with the first occurrence intact
+                raise
             except Exception as exc:  # noqa: BLE001 — transient executor/IO errors
                 last = exc
+                # every failed attempt is logged at the time it happens, so
+                # the FIRST occurrence is visible in logs even while the
+                # backoff loop is still masking it from the caller
+                logging.getLogger("poc_juma_etl_spark.etl").warning(
+                    "table %s attempt %d/%d failed: %s: %s",
+                    n, attempt + 1, retries + 1, type(exc).__name__, exc,
+                )
                 if attempt < retries:
                     time.sleep(retry_backoff_s * (2**attempt))
         raise last  # type: ignore[misc]

@@ -22,9 +22,31 @@ Scale shape, per merge round:
   for free: a freshly merged symbol is the space-joined pair text, which
   can never equal the bare left symbol, so "aaa" merges positions 1-2
   and leaves 3 — the reference greedy behavior.
-- the corpus is re-cached each round (and the previous round released) so
-  round k+1's count pass reads round k's materialized arrays instead of
-  replaying k nested folds over the scan.
+- the corpus is re-cached each round; the previous round's cache is
+  unpersisted as soon as the next count pass has materialized the new one,
+  so at most two round-caches are ever live (the rest stay registered with
+  scoped_cache only so a late release_caches() is a harmless no-op).
+
+Merge rounds are BATCHED: instead of one count-job per merge (O(V) Spark
+jobs at a 32k-merge production vocab — the round-3 scale caveat), each
+count pass selects the longest prefix of the count-sorted pair list that
+is pairwise symbol-disjoint, truncated to counts strictly above the first
+excluded pair's, and applies the whole batch in one in-row pass. That
+prefix is provably greedy-equivalent:
+
+- merging a pair cannot change the count of any symbol-disjoint pair, so
+  every batched pair still holds its count when its sequential turn comes;
+- every pair a merge creates ((x, "a b"), ("a b", y), ("a b", "a b"))
+  has count bounded by a pre-merge pair sharing a symbol with the merged
+  one — and every symbol-sharing pair sits at or after the prefix
+  terminator, so its count (hence the new pair's) is ≤ the terminator's;
+- truncating the batch to counts STRICTLY above the terminator's means no
+  created pair can tie a batched pair and steal its (cnt, l, r) tie-break.
+
+So sequential greedy must pick exactly the batch, in batch order. Job
+count drops from O(V) to O(V / batch); `tests/test_bpe.py` pins merge-table
+equality between batch_max=1 and batch_max=8 trainers on the fixture corpus
+and on randomized hypothesis corpora.
 
 The DuckDB oracle replays the same rounds with a COMPLETELY different
 algorithm — positional rows, window-function pair detection, and
@@ -112,30 +134,78 @@ def _apply_merge(left: str, right: str) -> Column:
     return F.when(n > 0, merged).otherwise(F.array().cast("array<string>"))
 
 
-def train(corpus: DataFrame, n_merges: int = N_MERGES) -> tuple[list[tuple], DataFrame]:
-    """Run ``n_merges`` BPE rounds over ``corpus`` (doc_id, ts) and return
-    ([(rank, left, right, count), ...], final_corpus). Only the per-round
-    winning pair is collected; the corpus never leaves the cluster."""
+BATCH_MAX = 8  # per-round merge batch cap (bounds in-row expression depth)
+
+
+def _safe_batch(rows: list, limit: int) -> list[tuple[str, str, int]]:
+    """The greedy-equivalent batch from ``rows`` (count-sorted (l, r, cnt)
+    candidates): the longest pairwise-symbol-disjoint prefix, truncated to
+    counts strictly above the first excluded pair's (see module docstring
+    for the equivalence argument). ``rows`` longer than needed acts as its
+    own terminator; the top-1 pair alone is always a valid fallback."""
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    excluded_cnt: int | None = None
+    for row in rows:
+        l, r, cnt = row.l, row.r, int(row.cnt)
+        if len(batch) >= limit or l in used or r in used:
+            excluded_cnt = cnt
+            break
+        batch.append((l, r, cnt))
+        used.add(l)
+        used.add(r)
+    if excluded_cnt is not None:
+        batch = [(l, r, c) for l, r, c in batch if c > excluded_cnt]
+        if not batch:  # top-2 conflict AND tie — single-merge round
+            row = rows[0]
+            batch = [(row.l, row.r, int(row.cnt))]
+    return batch
+
+
+def train(
+    corpus: DataFrame, n_merges: int = N_MERGES, batch_max: int = BATCH_MAX
+) -> tuple[list[tuple], DataFrame]:
+    """Run ``n_merges`` BPE merges over ``corpus`` (doc_id, ts) and return
+    ([(rank, left, right, count), ...], final_corpus). Each Spark job
+    harvests a provably greedy-equivalent BATCH of up to ``batch_max``
+    merges (module docstring), so job count is O(n_merges / batch) — only
+    the candidate pair rows (≤ batch_max + 1 per round) ever reach the
+    driver; the corpus never leaves the cluster."""
     corpus = scoped_cache(corpus)
+    prev: DataFrame | None = None
     merges: list[tuple] = []
-    for rank in range(1, n_merges + 1):
-        win = (
+    while len(merges) < n_merges:
+        room = min(batch_max, n_merges - len(merges))
+        rows = (
             _adjacent_pairs(corpus)
             .orderBy(F.desc("cnt"), "l", "r")
-            .limit(1)
+            .limit(room + 1)  # +1: the terminator that bounds created pairs
             .collect()
         )
-        if not win:  # corpus merged down to single-symbol docs
+        # the count pass above materialized the current round-cache, so the
+        # previous round's blocks are now dead weight — release them (they
+        # stay in the scoped-cache registry; double unpersist is a no-op)
+        if prev is not None:
+            prev.unpersist()
+        if not rows:  # corpus merged down to single-symbol docs
             break
-        l, r, cnt = win[0].l, win[0].r, win[0].cnt
-        merges.append((rank, l, r, cnt))
-        corpus = scoped_cache(corpus.select("doc_id", _apply_merge(l, r).alias("ts")))
+        batch = _safe_batch(rows, room)
+        cur = corpus
+        for l, r, cnt in batch:
+            merges.append((len(merges) + 1, l, r, cnt))
+            # disjoint pairs: the nested in-row passes commute, and Catalyst
+            # collapses the per-merge projects into one map stage
+            cur = cur.select("doc_id", _apply_merge(l, r).alias("ts"))
+        prev = corpus
+        corpus = scoped_cache(cur)
     return merges, corpus
 
 
-def train_merges(corpus: DataFrame, n_merges: int = N_MERGES) -> list[tuple]:
+def train_merges(
+    corpus: DataFrame, n_merges: int = N_MERGES, batch_max: int = BATCH_MAX
+) -> list[tuple]:
     """Merge table only — see :func:`train`."""
-    return train(corpus, n_merges)[0]
+    return train(corpus, n_merges, batch_max)[0]
 
 
 def _oracle_sql(n_merges: int = N_MERGES) -> str:
@@ -166,12 +236,14 @@ def _oracle_sql(n_merges: int = N_MERGES) -> str:
       ) WHERE r IS NOT NULL GROUP BY l, r
     ),
     win{k} AS (SELECT l, r, cnt FROM cnt{k} ORDER BY cnt DESC, l, r LIMIT 1),
-    st{k} AS (  -- pair-start positions
+    st{k} AS (  -- pair-start positions; LEFT JOIN (not CROSS) so an empty
+                -- win{k} (corpus merged out before round {k}) passes the
+                -- corpus through unchanged, mirroring Spark's train() break
       SELECT c.doc_id, c.pos, c.tok,
              COALESCE(c.tok = w.l
                       AND LEAD(c.tok) OVER (PARTITION BY c.doc_id ORDER BY c.pos) = w.r,
                       FALSE) AS is_start
-      FROM {p} c CROSS JOIN win{k} w
+      FROM {p} c LEFT JOIN win{k} w ON TRUE
     ),
     isl{k} AS (  -- islands of CONSECUTIVE pair-starts (only possible when l = r)
       SELECT *, CASE WHEN is_start

@@ -3,9 +3,13 @@
 cases — self-overlapping runs, cross-round symbol composition, tie-breaks
 — where a subtle fold bug could still produce a plausible merge table)."""
 
+from collections import namedtuple
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from poc_juma_etl_spark.operators.bpe import _apply_merge, train_merges
+from poc_juma_etl_spark.operators.bpe import _apply_merge, _safe_batch, train_merges
 from poc_juma_etl_spark.plans.queries import release_caches
 
 
@@ -57,3 +61,83 @@ def test_train_merges_deterministic_tiebreak(spark):
     finally:
         release_caches()
     assert m[0][1:] == ("a", "d", 1)
+
+
+# ---------------------------------------------------------------------------
+# batched training: the batch-per-job trainer must produce the EXACT merge
+# table of the one-merge-per-job trainer (the greedy-equivalence the module
+# docstring proves — this is the guard VERDICT r3 asked to keep)
+
+Pair = namedtuple("Pair", "l r cnt")
+
+
+def test_safe_batch_conflict_tie_falls_back_to_top1():
+    # (a,b) and (b,c) conflict AND tie at 2 — only the top-1 is safe
+    rows = [Pair("a", "b", 2), Pair("b", "c", 2), Pair("c", "d", 1)]
+    assert _safe_batch(rows, 8) == [("a", "b", 2)]
+
+
+def test_safe_batch_disjoint_strictly_above_terminator():
+    rows = [Pair("a", "b", 3), Pair("c", "d", 2), Pair("b", "x", 2), Pair("y", "z", 2)]
+    # (c,d) is disjoint from (a,b) but TIES the terminator (b,x) at 2 — a
+    # pair created by merging (a,b) could tie it too, so it must be dropped
+    assert _safe_batch(rows, 8) == [("a", "b", 3)]
+
+
+def test_safe_batch_all_disjoint_no_terminator():
+    rows = [Pair("a", "b", 3), Pair("c", "d", 2)]
+    assert _safe_batch(rows, 8) == [("a", "b", 3), ("c", "d", 2)]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from("abcdef"), st.sampled_from("abcdef"), st.integers(1, 9)
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(1, 8),
+)
+@settings(max_examples=200, deadline=None)
+def test_safe_batch_invariants(raw, limit):
+    # dedupe + sort the way the count query would
+    seen = {}
+    for l, r, c in raw:
+        seen[(l, r)] = max(seen.get((l, r), 0), c)
+    rows = [Pair(l, r, c) for (l, r), c in seen.items()]
+    rows.sort(key=lambda p: (-p.cnt, p.l, p.r))
+    batch = _safe_batch(rows, limit)
+    assert 1 <= len(batch) <= limit
+    # it's a prefix of the sorted candidate list
+    assert batch == [tuple(p) for p in rows[: len(batch)]]
+    # pairwise symbol-disjoint — except the always-safe top-1 fallback
+    if len(batch) > 1:
+        syms: set[str] = set()
+        for l, r, _ in batch:
+            assert l not in syms and r not in syms
+            syms.update((l, r))
+        # strictly above the first excluded candidate's count
+        if len(rows) > len(batch):
+            assert batch[-1][2] > rows[len(batch)].cnt
+
+
+def test_batched_trainer_matches_sequential(spark):
+    corpora = [
+        # disjoint top pairs — a real 2-merge batch fires
+        ["a b a b c d c d e", "a b c d"],
+        # conflicting tie at the top — must fall back to single merges
+        ["a b c a b c", "b c b c"],
+        # self-overlap runs interleaved with normal pairs
+        ["a a a a b c b c", "a a b c"],
+        # composed symbols across rounds
+        ["x y z x y z w", "x y z", "y z w"],
+    ]
+    for texts in corpora:
+        c = _corpus(spark, texts)
+        try:
+            seq = train_merges(c, n_merges=5, batch_max=1)
+            bat = train_merges(c, n_merges=5, batch_max=8)
+        finally:
+            release_caches()
+        assert bat == seq, texts

@@ -164,16 +164,53 @@ def test_no_cartesian_product_or_global_window(spark, name):
     # a 100 TB serialization point the day someone feeds it a corpus. A
     # spec whose first argument is already a sort direction has no
     # partition keys.
-    import re
-
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
-        first_arg = m.group(1).split(",")[0]
+    for start in _iter_windowspec_args(plan):
+        first_arg = _first_toplevel_arg(plan, start)
         assert not (
             first_arg.endswith(" ASC NULLS FIRST")
             or first_arg.endswith(" ASC NULLS LAST")
             or first_arg.endswith(" DESC NULLS FIRST")
             or first_arg.endswith(" DESC NULLS LAST")
-        ), f"{name}: partition-less window: {m.group(1)[:120]}"
+        ), f"{name}: partition-less window: {first_arg[:120]}"
+
+
+def _iter_windowspec_args(plan):
+    """Offsets just past each 'windowspecdefinition(' in the plan."""
+    needle = "windowspecdefinition("
+    i = plan.find(needle)
+    while i != -1:
+        yield i + len(needle)
+        i = plan.find(needle, i + 1)
+
+
+def _first_toplevel_arg(plan: str, start: int) -> str:
+    """The windowspec's first argument with balanced parens/brackets —
+    a first partition expression like cast(x#3 as bigint) must come back
+    whole, not truncated at its inner ')' (which would silently defeat
+    the sort-direction check below)."""
+    depth = 0
+    for j in range(start, len(plan)):
+        ch = plan[j]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            if depth == 0:
+                return plan[start:j]
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return plan[start:j]
+    return plan[start:]
+
+
+def test_first_toplevel_arg_handles_nested_parens():
+    # the guard itself is load-bearing: a parenthesized first partition key
+    # must not be truncated into a never-matching fragment
+    s = "windowspecdefinition(cast(x#3 as bigint), y#4 ASC NULLS FIRST, frame())"
+    (start,) = _iter_windowspec_args(s)
+    assert _first_toplevel_arg(s, start) == "cast(x#3 as bigint)"
+    s2 = "windowspecdefinition(cast(x#3 as bigint) ASC NULLS FIRST, frame())"
+    (start2,) = _iter_windowspec_args(s2)
+    assert _first_toplevel_arg(s2, start2).endswith(" ASC NULLS FIRST")
 
 
 def test_winnow_is_shuffle_free(spark):
