@@ -98,16 +98,42 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    e = (
-        cp.select((F.col("c") * 2).alias("src"), (F.col("p") * 2 + 1).alias("dst"))
-        .unionByName(
-            cp.select((F.col("p") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
-        )
-        # materialize the edge list once: every iteration re-joins it, and
-        # without a cut Spark would replay the dedup join 3x (on a cluster:
-        # persist(DISK_ONLY) / a checkpoint dir — same iterative idiom)
-        .localCheckpoint()
+    e = cp.select(
+        (F.col("c") * 2).alias("src"), (F.col("p") * 2 + 1).alias("dst")
+    ).unionByName(
+        cp.select((F.col("p") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
     )
+    ranks = pagerank_top(e, iters=PR_ITERS, top=None)
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, "customer").otherwise("part").alias("node_type"),
+            # integer DIV, not floor(double): a double round-trip would lose
+            # key bits past 2^53 on a real-scale keyspace
+            F.expr("CAST(node DIV 2 AS BIGINT)").alias("node_key"),
+            "pr",
+        )
+        # ordered limit AFTER decode so pr ties at the cutoff break exactly
+        # like the oracle's (node_type, node_key) order
+        .orderBy(F.desc("pr"), "node_type", "node_key")
+        .limit(PR_TOP)
+    )
+
+
+def pagerank_top(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    top: int | None = PR_TOP,
+    large_threshold: int = 500_000,
+) -> DataFrame:
+    """(node, pr) ranks over a directed edge list where every node has
+    out-degree ≥ 1 (callers emit both directions for undirected graphs, so
+    there is no dangling-mass term). ``top=N`` returns the N highest-rank
+    nodes (ties to the lower node id); ``top=None`` returns the full,
+    unordered rank table for callers that apply their own ordered limit."""
+    # materialize the edge list once: every iteration re-joins it, and
+    # without a cut Spark would replay the upstream build per iteration (on
+    # a cluster: persist(DISK_ONLY) / a checkpoint dir — same iterative idiom)
+    e = edges.localCheckpoint()
     deg = (
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
@@ -122,9 +148,23 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (LogicalRDD preserves the partitioning), so iterations shuffle only
     # the node-size side: O(1) edge shuffles instead of O(iters), the
     # GraphX edge-partitioning idiom. ~500k nodes ≈ 10 MB of (long,double)
-    # rank rows — the default autoBroadcastJoinThreshold.
-    if deg.count() > 500_000:
-        e = e.repartition(F.col("src")).localCheckpoint()
+    # rank rows — the default autoBroadcastJoinThreshold. Both branches are
+    # plan-asserted by tests/test_round4_ops.py.
+    # The re-cut is CACHED, not checkpointed: under AQE a localCheckpoint's
+    # LogicalRDD reports UnknownPartitioning (the adaptive plan's output
+    # partitioning isn't resolved at checkpoint time), so every iteration
+    # would re-shuffle the edges anyway — an InMemoryRelation keeps the
+    # REPARTITION_BY_COL partitioning visible to the planner. On a real
+    # cluster this persist would be StorageLevel.DISK_ONLY.
+    if deg.count() > large_threshold:
+        from ..plans.queries import scoped_cache
+
+        e = scoped_cache(e.repartition(F.col("src")))
+        # materialize NOW: the planner only sees the re-cut's partitioning
+        # once the cached adaptive plan is final — planning the iteration
+        # joins against an unmaterialized cache re-adds the edge shuffles
+        # this branch exists to remove
+        e.count()
     n = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     # rank state carries its degree so each iteration is ONE edge-size join
     # (messages) + one node-size join (re-attach degree) instead of two
@@ -132,7 +172,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = deg.crossJoin(F.broadcast(n)).select(
         "node", "deg", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
     )
-    for _ in range(PR_ITERS):
+    for _ in range(iters):
         contrib = pr.select(
             F.col("node").alias("src"),
             F.floor((F.col("pr") / F.col("deg")) * PR_Q).cast("bigint").alias("cq"),
@@ -152,17 +192,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
-    return (
-        pr.select(
-            F.when(F.col("node") % 2 == 0, "customer").otherwise("part").alias("node_type"),
-            # integer DIV, not floor(double): a double round-trip would lose
-            # key bits past 2^53 on a real-scale keyspace
-            F.expr("CAST(node DIV 2 AS BIGINT)").alias("node_key"),
-            "pr",
-        )
-        .orderBy(F.desc("pr"), "node_type", "node_key")
-        .limit(PR_TOP)
-    )
+    ranks = pr.select("node", "pr")
+    if top is None:
+        return ranks
+    return ranks.orderBy(F.desc("pr"), "node").limit(top)
 
 
 TRI_TOP = 10

@@ -11,7 +11,7 @@ beyond scalar cut points.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -190,17 +190,31 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="RFM segmentation: per purchasing user, Recency (days since last "
     "purchase vs corpus anchor), Frequency and Monetary value, each cut "
-    "into quartiles at exact interpolated percentiles, users bucketed "
-    "into 'R4F2M3'-style segments. The anchor and the 9 cut points are "
-    "1-row broadcast sides; quartile assignment is pure CASE arithmetic; "
-    "the segment rollup is one hash aggregate. The exact percentile pass "
-    "is the oracle-able baseline — at 100 TB the cuts swap for "
-    "approx_percentile (mergeable sketch, same CASE downstream), the "
-    "pattern q_approx_sketches pins.",
+    "into quartiles, users bucketed into 'R4F2M3'-style segments. The "
+    "anchor and the 9 cut points are 1-row broadcast sides; quartile "
+    "assignment is pure CASE arithmetic; the segment rollup is one hash "
+    "aggregate. The OPERATOR defaults to approx_percentile cuts (the GK "
+    "mergeable sketch — map-side partials, nothing holds all values, the "
+    "100 TB path); this registered query pins exact=True because exact "
+    "interpolated percentiles are what DuckDB's quantile_cont replays. "
+    "tests/test_m4_operators.py bounds the sketch path's segment drift "
+    "against the exact path.",
     tags=("events", "rfm", "behavior", "percentile"),
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # exact=True: oracle parity only — production callers take the default
+    return rfm_segments(load_table(spark, sf_dir, "events"), exact=True)
+
+
+def rfm_segments(ev: DataFrame, exact: bool = False) -> DataFrame:
+    """RFM quartile segmentation over an events table.
+
+    ``exact=False`` (default, the at-scale path) computes the 9 cut points
+    with ``approx_percentile`` — a mergeable quantile sketch whose reduce
+    step carries sketch state, not values, so the 1-row cut aggregate stays
+    1-row at any corpus size. ``exact=True`` swaps in exact interpolated
+    ``percentile`` (holds all values in the final reduce — only for
+    fixture-scale oracle parity)."""
     stats = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
@@ -217,16 +231,25 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "money",
         F.datediff("max_day", "last_day").cast("bigint").alias("recency"),
     )
+    if exact:
+        def pctl(expr: str, q: float) -> Column:
+            return F.expr(f"percentile({expr}, {q})")
+    else:
+        def pctl(expr: str, q: float) -> Column:
+            # accuracy 10000 ≈ 1e-4 rank error — segment boundaries move by
+            # at most that fraction of users at any scale
+            return F.expr(f"approx_percentile({expr}, {q}, 10000)").cast("double")
+
     cuts = rfm.agg(
-        F.expr("percentile(CAST(recency AS DOUBLE), 0.25)").alias("r25"),
-        F.expr("percentile(CAST(recency AS DOUBLE), 0.50)").alias("r50"),
-        F.expr("percentile(CAST(recency AS DOUBLE), 0.75)").alias("r75"),
-        F.expr("percentile(CAST(freq AS DOUBLE), 0.25)").alias("f25"),
-        F.expr("percentile(CAST(freq AS DOUBLE), 0.50)").alias("f50"),
-        F.expr("percentile(CAST(freq AS DOUBLE), 0.75)").alias("f75"),
-        F.expr("percentile(money, 0.25)").alias("m25"),
-        F.expr("percentile(money, 0.50)").alias("m50"),
-        F.expr("percentile(money, 0.75)").alias("m75"),
+        pctl("CAST(recency AS DOUBLE)", 0.25).alias("r25"),
+        pctl("CAST(recency AS DOUBLE)", 0.50).alias("r50"),
+        pctl("CAST(recency AS DOUBLE)", 0.75).alias("r75"),
+        pctl("CAST(freq AS DOUBLE)", 0.25).alias("f25"),
+        pctl("CAST(freq AS DOUBLE)", 0.50).alias("f50"),
+        pctl("CAST(freq AS DOUBLE)", 0.75).alias("f75"),
+        pctl("money", 0.25).alias("m25"),
+        pctl("money", 0.50).alias("m50"),
+        pctl("money", 0.75).alias("m75"),
     )
     r = F.col("recency").cast("double")
     f = F.col("freq").cast("double")

@@ -1,0 +1,95 @@
+"""Round-4 operator guards: the approx-percentile RFM default, the
+large-graph PageRank branch, and other semantics the oracle gate can't see
+(it always runs the oracle-parity paths)."""
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+def test_rfm_sketch_path_tracks_exact(spark):
+    # the operator DEFAULT is the approx_percentile sketch path (the 100 TB
+    # design); the registered query pins exact=True for oracle parity. The
+    # sketch cuts may move boundary users between adjacent segments, but
+    # every user must still land in exactly one segment and the per-segment
+    # drift must stay small at 1e-4 rank accuracy.
+    from poc_juma_etl_spark.catalog import load_table
+    from poc_juma_etl_spark.plans.behavior import rfm_segments
+
+    from .conftest import SF_ORACLE
+
+    # sf0.01, not the smoke fixture: with only ~15 purchasing users, the
+    # approx cut (an actual data value) vs the interpolated exact cut moves
+    # whole-quartile fractions of users; at 150 users the drift collapses
+    # to boundary ties (measured: 2 of 150)
+    ev = load_table(spark, SF_ORACLE, "events")
+    exact = {r.segment: r.n_users for r in rfm_segments(ev, exact=True).collect()}
+    approx = {r.segment: r.n_users for r in rfm_segments(ev).collect()}
+    total = sum(exact.values())
+    assert sum(approx.values()) == total
+    drift = sum(
+        abs(approx.get(s, 0) - exact.get(s, 0)) for s in set(exact) | set(approx)
+    )
+    assert drift <= max(4, 0.05 * total), (exact, approx)
+
+
+def test_rfm_sketch_path_has_no_exact_percentile(spark):
+    # the default path must compile to approx_percentile (mergeable sketch),
+    # never the exact percentile aggregate that holds all values in the
+    # final 1-row reduce
+    from poc_juma_etl_spark.catalog import load_table
+    from poc_juma_etl_spark.plans.behavior import rfm_segments
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    plan = rfm_segments(ev)._jdf.queryExecution().optimizedPlan().toString()
+    assert "approx_percentile" in plan
+    assert "percentile(" not in plan.replace("approx_percentile(", "")
+
+
+def test_pagerank_large_graph_branch_shuffles_node_side_only(spark):
+    # the measured node-count switch (>500k nodes) re-cuts the edge list
+    # hash-partitioned on src ONCE, so per-iteration joins shuffle only the
+    # node-size contrib side. Fixture graphs never cross the threshold, so
+    # force the branch with large_threshold=0 and assert its plan shape:
+    # with broadcast joins disabled (emulating contrib too big to ship),
+    # the large branch plans exactly ITERS src-exchanges (contrib side
+    # only — the checkpointed edges keep their partitioning), while the
+    # small branch re-shuffles the edge side too, planning 2×ITERS.
+    from poc_juma_etl_spark.operators.graph import pagerank_top
+
+    ITERS = 2
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)] + [((i + 1) % 6, i) for i in range(6)],
+        "src long, dst long",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = pagerank_top(edges, iters=ITERS, top=3, large_threshold=500_000)
+        large = pagerank_top(edges, iters=ITERS, top=3, large_threshold=0)
+        # both branches converge to identical ranks (a 6-cycle: uniform pr)
+        rows_s = [(r.node, round(r.pr, 9)) for r in small.collect()]
+        rows_l = [(r.node, round(r.pr, 9)) for r in large.collect()]
+        assert rows_s == rows_l
+
+        def src_exchanges(df):
+            # ENSURE_REQUIREMENTS only: the large branch's one-time
+            # REPARTITION_BY_COL re-cut (visible inside the cached-plan
+            # printout) is the idiom, not a per-iteration shuffle
+            import re
+
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return len(
+                re.findall(
+                    r"Exchange hashpartitioning\(src[^)]*\), ENSURE_REQUIREMENTS", plan
+                )
+            )
+
+        # large branch: exactly one src-shuffle per iteration — the contrib
+        # (node-size) side; the cached re-cut feeds the edge side shuffle-free
+        assert src_exchanges(large) == ITERS
+        # small branch: the edge side shuffles too (AQE may dedupe repeats
+        # into ReusedExchange, so assert presence, not an exact count)
+        assert src_exchanges(small) > ITERS
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
