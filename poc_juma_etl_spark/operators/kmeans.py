@@ -234,52 +234,107 @@ def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_ivf_topk",
-    oracle=None,  # iterative k-means training — the contract's rows-only case
-    doc=f"IVF ANN top-{TOP_K}: k-means ({K} cells, {ITERS} Lloyd iterations, "
-    f"deterministic init) partitions the corpus; each query probes its "
-    f"{NPROBE} nearest cells and exact-ranks only those vectors. The "
-    "trained-index counterpart to SRP-LSH; determinism and recall pinned by "
-    "tests/test_kmeans.py.",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4194304) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    nv AS (
+      SELECT vec_id, qv,
+             sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)) AS nrm
+      FROM q
+    ),
+    seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, qv AS cv
+      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {K})
+    ),
+    dist AS (
+      SELECT q.vec_id, s.cid,
+             CAST(list_sum(list_transform(list_zip(q.qv, s.cv),
+                                          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d
+      FROM q, seeds s
+    ),
+    rnk AS (
+      SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM dist
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM rnk WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS probe_cell
+      FROM rnk WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, an.vec_id AS neighbor_id, an.cell,
+             CAST(CAST(list_sum(list_transform(list_zip(qn.qv, nb.qv),
+                                               x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+               / (qn.nrm * nb.nrm) AS cosine
+      FROM probes p
+      JOIN assign an ON an.cell = p.probe_cell AND an.vec_id <> p.query_id
+      JOIN nv nb ON nb.vec_id = an.vec_id
+      JOIN nv qn ON qn.vec_id = p.query_id
+    )
+    SELECT query_id, neighbor_id, cell, cosine, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+    doc=f"IVF ANN top-{TOP_K} with the deterministic fixed-centroid index "
+    f"(the {K} lowest-vec_id vectors seed the cells, 2^22-quantized — the "
+    "same kernel q_ann_ivf_assign oracles): every vector routes to its "
+    f"nearest cell, each query probes its {NPROBE} nearest cells and "
+    "exact-ranks only those candidates by quantized cosine. Fixing the "
+    "centroids makes the ENTIRE probe+rank path SQL-expressible, so this "
+    "hash-matches the DuckDB oracle end to end; the float-iterative Lloyd "
+    "trainer (kmeans_fit) that refines these seeds in production stays "
+    "pinned by tests/test_kmeans.py (determinism, convergence, recall). "
+    "Scale shape: assignment is one narrow codegen map, the probe table is "
+    "queries×nprobe rows broadcast into the candidate equi-join — corpus "
+    f"scanned per query ≈ N·{NPROBE}/{K}, never all-pairs.",
     tags=("similarity", "ann", "ivf", "kmeans"),
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from ..plans.queries import scoped_cache
     from .dedup import SPARK_QNORM, SPARK_QVEC, spark_cosine_prequantized
 
     e = spread(load_table(spark, sf_dir, "embeddings"))
-    centroids = kmeans_fit(e)
     vecs = e.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"),
+        "vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv")
     ).withColumn("qnorm", F.expr(SPARK_QNORM.format(qa="qv")))
-    assigned = _assign(vecs, centroids, "v").drop("v")
-
-    # queries probe their NPROBE nearest cells
-    q = assigned.filter(F.col("vec_id") < N_QUERIES)
-    probe_cols = []
-    for cid, c in centroids:
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(F.col("qv"), arr, lambda x, y: (x / 4194304.0 - y) * (x / 4194304.0 - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    first = vecs.orderBy("vec_id").limit(K).collect()
+    # centroid literals rendered as one SQL string (see q_ann_pq_adc for the
+    # measured py4j cost of building K*64 F.lit columns instead)
+    structs = []
+    for cid, r in enumerate(first):
+        arr = "array(" + ",".join(f"{int(x)}L" for x in r.qv) + ")"
+        dist = (
+            f"aggregate(zip_with(qv, {arr}, (x,y) -> (x-y)*(x-y)), "
+            "CAST(0 AS BIGINT), (acc,v) -> acc + v)"
         )
-        probe_cols.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-    probes = F.slice(F.array_sort(F.array(*probe_cols)), 1, NPROBE)
-    q = q.select(
+        structs.append(f"named_struct('d', {dist}, 'cid', {cid})")
+    darr = "array(" + ",".join(structs) + ")"
+    # routed corpus, reused by the query side and the candidate side
+    assigned = scoped_cache(
+        vecs.withColumn("cell", F.expr(f"array_min({darr})")["cid"])
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
         F.col("qnorm").alias("q_norm"),
-        F.explode(F.transform(probes, lambda s: s.cid)).alias("probe_cell"),
+        # struct sort orders by (d, cid): ties route to the lower cell id
+        F.explode(
+            F.expr(f"transform(slice(array_sort({darr}), 1, {NPROBE}), s -> s.cid)")
+        ).alias("probe_cell"),
     )
-    cand = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), "qv", "qnorm", "cluster"
-    )
+    cand = assigned.select(F.col("vec_id").alias("neighbor_id"), "qv", "qnorm", "cell")
     scored = cand.join(
         F.broadcast(q),
-        (F.col("cluster") == F.col("probe_cell")) & (F.col("neighbor_id") != F.col("query_id")),
+        (F.col("cell") == F.col("probe_cell"))
+        & (F.col("neighbor_id") != F.col("query_id")),
     ).withColumn(
         "cosine", F.expr(spark_cosine_prequantized("q_qv", "qv", "q_norm", "qnorm"))
     )
@@ -287,6 +342,6 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "neighbor_id", F.col("cluster").alias("cell"), "cosine", "rk")
+        .select("query_id", "neighbor_id", "cell", "cosine", "rk")
         .orderBy("query_id", "rk")
     )
