@@ -78,11 +78,11 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 
-# Queries added in round 3, after 61 earlier queries had accumulated zero
-# driver verifications. They sort after every one of those (so the round-3
-# window lands exactly on the 50 longest-waiting queries) but before any
-# once-verified query — the half-step keeps them first in line among
-# newcomers for the round-4 window without displacing the backlog.
+# Queries added in rounds 3+, after a backlog of earlier queries had
+# accumulated zero driver verifications. They sort after every one of those
+# (so each round's window lands on the longest-waiting queries first) but
+# before any once-verified query — the half-step keeps them first in line
+# among newcomers without displacing the backlog.
 LATE_ADDITIONS: tuple[str, ...] = (
     "q_ann_ivf_assign",
     "q_ann_pq_adc",
@@ -98,6 +98,14 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_event_attribution",
     "q_snapshot_diff",
     "q_ann_ivfpq_residual_topk",
+    # -- round 4 --
+    "q_semantic_dedup",
+    "q_embedding_pool_mean",
+    "q_vector_scalar_quantize",
+    "q_equidepth_histogram",
+    "q_text_ttr_hapax",
+    "etl_csv_roundtrip_e2e",
+    "etl_json_roundtrip_e2e",
 )
 
 
@@ -147,6 +155,7 @@ def all_queries():
         "poc_juma_etl_spark.plans.extra2",
         "poc_juma_etl_spark.plans.extra3",
         "poc_juma_etl_spark.plans.extra4",
+        "poc_juma_etl_spark.plans.extra5",
         "poc_juma_etl_spark.plans.behavior",
         "poc_juma_etl_spark.plans.tpch_extra",
         "poc_juma_etl_spark.plans.tpch_full",
@@ -164,6 +173,7 @@ def all_queries():
         "poc_juma_etl_spark.operators.pq",
         "poc_juma_etl_spark.operators.sampling",
         "poc_juma_etl_spark.operators.similarity",
+        "poc_juma_etl_spark.operators.vectors",
         "poc_juma_etl_spark.operators.text",
         "poc_juma_etl_spark.operators.web",
         "poc_juma_etl_spark.operators.udtf_ngrams",

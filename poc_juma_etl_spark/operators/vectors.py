@@ -1,0 +1,285 @@
+"""Embedding-column operators beyond ANN search: semantic dedup, label
+pooling, and scalar quantization — the vector-side utilities of a training
+-data pipeline (SemDeDup-style pruning, class centroids, index compression).
+
+All math runs on the shared 2^22-quantized integer vectors
+(operators/dedup.py): dots/distances are exact BIGINTs, every double is
+produced by one fixed IEEE op sequence, so results are bit-identical
+between Spark and the DuckDB oracles at any parallelism.
+
+Reference scope: the reference repo has no vector layer; this module
+belongs to the beyond-reference training-data surface (SURVEY.md §6) next
+to operators/similarity.py and operators/kmeans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, spread
+from ..plans.queries import register, scoped_cache
+from .dedup import SPARK_QNORM, SPARK_QVEC, spark_cosine_prequantized
+from .kmeans import K
+
+SEM_THRESHOLD = 0.30  # same near-dup bar as q_dedup_embedding_cosine
+DIM = 64
+
+_SQL_QV = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4194304) AS BIGINT))"
+)
+
+# shared oracle prelude: quantized vectors + per-dim positional explode
+_SQL_PX = f"""
+    q AS (SELECT vec_id, label, {_SQL_QV} AS qv FROM embeddings),
+    px AS (
+      SELECT vec_id, label, u.pos AS pos, u.val AS val FROM (
+        SELECT vec_id, label,
+               unnest(list_transform(range(1, {DIM} + 1),
+                                     i -> struct_pack(pos := i, val := qv[i]))) AS u
+        FROM q
+      )
+    )"""
+
+
+def _quantized(e: DataFrame) -> DataFrame:
+    return e.select(
+        "vec_id", "label", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv")
+    ).withColumn("qnorm", F.expr(SPARK_QNORM.format(qa="qv")))
+
+
+def _seed_cell_expr(vecs: DataFrame) -> str:
+    """SQL text for the array of (squared-distance, cid) structs against the
+    K lowest-vec_id seed centroids — the deterministic cell router shared
+    with q_ann_ivf_assign/q_ann_ivf_topk (operators/kmeans.py)."""
+    first = vecs.orderBy("vec_id").limit(K).collect()
+    structs = []
+    for cid, r in enumerate(first):
+        arr = "array(" + ",".join(f"{int(x)}L" for x in r.qv) + ")"
+        dist = (
+            f"aggregate(zip_with(qv, {arr}, (x,y) -> (x-y)*(x-y)), "
+            "CAST(0 AS BIGINT), (acc,v) -> acc + v)"
+        )
+        structs.append(f"named_struct('d', {dist}, 'cid', {cid})")
+    return "array(" + ",".join(structs) + ")"
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_SQL_QV} AS qv FROM embeddings),
+    nv AS (
+      SELECT vec_id, qv,
+             sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)) AS nrm
+      FROM q
+    ),
+    seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, qv AS cv
+      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {K})
+    ),
+    dist AS (
+      SELECT q.vec_id, s.cid,
+             CAST(list_sum(list_transform(list_zip(q.qv, s.cv),
+                                          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d
+      FROM q, seeds s
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT DISTINCT a.vec_id
+      FROM assign a JOIN assign b ON b.cell = a.cell AND b.vec_id < a.vec_id
+      JOIN nv na ON na.vec_id = a.vec_id
+      JOIN nv nb ON nb.vec_id = b.vec_id
+      WHERE CAST(CAST(list_sum(list_transform(list_zip(na.qv, nb.qv),
+                                              x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+              / (na.nrm * nb.nrm) >= {SEM_THRESHOLD}
+    )
+    SELECT a.vec_id, a.cell, d.vec_id IS NULL AS kept
+    FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+    ORDER BY a.vec_id
+    """,
+    doc=f"SemDeDup-style semantic dedup: route every vector to its nearest "
+    f"of {K} deterministic seed cells (the q_ann_ivf_assign router), then "
+    "within each cell drop any vector whose quantized cosine to a LOWER-id "
+    f"cell-mate reaches {SEM_THRESHOLD} — keep-first semantics, like exact "
+    "dedup's min-id winner. The cell partition is the scale story: pair "
+    "candidates are generated per cell (equi-join on cell id), never across "
+    "the corpus, which is exactly how SemDeDup bounds the O(n^2) cosine "
+    "matrix at web scale (cells there come from trained k-means, here from "
+    "the fixed seeds so the oracle can replay routing). Output is the full "
+    "(vec_id, cell, kept) verdict map.",
+    tags=("similarity", "dedup", "semantic", "vectors"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    vecs = _quantized(e)
+    darr = _seed_cell_expr(vecs)
+    assigned = scoped_cache(
+        vecs.withColumn("cell", F.expr(f"array_min({darr})")["cid"])
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("qv").alias("a_qv"),
+        F.col("qnorm").alias("a_n"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("qv").alias("b_qv"),
+        F.col("qnorm").alias("b_n"),
+        "cell",
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .withColumn(
+            "cosine", F.expr(spark_cosine_prequantized("a_qv", "b_qv", "a_n", "b_n"))
+        )
+        .filter(F.col("cosine") >= SEM_THRESHOLD)
+        .select("a_id")
+        .distinct()
+    )
+    return (
+        assigned.join(dup, assigned.vec_id == dup.a_id, "left")
+        .select("vec_id", "cell", F.col("a_id").isNull().alias("kept"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q_embedding_pool_mean",
+    oracle=f"""
+    WITH {_SQL_PX},
+    per AS (
+      SELECT label, pos,
+             CAST(SUM(val) AS DOUBLE) / COUNT(*) AS m,
+             COUNT(*) AS n
+      FROM px GROUP BY label, pos
+    ),
+    agg AS (
+      SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+             list(m ORDER BY pos) AS mean_vec
+      FROM per GROUP BY label
+    )
+    SELECT label, n_vectors, mean_vec,
+           sqrt(list_sum(list_transform(mean_vec, x -> x * x))) AS mean_norm
+    FROM agg ORDER BY label
+    """,
+    doc="Label centroids (mean pooling): per-dimension exact BIGINT sums "
+    "over the quantized vectors, one double division per (label, dim), the "
+    "vector rebuilt in dimension order so the norm's summation order is "
+    "fixed — bit-identical cross-engine. Scale shape: posexplode shuffles "
+    "on (label, pos) with map-side partial sums, the result is labels×dim "
+    "rows regardless of corpus size. (Exactness note: integer sums stay "
+    "double-exact below 2^53 ≈ 2^29 vectors per label; beyond that switch "
+    "the final cast to DECIMAL like dsum.)",
+    tags=("vectors", "pooling", "centroid"),
+)
+def q_embedding_pool_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    vecs = _quantized(e)
+    per = (
+        vecs.select("label", F.posexplode("qv").alias("pos0", "val"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), "val")
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum("val").cast("double") / F.count(F.lit(1))).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    agg = per.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n_vectors"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("mean_vec"),
+    )
+    return agg.select(
+        "label",
+        "n_vectors",
+        "mean_vec",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("mean_vec"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("mean_norm"),
+    ).orderBy("label")
+
+
+@register(
+    "q_vector_scalar_quantize",
+    oracle=f"""
+    WITH {_SQL_PX},
+    st AS (SELECT pos, MIN(val) AS lo, MAX(val) AS hi FROM px GROUP BY pos),
+    er AS (
+      SELECT p.pos, st.lo, st.hi, p.val,
+             CASE WHEN st.hi > st.lo
+                  THEN CAST(round(CAST((p.val - st.lo) * 255 AS DOUBLE)
+                                  / (st.hi - st.lo)) AS BIGINT)
+                  ELSE 0 END AS code
+      FROM px p JOIN st ON st.pos = p.pos
+    ),
+    e2 AS (  -- 255*(recon - val): pure BIGINT, no float residue to round
+      SELECT pos, lo, hi,
+             255 * lo + code * (hi - lo) - 255 * val AS err_num
+      FROM er
+    )
+    SELECT pos, lo, hi,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(err_num * err_num) AS DOUBLE) / 65025.0 AS sse
+    FROM e2 GROUP BY pos, lo, hi
+    ORDER BY pos
+    """,
+    doc="Int8 scalar quantization (the SQ8 index-compression pass): per-"
+    "dimension [min, max] over the corpus (64 exact BIGINT rows), each "
+    "component coded to 0..255, and the per-dimension reconstruction SSE "
+    "reported. Two shuffles, both keyed on the 64-value dim id with map-"
+    "side combine; the dim stats ride a broadcast back over the corpus. "
+    "Codes and bounds are exact integers, and so is the error itself once "
+    "scaled by 255 (err_num = 255·recon − 255·val), so the SSE total is an "
+    "exact integer sum (DECIMAL(38,0) on Spark, HUGEINT on DuckDB) divided "
+    "once at the end — bit-identical cross-engine with no per-row decimal "
+    "rounding. Swapping in learned (trained) bounds changes only the stats "
+    "CTE.",
+    tags=("vectors", "quantization", "compression"),
+)
+def q_vector_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    vecs = _quantized(e)
+    px = vecs.select(F.posexplode("qv").alias("pos0", "val")).select(
+        (F.col("pos0") + 1).alias("pos"), "val"
+    )
+    st = px.groupBy("pos").agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    er = px.join(F.broadcast(st), "pos").withColumn(
+        "code",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.round(
+                ((F.col("val") - F.col("lo")) * 255).cast("double")
+                / (F.col("hi") - F.col("lo"))
+            ).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    err_num = (
+        F.lit(255) * F.col("lo")
+        + F.col("code") * (F.col("hi") - F.col("lo"))
+        - F.lit(255) * F.col("val")
+    )
+    return (
+        er.withColumn("err_num", err_num)
+        .groupBy("pos", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            (
+                F.sum((F.col("err_num") * F.col("err_num")).cast("decimal(38,0)"))
+                .cast("double")
+                / F.lit(65025.0)
+            ).alias("sse"),
+        )
+        .orderBy("pos")
+    )

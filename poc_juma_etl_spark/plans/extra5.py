@@ -1,0 +1,207 @@
+"""Round-4 additions: equi-depth histogram, lexical diversity, and
+CSV/JSON source round-trips.
+
+The round-trips close a source-format gap: the engine's catalog is parquet
+-first (like the reference's BigQuery tables), but a drop-in user also
+lands CSV and JSON extracts. Each e2e query writes a real file set through
+Spark's writer, reads it back through the matching reader with an explicit
+schema, and aggregates — the oracle computes the same aggregate from the
+original parquet, so any serialization loss (types, timestamps, quoting,
+doubles) breaks the hash.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.text import tokens
+from .queries import dsum, register
+
+N_BUCKETS = 10
+_CUT_QS = ", ".join(str(i / N_BUCKETS) for i in range(1, N_BUCKETS))
+
+
+@register(
+    "q_equidepth_histogram",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT quantile_cont(l_extendedprice, [{_CUT_QS}]) AS cs FROM lineitem
+    ),
+    b AS (
+      SELECT len(list_filter(cs, c -> l_extendedprice > c)) AS bucket,
+             l_extendedprice
+      FROM lineitem CROSS JOIN cuts
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           MIN(l_extendedprice) AS lo_price,
+           MAX(l_extendedprice) AS hi_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    doc=f"Equi-depth histogram: {N_BUCKETS - 1} exact interpolated decile "
+    "cuts over l_extendedprice (a 1-row aggregate, broadcast back over the "
+    "scan), each row bucketed by counting cuts strictly below its value — "
+    "pure in-row array arithmetic, one hash aggregate after. The exact "
+    "percentile pass is the oracle-parity pin; the at-scale swap is "
+    "approx_percentile exactly as rfm_segments does (same CASE-free "
+    "bucketing downstream). Bucket populations verify the equi-depth "
+    "property end to end, including boundary ties.",
+    tags=("olap", "histogram", "percentile"),
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    cuts = li.agg(F.expr(f"percentile(l_extendedprice, array({_CUT_QS}))").alias("cs"))
+    return (
+        li.crossJoin(F.broadcast(cuts))
+        .select(
+            F.expr("size(filter(cs, c -> l_extendedprice > c))").alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.min("l_extendedprice").alias("lo_price"),
+            F.max("l_extendedprice").alias("hi_price"),
+            dsum("l_extendedprice", "total_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_text_ttr_hapax",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(COUNT(*) AS DOUBLE) / SUM(n) AS ttr
+    FROM cnt GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Lexical diversity per document: token count, type (distinct-token) "
+    "count, hapax legomena (tokens occurring once), and type-token ratio — "
+    "the classic text-quality signals next to the Gopher rules. One shuffle "
+    "on (doc_id, token) with map-side combine, then a doc-local rollup; "
+    "per-doc vocabularies never materialize as arrays. TTR is a single "
+    "integer-to-double division — exact cross-engine.",
+    tags=("text", "quality", "diversity"),
+)
+def q_text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+            (F.count(F.lit(1)).cast("double") / F.sum("n")).alias("ttr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORDERS_ROLLUP_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+
+def _orders_rollup(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            dsum("o_totalprice", "total_price"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "etl_csv_roundtrip_e2e",
+    oracle=_ORDERS_ROLLUP_ORACLE,
+    doc="CSV sink+source round-trip: write orders through Spark's CSV "
+    "writer (header, default quoting/timestamp format), read the files "
+    "back through the CSV reader with the ORIGINAL explicit schema (never "
+    "inferSchema — schema inference is a full extra pass and a type "
+    "lottery at 100 TB), and aggregate per priority. The oracle aggregates "
+    "the source parquet, so any loss in the text serialization — double "
+    "precision, timestamp format, quoting — breaks the hash. Scan "
+    "parallelism survives the trip: CSV splits by file, and the write "
+    "preserves the upstream partition count.",
+    tags=("etl", "csv", "source", "e2e"),
+)
+def etl_csv_roundtrip_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="csv_rt_")
+    try:
+        path = f"{tmp}/orders_csv"
+        o.write.mode("overwrite").option("header", True).csv(path)
+        back = spark.read.schema(o.schema).option("header", True).csv(path)
+        out = _orders_rollup(back).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "etl_json_roundtrip_e2e",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_balance,
+           MIN(c_name) AS first_name
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="JSON-lines sink+source round-trip: write customer through Spark's "
+    "JSON writer, read it back with the original explicit schema (JSON "
+    "field order is not positional, so the schema also proves name-based "
+    "binding), aggregate per market segment against a parquet-side oracle. "
+    "Doubles survive via shortest-roundtrip encoding; the explicit schema "
+    "skips the inference pass a 100 TB JSON lake cannot afford.",
+    tags=("etl", "json", "source", "e2e"),
+)
+def etl_json_roundtrip_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="json_rt_")
+    try:
+        path = f"{tmp}/customer_json"
+        c.write.mode("overwrite").json(path)
+        back = spark.read.schema(c.schema).json(path)
+        out = (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                dsum("c_acctbal", "total_balance"),
+                F.min("c_name").alias("first_name"),
+            )
+            .orderBy("c_mktsegment")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
