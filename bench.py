@@ -80,6 +80,10 @@ HEADLINE: list[str] = [
     "q_bpe_train_merges",
     "q_sample_token_budget",
     "q_ann_ivfpq_topk",
+    # vector-ops + histogram additions (bench round 4)
+    "q_semantic_dedup",
+    "q_vector_scalar_quantize",
+    "q_equidepth_histogram",
 ]
 
 

@@ -106,6 +106,10 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_text_ttr_hapax",
     "etl_csv_roundtrip_e2e",
     "etl_json_roundtrip_e2e",
+    "q_interval_overlap_join",
+    "q_cdc_apply",
+    "q_bloom_filter_prune",
+    "q_ann_range_search",
 )
 
 
@@ -163,6 +167,7 @@ def all_queries():
         "poc_juma_etl_spark.plans.windows",
         "poc_juma_etl_spark.plans.setops",
         "poc_juma_etl_spark.plans.events",
+        "poc_juma_etl_spark.operators.merge",
         "poc_juma_etl_spark.operators.normalize",
         "poc_juma_etl_spark.operators.range_replace",
         "poc_juma_etl_spark.operators.bm25",

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..plans.queries import register
+
 
 def dedupe_updates(updates: DataFrame, key: str) -> DataFrame:
     """Resolve duplicate keys in an update batch deterministically: per key,
@@ -130,3 +132,139 @@ def merge_latest(
         .localCheckpoint()
     )
     merged.write.mode("overwrite").option("partitionOverwriteMode", "static").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: fold an ordered change log (I/U/D rows with a sequence number)
+# into a base snapshot — the log-consumer counterpart of merge_upsert
+# (which folds full-row upserts) and scd2_apply (which keeps history).
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Last-writer-wins CDC fold. ``changes`` carries (key, seq, op,
+    payload...) where op ∈ {'I','U','D'} and payload columns mirror
+    ``base``'s non-key columns. Per key only the highest-seq change
+    applies: D drops the row, I/U replace it, keys without changes pass
+    through. One window over the (small) change log + ONE key equi-join
+    against the base — the base is never window-sorted, so the fold costs
+    a broadcast (or shuffled) join regardless of snapshot size."""
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    last = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", seq_col)
+    )
+    payload = [c for c in base.columns if c != key]
+    lastr = last.select(
+        F.col(key),
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_new_{c}") for c in payload],
+    )
+    joined = base.join(lastr, key, "full")
+    picked = [
+        F.when(F.col("_op").isin("I", "U"), F.col(f"_new_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in payload
+    ]
+    return (
+        joined.filter((F.col("_op").isNull()) | (F.col("_op") != "D"))
+        .select(F.col(key), *picked, F.coalesce(F.col("_op"), F.lit("")).alias("last_op"))
+    )
+
+
+@register(
+    "q_cdc_apply",
+    oracle="""
+    WITH chg AS (
+      SELECT c_custkey AS k, 1 AS seq, 'U' AS op,
+             c_acctbal + 100 AS bal, c_mktsegment AS seg
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 3, 'D', NULL, NULL
+      FROM customer WHERE c_custkey % 21 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 1, 'I', c_acctbal, 'NEW'
+      FROM customer WHERE c_custkey % 13 = 0
+      UNION ALL
+      SELECT c_custkey, 2, 'U', c_acctbal + 50, c_mktsegment
+      FROM customer WHERE c_custkey % 14 = 0
+    ),
+    last AS (
+      SELECT k, op, bal, seg FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM chg
+      ) WHERE rn = 1
+    ),
+    j AS (
+      SELECT COALESCE(b.c_custkey, l.k) AS c_custkey,
+             CASE WHEN l.op IN ('I','U') THEN l.bal ELSE b.c_acctbal END AS c_acctbal,
+             CASE WHEN l.op IN ('I','U') THEN l.seg ELSE b.c_mktsegment END AS c_mktsegment,
+             COALESCE(l.op, '') AS last_op
+      FROM customer b FULL JOIN last l ON l.k = b.c_custkey
+    )
+    SELECT c_custkey, c_acctbal, c_mktsegment, last_op
+    FROM j WHERE last_op <> 'D'
+    ORDER BY c_custkey
+    """,
+    doc="CDC apply (last-writer-wins): a deterministic I/U/D change log "
+    "derived from the customer snapshot (every 7th updated at seq 1, every "
+    "14th updated again at seq 2 — the later update must win; every 21st "
+    "deleted at seq 3 — the delete must beat both updates; every 13th "
+    "inserted as a new "
+    "key) folds into the base via one window over the log and one full "
+    "outer key join. The base side is never sorted or windowed, so the "
+    "fold is a single join at any snapshot size — the log-consumer "
+    "pattern next to merge_upsert/scd2.",
+    tags=("etl", "cdc", "merge"),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select("c_custkey", "c_acctbal", "c_mktsegment")
+    k = F.col("c_custkey")
+    changes = (
+        base.filter(k % 7 == 0)
+        .select(
+            k.alias("c_custkey"),
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+            F.col("c_mktsegment"),
+        )
+        .unionByName(
+            base.filter(k % 21 == 0).select(
+                k.alias("c_custkey"),
+                F.lit(3).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("c_acctbal"),
+                F.lit(None).cast("string").alias("c_mktsegment"),
+            )
+        )
+        .unionByName(
+            base.filter(k % 13 == 0).select(
+                (k + 1000000).alias("c_custkey"),
+                F.lit(1).alias("seq"),
+                F.lit("I").alias("op"),
+                F.col("c_acctbal"),
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+        .unionByName(
+            base.filter(k % 14 == 0).select(
+                k.alias("c_custkey"),
+                F.lit(2).alias("seq"),
+                F.lit("U").alias("op"),
+                (F.col("c_acctbal") + 50).alias("c_acctbal"),
+                F.col("c_mktsegment"),
+            )
+        )
+    )
+    return cdc_apply(base, changes, "c_custkey").orderBy("c_custkey")

@@ -92,11 +92,34 @@ def media_features(df: DataFrame) -> DataFrame:
 
 @register(
     "q_multimodal_features",
-    oracle=None,  # mapInPandas decode is outside DuckDB's surface (rows-only)
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END
+               AS media_type,
+             text, length(text) AS n
+      FROM documents
+    ),
+    ck AS (  -- ASCII fixture text: ord(char) == utf-8 byte, so the stub's
+             -- byte checksum is expressible as a codepoint sum
+      SELECT media_type, n,
+             COALESCE(list_sum(list_transform(range(1, n + 1),
+                                              i -> ord(substring(text, i, 1)))), 0)
+               % 1000000007 AS checksum
+      FROM m
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(n) AS BIGINT) AS total_bytes,
+           CAST(SUM(checksum) AS BIGINT) AS checksum_sum
+    FROM ck GROUP BY media_type ORDER BY media_type
+    """,
     doc="Multimodal plumbing: synthesize a binary payload column from "
     "documents (stand-in for encoded images), run the Arrow-batched "
-    "mapInPandas decode-stub, aggregate per media_type. Exact values pinned "
-    "by unit tests instead of the SQL oracle.",
+    "mapInPandas decode-stub, aggregate per media_type. The ASCII fixture "
+    "payload makes the stub's byte checksum a SQL codepoint sum, so this "
+    "Python-kernel pipeline is value-hash-gated like the frame sampler "
+    "(the float feature stripes stay pinned by tests/test_m4_operators.py).",
     tags=("multimodal", "pandas-udf"),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -219,3 +219,57 @@ def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "bucket", "cosine", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+RANGE_T = 0.30
+RANGE_N_QUERIES = 50
+
+
+@register(
+    "q_ann_range_search",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {{bucket}} AS bucket FROM embeddings
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < {RANGE_N_QUERIES})
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {{cosine}} AS cosine
+    FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    WHERE {{cosine}} >= {RANGE_T}
+    ORDER BY query_id, neighbor_id
+    """.format(
+        bucket=sql_srp_bucket("embedding"),
+        cosine=sql_cosine_expr("q.embedding", "c.embedding"),
+    ),
+    doc=f"ANN range search (radius query): every neighbor within cosine ≥ "
+    f"{RANGE_T} of each of the first {RANGE_N_QUERIES} vectors, candidates "
+    "drawn from the SRP-LSH bucket equi-join — the fixed-radius sibling of "
+    "the top-k queries (dedup wants 'all near-dups', not 'best 5'). Same "
+    "sub-linear candidate shape as q_ann_lsh_topk; no window at all, since "
+    "range search needs no ranking — just the threshold filter.",
+    tags=("similarity", "ann", "range-search"),
+)
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(spread(load_table(spark, sf_dir, "embeddings")), "v")
+    b = e.withColumn("bucket", F.expr(spark_srp_bucket("embedding")))
+    q = b.filter(F.col("vec_id") < RANGE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v_qv").alias("q_qv"),
+        F.col("v_norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = b.select(F.col("vec_id").alias("neighbor_id"), "v_qv", "v_norm", "bucket")
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cosine",
+            F.expr(spark_cosine_prequantized("q_qv", "v_qv", "q_norm", "v_norm")),
+        )
+        .filter(F.col("cosine") >= RANGE_T)
+        .select("query_id", "neighbor_id", "cosine")
+        .orderBy("query_id", "neighbor_id")
+    )

@@ -205,3 +205,123 @@ def etl_json_roundtrip_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning — the portable version of Spark's runtime
+# bloom filter (spark.sql.optimizer.runtime.bloomFilter.*): build a bitmap
+# over the small side's join keys, ship it to the probe side as a literal,
+# and drop non-candidate rows BEFORE the shuffle/join. Hash functions are
+# md5-derived (engine-portable, unlike Spark's internal xxhash bloom), so
+# the DuckDB oracle constructs the identical filter and the false-positive
+# accounting hash-matches bit for bit.
+
+# 63 usable bits per signed 64-bit word: DuckDB rejects 1 << 63 (signed
+# overflow), so bit indices run 0..62 and words cover 63 bits each
+BLOOM_BITS = 1008
+BLOOM_BPW = 63
+BLOOM_WORDS = BLOOM_BITS // BLOOM_BPW
+BLOOM_K = 3
+
+_SQL_BLOOM_H = (
+    "CAST(('0x' || substr(md5({i} || ':' || CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    f" % {BLOOM_BITS}"
+)
+
+
+@register(
+    "q_bloom_filter_prune",
+    oracle=f"""
+    WITH build AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+    bits AS (
+      SELECT h // 63 AS word, bit_or(CAST(1 AS BIGINT) << CAST(h % 63 AS INTEGER)) AS mask
+      FROM (
+        SELECT unnest([{",".join(_SQL_BLOOM_H.format(i=i, k="c_custkey") for i in range(BLOOM_K))}]) AS h
+        FROM build
+      ) GROUP BY 1
+    ),
+    probe AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             unnest([{",".join(_SQL_BLOOM_H.format(i=i, k="o_custkey") for i in range(BLOOM_K))}]) AS h
+      FROM orders
+    ),
+    passes AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority
+      FROM probe JOIN bits ON bits.word = probe.h // 63
+      WHERE (bits.mask >> CAST(probe.h % 63 AS INTEGER)) & 1 = 1
+      GROUP BY o_orderkey, o_custkey, o_orderpriority
+      HAVING COUNT(*) = {BLOOM_K}
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN p.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(SUM(CASE WHEN b.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_match
+    FROM orders o
+    LEFT JOIN passes p ON p.o_orderkey = o.o_orderkey
+    LEFT JOIN build b ON b.c_custkey = o.o_custkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc=f"Bloom-filter join pruning: a {BLOOM_BITS}-bit ({BLOOM_BPW} bits/word), {BLOOM_K}-hash "
+    "filter over high-balance customers (md5-derived bit positions — "
+    "engine-portable) probes every order in-row against the bitmap "
+    "(collected to {BLOOM_WORDS} longs, inlined as a literal — the "
+    "broadcast-variable pattern at driver cost O(BLOOM_WORDS)), counted "
+    "against ground truth from the exact join. At scale this is the "
+    "runtime-filter idiom: the probe side sheds non-candidates before the "
+    "shuffle; the reported bloom-pass vs true-match gap IS the measured "
+    "false-positive rate. The oracle rebuilds the identical filter in SQL.",
+    tags=("joins", "bloom", "runtime-filter"),
+)
+def q_bloom_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import md5_long
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    build = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+
+    def h(i: int, key: str):
+        return md5_long(F.concat(F.lit(f"{i}:"), F.col(key).cast("string"))) % BLOOM_BITS
+
+    words_rows = (
+        build.select(F.explode(F.array(*[h(i, "c_custkey") for i in range(BLOOM_K)])).alias("hh"))
+        .select((F.col("hh") / BLOOM_BPW).cast("int").alias("word"), (F.col("hh") % BLOOM_BPW).cast("int").alias("bit"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("mask"))
+        .collect()
+    )
+    words = [0] * BLOOM_WORDS
+    for r in words_rows:
+        words[r.word] = r.mask
+    arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
+
+    probe = o.select("o_orderkey", "o_custkey", "o_orderpriority")
+    pass_cols = []
+    for i in range(BLOOM_K):
+        hi = h(i, "o_custkey")
+        probe = probe.withColumn(f"_h{i}", hi)
+        pass_cols.append(
+            F.expr(
+                f"shiftright(element_at({arr}, CAST(_h{i} DIV 63 AS INT) + 1), CAST(_h{i} % 63 AS INT)) & 1"
+            )
+            == 1
+        )
+    bloom_pass = pass_cols[0]
+    for pc in pass_cols[1:]:
+        bloom_pass = bloom_pass & pc
+    flagged = probe.withColumn("bloom_pass", bloom_pass).join(
+        F.broadcast(build.withColumnRenamed("c_custkey", "o_custkey").withColumn("is_true", F.lit(1))),
+        "o_custkey",
+        "left",
+    )
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).cast("bigint").alias("n_bloom_pass"),
+            F.sum(F.when(F.col("is_true").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_true_match"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -255,3 +255,99 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap (range) join — the time-interval counterpart of the as-of
+# join family. Spark has no native range join, and the naive formulation
+# (theta-join on sa < eb AND sb < ea) plans as a nested-loop cartesian. The
+# scale idiom is BINNING: slice time into fixed bins, explode each interval
+# to the bins it covers, equi-join on the bin id, then (1) re-check the
+# exact overlap predicate and (2) keep each pair only in the bin containing
+# the overlap START — greatest(sa, sb) — so a pair spanning several shared
+# bins is counted exactly once WITHOUT a distinct shuffle. Work scales with
+# overlap density per bin, never |A|×|B|; the bin width is the tuning knob
+# (≈ median interval length). DuckDB replays it as a plain inequality join
+# (its IEJoin handles fixture scale), making this a strong cross-algorithm
+# check.
+
+ORDER_WINDOW_D = 7  # order fulfilment window [o_orderdate, +7d)
+SHIP_WINDOW_D = 3  # shipment activity window [l_shipdate, +3d)
+BIN_D = 7
+
+
+@register(
+    "q_interval_overlap_join",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey,
+             datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS sa
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+    ),
+    b AS (
+      SELECT datediff('day', TIMESTAMP '1995-01-01', l_shipdate) AS sb
+      FROM lineitem
+      WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+    )
+    SELECT a.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM a JOIN b
+      ON a.sa < b.sb + {SHIP_WINDOW_D} AND b.sb < a.sa + {ORDER_WINDOW_D}
+    GROUP BY a.o_orderkey
+    ORDER BY a.o_orderkey
+    """,
+    doc=f"Interval overlap join via bin-and-canonicalize: urgent 1995 "
+    f"orders' [{ORDER_WINDOW_D}d) fulfilment windows against all "
+    f"[{SHIP_WINDOW_D}d) shipment windows. Each interval explodes to its "
+    f"{BIN_D}-day bins, candidates equi-join on bin id, the exact overlap "
+    "predicate filters, and each pair survives only in the bin holding "
+    "greatest(start_a, start_b) — exactly-once counting with no distinct. "
+    "The oracle runs DuckDB's native inequality join instead; identical "
+    "counts prove the binning is complete and non-duplicating.",
+    tags=("joins", "interval", "range-join"),
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    ).select(
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1995-01-01")).alias("sa"),
+    )
+    b = li.filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    ).select(F.datediff("l_shipdate", F.lit("1995-01-01")).alias("sb"))
+    ab = a.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"sa div {BIN_D}"),
+                F.expr(f"(sa + {ORDER_WINDOW_D} - 1) div {BIN_D}"),
+            )
+        ),
+    )
+    bb = b.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"sb div {BIN_D}"),
+                F.expr(f"(sb + {SHIP_WINDOW_D} - 1) div {BIN_D}"),
+            )
+        ),
+    )
+    return (
+        ab.join(bb, "bin")
+        .filter(
+            (F.col("sa") < F.col("sb") + SHIP_WINDOW_D)
+            & (F.col("sb") < F.col("sa") + ORDER_WINDOW_D)
+            # canonical bin: count the pair only where the overlap starts
+            & (F.col("bin") == F.expr(f"greatest(sa, sb) div {BIN_D}"))
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlaps"))
+        .orderBy("o_orderkey")
+    )

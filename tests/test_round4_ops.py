@@ -46,6 +46,55 @@ def test_rfm_sketch_path_has_no_exact_percentile(spark):
     assert "percentile(" not in plan.replace("approx_percentile(", "")
 
 
+def test_semantic_dedup_keeps_cell_minimum(spark):
+    # keep-first semantics: the lowest vec_id of every cell can never be
+    # dominated (no lower-id cell-mate exists), so it must always survive;
+    # and every cell retains at least one vector
+    from poc_juma_etl_spark.operators.vectors import q_semantic_dedup
+    from poc_juma_etl_spark.plans.queries import release_caches
+
+    try:
+        rows = q_semantic_dedup(spark, SF_SMOKE).collect()
+    finally:
+        release_caches()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, members in by_cell.items():
+        lowest = min(members, key=lambda r: r.vec_id)
+        assert lowest.kept, f"cell {cell}: min-id vector was dropped"
+        assert any(r.kept for r in members)
+
+
+def test_scalar_quantize_error_bounded_by_half_step(spark):
+    # SQ8 guarantee: |recon - val| <= step/2 where step = (hi-lo)/255, so
+    # per-dim SSE <= n * (step/2)^2 / ... with the 255-scaling, each
+    # err_num is bounded by (hi-lo)/2 + rounding slack
+    from poc_juma_etl_spark.operators.vectors import q_vector_scalar_quantize
+
+    rows = q_vector_scalar_quantize(spark, SF_SMOKE).collect()
+    assert len(rows) == 64
+    for r in rows:
+        step = (r.hi - r.lo) / 255.0
+        max_sse = r.n_values * (step / 2 + 1) ** 2
+        assert 0 <= r.sse <= max_sse, (r.pos, r.sse, max_sse)
+
+
+def test_equidepth_histogram_is_equi_depth(spark):
+    # decile buckets must each hold ~n/10 items (exact up to cut ties)
+    from poc_juma_etl_spark.operators.vectors import q_semantic_dedup  # noqa: F401
+    from poc_juma_etl_spark.plans.extra5 import q_equidepth_histogram
+
+    rows = q_equidepth_histogram(spark, SF_SMOKE).collect()
+    n = sum(r.n_items for r in rows)
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(r.n_items - n / 10) <= max(2, 0.02 * n), (r.bucket, r.n_items)
+    # buckets tile the value range in order
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_price <= b.lo_price
+
+
 def test_pagerank_large_graph_branch_shuffles_node_side_only(spark):
     # the measured node-count switch (>500k nodes) re-cuts the edge list
     # hash-partitioned on src ONCE, so per-iteration joins shuffle only the
