@@ -142,3 +142,58 @@ def test_pagerank_large_graph_branch_shuffles_node_side_only(spark):
         assert src_exchanges(small) > ITERS
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cdc_apply_edge_ops(spark):
+    # D on a key absent from the base is a no-op row (nothing to delete,
+    # nothing inserted); I on an EXISTING key replaces it (upsert
+    # semantics); an op sandwich U->D->U resurrects with the last payload
+    from poc_juma_etl_spark.operators.merge import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (9, 1, "D", None),      # delete of unknown key
+            (2, 1, "I", "b2"),      # insert-on-existing == replace
+            (3, 1, "U", "x"),
+            (3, 2, "D", None),
+            (3, 3, "U", "c3"),      # resurrect: last write wins
+        ],
+        "k long, seq int, op string, v string",
+    )
+    rows = {r.k: (r.v, r.last_op) for r in cdc_apply(base, changes, "k").collect()}
+    assert rows == {
+        1: ("a", ""),
+        2: ("b2", "I"),
+        3: ("c3", "U"),
+        # key 9: D won; no base row -> filtered out entirely
+    }
+
+
+def test_interval_overlap_counts_each_pair_once(spark):
+    # a pair overlapping across SEVERAL shared bins must count exactly once:
+    # intervals [0,7) and [1,4) share bins 0 — and with BIN=7 d couldn't
+    # split, so craft starts spanning a bin boundary instead
+    from pyspark.sql import functions as F
+
+    BIN = 7
+    a = spark.createDataFrame([(1, 5)], "id long, sa int")  # [5, 12) spans bins 0,1
+    b = spark.createDataFrame([(6,)], "sb int")  # [6, 9) spans bins 0,1 too
+    ab = a.withColumn(
+        "bin", F.explode(F.sequence(F.expr(f"sa div {BIN}"), F.expr(f"(sa + 7 - 1) div {BIN}")))
+    )
+    bb = b.withColumn(
+        "bin", F.explode(F.sequence(F.expr(f"sb div {BIN}"), F.expr(f"(sb + 3 - 1) div {BIN}")))
+    )
+    n = (
+        ab.join(bb, "bin")
+        .filter(
+            (F.col("sa") < F.col("sb") + 3)
+            & (F.col("sb") < F.col("sa") + 7)
+            & (F.col("bin") == F.expr(f"greatest(sa, sb) div {BIN}"))
+        )
+        .count()
+    )
+    assert n == 1  # both bins match the raw join; the canonical filter dedupes
