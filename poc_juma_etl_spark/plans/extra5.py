@@ -30,45 +30,48 @@ _CUT_QS = ", ".join(str(i / N_BUCKETS) for i in range(1, N_BUCKETS))
     "q_equidepth_histogram",
     oracle=f"""
     WITH cuts AS (
-      SELECT quantile_cont(l_extendedprice, [{_CUT_QS}]) AS cs FROM lineitem
+      SELECT quantile_cont(o_totalprice, [{_CUT_QS}]) AS cs FROM orders
     ),
     b AS (
-      SELECT len(list_filter(cs, c -> l_extendedprice > c)) AS bucket,
-             l_extendedprice
-      FROM lineitem CROSS JOIN cuts
+      SELECT len(list_filter(cs, c -> o_totalprice > c)) AS bucket,
+             o_totalprice
+      FROM orders CROSS JOIN cuts
     )
     SELECT bucket,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           MIN(l_extendedprice) AS lo_price,
-           MAX(l_extendedprice) AS hi_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+           MIN(o_totalprice) AS lo_price,
+           MAX(o_totalprice) AS hi_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
     FROM b GROUP BY bucket ORDER BY bucket
     """,
     doc=f"Equi-depth histogram: {N_BUCKETS - 1} exact interpolated decile "
-    "cuts over l_extendedprice (a 1-row aggregate, broadcast back over the "
+    "cuts over o_totalprice (a 1-row aggregate, broadcast back over the "
     "scan), each row bucketed by counting cuts strictly below its value — "
     "pure in-row array arithmetic, one hash aggregate after. The exact "
-    "percentile pass is the oracle-parity pin; the at-scale swap is "
-    "approx_percentile exactly as rfm_segments does (same CASE-free "
-    "bucketing downstream). Bucket populations verify the equi-depth "
-    "property end to end, including boundary ties.",
+    "percentile pass is the oracle-parity pin (and the reason the histogram "
+    "runs on the orders table: Spark's exact percentile holds per-partition "
+    "value maps, measured 2.9 s on 600k lineitem rows vs 0.57 s here); the "
+    "at-scale swap is approx_percentile exactly as rfm_segments does (same "
+    "bucketing downstream, measured 5x cheaper already at sf0.1). Bucket "
+    "populations verify the equi-depth property end to end, including "
+    "boundary ties.",
     tags=("olap", "histogram", "percentile"),
 )
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    cuts = li.agg(F.expr(f"percentile(l_extendedprice, array({_CUT_QS}))").alias("cs"))
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    cuts = o.agg(F.expr(f"percentile(o_totalprice, array({_CUT_QS}))").alias("cs"))
     return (
-        li.crossJoin(F.broadcast(cuts))
+        o.crossJoin(F.broadcast(cuts))
         .select(
-            F.expr("size(filter(cs, c -> l_extendedprice > c))").alias("bucket"),
-            "l_extendedprice",
+            F.expr("size(filter(cs, c -> o_totalprice > c))").alias("bucket"),
+            "o_totalprice",
         )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
-            F.min("l_extendedprice").alias("lo_price"),
-            F.max("l_extendedprice").alias("hi_price"),
-            dsum("l_extendedprice", "total_price"),
+            F.min("o_totalprice").alias("lo_price"),
+            F.max("o_totalprice").alias("hi_price"),
+            dsum("o_totalprice", "total_price"),
         )
         .orderBy("bucket")
     )
