@@ -110,6 +110,10 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_cdc_apply",
     "q_bloom_filter_prune",
     "q_ann_range_search",
+    "q_sample_weighted",
+    "q_outer_join_null_skew",
+    "q_event_sequence_match",
+    "q_winsorize_prices",
 )
 
 

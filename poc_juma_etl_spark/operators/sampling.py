@@ -438,3 +438,49 @@ def budget_select(spark: SparkSession, scored: DataFrame, budget: int) -> DataFr
         .select("doc_id", "n_tokens", "quality", "cum_tokens")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             {SQL_MD5_LONG.format(x="CAST(doc_id AS VARCHAR)")} % {BUCKETS} AS bucket,
+             (least(n_chars, 2000) * 500) // 2000 AS thresh
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN bucket < thresh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(SUM(thresh) AS BIGINT) AS expected_k
+    FROM w GROUP BY lang ORDER BY lang
+    """,
+    doc="Importance-weighted deterministic sampling: each document's "
+    "inclusion probability scales with its length proxy (least(n_chars, "
+    "2000)/2000, capped at 50%) by turning the weight into a per-row "
+    "bucket threshold over the same stable md5 hash the uniform sampler "
+    "uses. Reproducible membership at any parallelism, no RNG state, and "
+    "up-weighting a slice later keeps the old sample as a subset — the "
+    "quality-weighted mixture pattern for training-data curation. "
+    "expected_k (sum of thresholds, in 1/1000 units) doubles as the "
+    "analytic check that realized counts track assigned weights.",
+    tags=("sampling", "weighted"),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = sample_bucket(F.col("doc_id"))
+    thresh = F.expr("(least(n_chars, 2000) * 500) div 2000")
+    return (
+        d.withColumn("bucket", bucket)
+        .withColumn("thresh", thresh)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("bucket") < F.col("thresh"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+            F.sum("thresh").cast("bigint").alias("expected_k"),
+        )
+        .orderBy("lang")
+    )

@@ -246,3 +246,57 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "q_event_sequence_match",
+    oracle="""
+    WITH chars AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                             WHEN 'purchase' THEN 'p' ELSE 'o' END AS ch
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS seq
+      FROM chars GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'v[co]*p')) AS BIGINT) AS n_conversions
+    FROM seqs ORDER BY user_id
+    """,
+    doc="Event-sequence pattern matching (the MATCH_RECOGNIZE workload): "
+    "each user's history compresses to an ordered character string (one "
+    "char per event, (ts, event_id)-ordered for determinism) and a regex "
+    "counts non-overlapping view→(clicks/other)*→purchase conversions — "
+    "'v[co]*p' admits the same matches under leftmost-first (Java) and "
+    "RE2 (DuckDB) semantics because the interior class excludes both "
+    "anchors. One shuffle on user_id; per-user strings stay in-row and "
+    "bounded by per-user history, never collected. At 100 TB the same "
+    "shape runs windowed (sessionized) so no single user's string grows "
+    "unbounded.",
+    tags=("events", "sequence", "regex", "funnel"),
+)
+def q_event_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("o")
+    )
+    seqs = (
+        ev.select("user_id", F.struct("ts", "event_id", ch.alias("ch")).alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s.ch), ""
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("seq_len"),
+        F.expr("regexp_count(seq, 'v[co]*p')").cast("bigint").alias("n_conversions"),
+    ).orderBy("user_id")

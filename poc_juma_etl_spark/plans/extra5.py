@@ -328,3 +328,69 @@ def q_bloom_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_winsorize_prices",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders
+    ),
+    w AS (
+      SELECT o_orderpriority, o_totalprice,
+             CASE WHEN o_totalprice < p05 THEN p05
+                  WHEN o_totalprice > p95 THEN p95
+                  ELSE o_totalprice END AS capped,
+             CASE WHEN o_totalprice < p05 THEN 1 ELSE 0 END AS low,
+             CASE WHEN o_totalprice > p95 THEN 1 ELSE 0 END AS high
+      FROM orders CROSS JOIN cuts
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(low) AS BIGINT) AS n_capped_low,
+           CAST(SUM(high) AS BIGINT) AS n_capped_high,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_raw,
+           CAST(SUM(CAST(capped AS DECIMAL(25,6))) AS DOUBLE) AS total_winsorized
+    FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Winsorization (outlier capping at p05/p95): the two exact "
+    "interpolated cut points are a 1-row broadcast over the scan, capping "
+    "is in-row CASE arithmetic, and the rollup compares raw vs winsorized "
+    "totals with capped-row counts per priority. Same percentile scaling "
+    "story as q_equidepth_histogram: exact cuts pin oracle parity, "
+    "approx_percentile is the drop-in at 100 TB (mergeable sketch, "
+    "identical CASE downstream). The feature-cleaning primitive for "
+    "robust aggregates and ML feature tables.",
+    tags=("olap", "winsorize", "percentile", "quality"),
+)
+def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    cuts = o.agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    p = F.col("o_totalprice")
+    capped = (
+        F.when(p < F.col("p05"), F.col("p05"))
+        .when(p > F.col("p95"), F.col("p95"))
+        .otherwise(p)
+    )
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .withColumn("capped", capped)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.when(p < F.col("p05"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_capped_low"),
+            F.sum(F.when(p > F.col("p95"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_capped_high"),
+            dsum("o_totalprice", "total_raw"),
+            dsum("capped", "total_winsorized"),
+        )
+        .orderBy("o_orderpriority")
+    )

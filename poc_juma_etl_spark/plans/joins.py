@@ -351,3 +351,51 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlaps"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_outer_join_null_skew",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, NULLIF(user_id % 500, 0) + 1000 AS cust_ref, value
+      FROM events
+    )
+    SELECT COALESCE(c.c_mktsegment, 'ANONYMOUS') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ev.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM ev LEFT JOIN customer c ON c.c_custkey = ev.cust_ref
+    GROUP BY 1 ORDER BY segment
+    """,
+    doc="Null-key skew routing for outer joins: events whose customer "
+    "reference is NULL (anonymous traffic — here every user_id ≡ 0 mod "
+    "500, the classic single-hot-key shape) would all hash to ONE reducer "
+    "in a shuffled left join, the textbook 100 TB straggler. The operator "
+    "splits the fact side first: null-key rows BYPASS the join entirely "
+    "(padded with null dim columns via a zero-cost select — they can never "
+    "match), only non-null rows shuffle, and the two legs union. The "
+    "oracle runs the naive LEFT JOIN — identical totals prove the routing "
+    "loses and invents nothing.",
+    tags=("joins", "outer", "skew", "null-keys"),
+)
+def q_outer_join_null_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.expr("NULLIF(user_id % 500, 0)") + 1000).alias("cust_ref"),
+        "value",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_ref"), "c_mktsegment"
+    )
+    with_key = ev.filter(F.col("cust_ref").isNotNull()).join(c, "cust_ref", "left")
+    null_key = ev.filter(F.col("cust_ref").isNull()).withColumn(
+        "c_mktsegment", F.lit(None).cast("string")
+    )
+    return (
+        with_key.unionByName(null_key)
+        .groupBy(F.coalesce("c_mktsegment", F.lit("ANONYMOUS")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .orderBy("segment")
+    )
