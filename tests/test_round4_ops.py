@@ -197,3 +197,42 @@ def test_interval_overlap_counts_each_pair_once(spark):
         .count()
     )
     assert n == 1  # both bins match the raw join; the canonical filter dedupes
+
+
+def test_bloom_prune_never_misses_and_fp_bounded(spark):
+    # a Bloom filter has NO false negatives (every true match must pass)
+    # and at 1008 bits / ~150 keys x 3 hashes the fill ratio keeps the
+    # false-positive rate low — bound it loosely to catch hash-layout bugs
+    from poc_juma_etl_spark.plans.extra5 import q_bloom_filter_prune
+
+    rows = q_bloom_filter_prune(spark, SF_SMOKE).collect()
+    total = sum(r.n_orders for r in rows)
+    passed = sum(r.n_bloom_pass for r in rows)
+    true = sum(r.n_true_match for r in rows)
+    assert passed >= true  # no false negatives, aggregated
+    for r in rows:
+        assert r.n_bloom_pass >= r.n_true_match, r
+    non_match = total - true
+    fp = passed - true
+    assert fp <= max(5, 0.2 * non_match), (fp, non_match)
+
+
+def test_weighted_sample_monotone_under_upweight(spark):
+    # raising every weight (threshold) must keep the old sample as a
+    # subset — the property that makes hash sampling re-mixable. Verified
+    # directly on the bucket/threshold formula over the fixture docs.
+    from poc_juma_etl_spark.catalog import load_table
+    from poc_juma_etl_spark.operators.sampling import sample_bucket
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    b = d.select(
+        "doc_id",
+        sample_bucket(F.col("doc_id")).alias("bucket"),
+        F.expr("(least(n_chars, 2000) * 500) div 2000").alias("t1"),
+        F.expr("(least(n_chars, 2000) * 800) div 2000").alias("t2"),
+    )
+    rows = b.collect()
+    kept1 = {r.doc_id for r in rows if r.bucket < r.t1}
+    kept2 = {r.doc_id for r in rows if r.bucket < r.t2}
+    assert kept1 <= kept2
+    assert len(kept2) > len(kept1)  # up-weighting actually adds docs
