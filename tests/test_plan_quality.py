@@ -286,3 +286,29 @@ def test_token_budget_window_is_partition_parallel(spark):
     plan = plan_of(spark, "q_sample_token_budget")
     assert "windowspecdefinition(pid#" in plan
     assert "BroadcastHashJoin" in plan  # offsets ride a broadcast
+
+
+def test_interval_overlap_is_bin_equijoin(spark):
+    # the range join must candidate-generate through the bin equi-join —
+    # never a nested-loop over the raw inequality predicate
+    import re
+
+    plan = plan_of(spark, "q_interval_overlap_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[bin#", plan)
+
+
+def test_bloom_prune_probes_inline_and_broadcasts_truth(spark):
+    # the bloom check itself is pure projection (literal bitmap, no join);
+    # the only join in the plan is the broadcast ground-truth semi/outer
+    plan = plan_of(spark, "q_bloom_filter_prune")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # nothing shuffles for the bloom path
+
+
+def test_null_skew_join_routes_nulls_around_the_join(spark):
+    # the split-union shape: a Union above (join leg, null leg); the null
+    # leg must reach the Union without any join operator over it
+    plan = plan_of(spark, "q_outer_join_null_skew")
+    assert "Union" in plan
+    assert "LeftOuter" in plan or "BroadcastHashJoin" in plan
