@@ -36,17 +36,28 @@ prefix is provably greedy-equivalent:
 
 - merging a pair cannot change the count of any symbol-disjoint pair, so
   every batched pair still holds its count when its sequential turn comes;
-- every pair a merge creates ((x, "a b"), ("a b", y), ("a b", "a b"))
-  has count bounded by a pre-merge pair sharing a symbol with the merged
-  one — and every symbol-sharing pair sits at or after the prefix
-  terminator, so its count (hence the new pair's) is ≤ the terminator's;
+- for a merge of (a, b) with a ≠ b, every created pair ((x, "a b"),
+  ("a b", y), ("a b", "a b")) has count bounded by a pre-merge pair
+  sharing a symbol with the merged one — and every symbol-sharing pair
+  sits at or after the prefix terminator, so its count (hence the new
+  pair's) is ≤ the terminator's;
 - truncating the batch to counts STRICTLY above the terminator's means no
-  created pair can tie a batched pair and steal its (cnt, l, r) tie-break.
+  created pair can tie a batched pair and steal its (cnt, l, r) tie-break;
+- a SELF-pair (a, a) breaks that argument: its merge creates pairs over
+  only {a, "a a"} (("a a", "a a"), ("a a", a)) whose counts are bounded
+  by the self-pair's own count — which is INSIDE the batch, above the
+  terminator — so a created pair can out-rank later batched pairs
+  (observed: "a"x10 makes ("a a","a a") count 4, tying and tie-break-
+  beating a disjoint (c, d) count 4). Self-pairs therefore only ever
+  merge as a SINGLETON batch: first-place self-pairs return alone, and a
+  later self-pair terminates the batch in front of it.
 
 So sequential greedy must pick exactly the batch, in batch order. Job
 count drops from O(V) to O(V / batch); `tests/test_bpe.py` pins merge-table
-equality between batch_max=1 and batch_max=8 trainers on the fixture corpus
-and on randomized hypothesis corpora.
+equality between batch_max=1 and batch_max=8 trainers on adversarial
+corpora (disjoint tops, conflicting ties, self-pair runs — including the
+self-pair-creates-a-tying-pair case above) and hypothesis-checks the batch
+selector's prefix/disjoint/strict-count invariants.
 
 The DuckDB oracle replays the same rounds with a COMPLETELY different
 algorithm — positional rows, window-function pair detection, and
@@ -148,10 +159,16 @@ def _safe_batch(rows: list, limit: int) -> list[tuple[str, str, int]]:
     excluded_cnt: int | None = None
     for row in rows:
         l, r, cnt = row.l, row.r, int(row.cnt)
-        if len(batch) >= limit or l in used or r in used:
+        if len(batch) >= limit or l in used or r in used or (l == r and batch):
             excluded_cnt = cnt
             break
         batch.append((l, r, cnt))
+        if l == r:
+            # self-pair: the pairs its merge creates are bounded by ITS
+            # count (in-batch, above any terminator), so nothing may merge
+            # alongside it — singleton batch, and no truncation needed
+            # because it is the round's undisputed top-1
+            return batch
         used.add(l)
         used.add(r)
     if excluded_cnt is not None:

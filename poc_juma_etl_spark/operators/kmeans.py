@@ -164,6 +164,26 @@ def kmeans_fit(
     return centroids
 
 
+def seed_cell_struct_array(rows) -> str:
+    """SQL text for the deterministic cell router shared by
+    q_ann_ivf_assign, q_ann_ivf_topk and vectors.q_semantic_dedup: an
+    array of named_struct('d', <exact squared distance from column ``qv``
+    to each quantized seed centroid>, 'cid', i). Struct field order
+    (d, cid) is load-bearing — array_min/array_sort compare field-by-field,
+    which encodes ties-to-the-lower-cell-id. Rendered as one SQL string
+    because K*64 F.lit() Columns cost a py4j round-trip each (see
+    q_ann_pq_adc for the measurement)."""
+    structs = []
+    for cid, r in enumerate(rows):
+        arr = "array(" + ",".join(f"{int(x)}L" for x in r.qv) + ")"
+        dist = (
+            f"aggregate(zip_with(qv, {arr}, (x,y) -> (x-y)*(x-y)), "
+            "CAST(0 AS BIGINT), (acc,v) -> acc + v)"
+        )
+        structs.append(f"named_struct('d', {dist}, 'cid', {cid})")
+    return "array(" + ",".join(structs) + ")"
+
+
 @register(
     "q_ann_ivf_assign",
     oracle=f"""
@@ -210,18 +230,7 @@ def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
     first = vecs.orderBy("vec_id").limit(K).collect()
-    # centroid literals rendered as one SQL string, parsed in a single
-    # expr() call — K*64 F.lit() Column objects would cost py4j round-trips
-    # per invocation (see q_ann_pq_adc for the measured cost)
-    structs = []
-    for cid, r in enumerate(first):
-        arr = "array(" + ",".join(f"{int(x)}L" for x in r.qv) + ")"
-        dist = (
-            f"aggregate(zip_with(qv, {arr}, (x,y) -> (x-y)*(x-y)), "
-            "CAST(0 AS BIGINT), (acc,v) -> acc + v)"
-        )
-        structs.append(f"named_struct('d', {dist}, 'cid', {cid})")
-    best = F.expr("array_min(array(" + ",".join(structs) + "))")
+    best = F.expr(f"array_min({seed_cell_struct_array(first)})")
     return (
         vecs.select(
             "vec_id",
@@ -306,17 +315,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv")
     ).withColumn("qnorm", F.expr(SPARK_QNORM.format(qa="qv")))
     first = vecs.orderBy("vec_id").limit(K).collect()
-    # centroid literals rendered as one SQL string (see q_ann_pq_adc for the
-    # measured py4j cost of building K*64 F.lit columns instead)
-    structs = []
-    for cid, r in enumerate(first):
-        arr = "array(" + ",".join(f"{int(x)}L" for x in r.qv) + ")"
-        dist = (
-            f"aggregate(zip_with(qv, {arr}, (x,y) -> (x-y)*(x-y)), "
-            "CAST(0 AS BIGINT), (acc,v) -> acc + v)"
-        )
-        structs.append(f"named_struct('d', {dist}, 'cid', {cid})")
-    darr = "array(" + ",".join(structs) + ")"
+    darr = seed_cell_struct_array(first)
     # routed corpus, reused by the query side and the candidate side
     assigned = scoped_cache(
         vecs.withColumn("cell", F.expr(f"array_min({darr})")["cid"])

@@ -153,14 +153,23 @@ def cdc_apply(
     applies: D drops the row, I/U replace it, keys without changes pass
     through. One window over the (small) change log + ONE key equi-join
     against the base — the base is never window-sorted, so the fold costs
-    a broadcast (or shuffled) join regardless of snapshot size."""
-    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    a broadcast (or shuffled) join regardless of snapshot size.
+
+    Sequence numbers should be unique per key (any real CDC log's
+    contract); if a producer ever emits duplicate (key, seq) rows the
+    (op, payload...) tie-break below still makes the winner deterministic
+    across runs and partitionings, like dedupe_updates above."""
+    payload = [c for c in base.columns if c != key]
+    w = Window.partitionBy(key).orderBy(
+        F.col(seq_col).desc(),
+        F.col(op_col).desc(),
+        *[F.col(c).desc_nulls_last() for c in payload],
+    )
     last = (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", seq_col)
     )
-    payload = [c for c in base.columns if c != key]
     lastr = last.select(
         F.col(key),
         F.col(op_col).alias("_op"),

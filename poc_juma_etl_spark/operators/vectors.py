@@ -49,19 +49,13 @@ def _quantized(e: DataFrame) -> DataFrame:
 
 
 def _seed_cell_expr(vecs: DataFrame) -> str:
-    """SQL text for the array of (squared-distance, cid) structs against the
-    K lowest-vec_id seed centroids — the deterministic cell router shared
-    with q_ann_ivf_assign/q_ann_ivf_topk (operators/kmeans.py)."""
-    first = vecs.orderBy("vec_id").limit(K).collect()
-    structs = []
-    for cid, r in enumerate(first):
-        arr = "array(" + ",".join(f"{int(x)}L" for x in r.qv) + ")"
-        dist = (
-            f"aggregate(zip_with(qv, {arr}, (x,y) -> (x-y)*(x-y)), "
-            "CAST(0 AS BIGINT), (acc,v) -> acc + v)"
-        )
-        structs.append(f"named_struct('d', {dist}, 'cid', {cid})")
-    return "array(" + ",".join(structs) + ")"
+    """The deterministic K-lowest-vec_id cell router — one shared renderer
+    (operators/kmeans.seed_cell_struct_array) so the quantization and
+    ties-to-lower-cell encoding can never drift between q_ann_ivf_assign,
+    q_ann_ivf_topk and q_semantic_dedup."""
+    from .kmeans import seed_cell_struct_array
+
+    return seed_cell_struct_array(vecs.orderBy("vec_id").limit(K).collect())
 
 
 @register(

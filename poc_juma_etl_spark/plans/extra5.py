@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.text import tokens
+from ..operators.text import SQL_MD5_LONG, tokens
 from .queries import dsum, register
 
 N_BUCKETS = 10
@@ -226,9 +226,11 @@ BLOOM_BPW = 63
 BLOOM_WORDS = BLOOM_BITS // BLOOM_BPW
 BLOOM_K = 3
 
+# built from the SAME shared 60-bit md5 idiom the Spark side's md5_long
+# uses (operators/text.SQL_MD5_LONG) — the bloom bits must mirror it
+# bit-for-bit, so there is exactly one definition to drift from
 _SQL_BLOOM_H = (
-    "CAST(('0x' || substr(md5({i} || ':' || CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT)"
-    f" % {BLOOM_BITS}"
+    SQL_MD5_LONG.format(x="{i} || ':' || CAST({k} AS VARCHAR)") + f" % {BLOOM_BITS}"
 )
 
 
@@ -270,8 +272,8 @@ _SQL_BLOOM_H = (
     doc=f"Bloom-filter join pruning: a {BLOOM_BITS}-bit ({BLOOM_BPW} bits/word), {BLOOM_K}-hash "
     "filter over high-balance customers (md5-derived bit positions — "
     "engine-portable) probes every order in-row against the bitmap "
-    "(collected to {BLOOM_WORDS} longs, inlined as a literal — the "
-    "broadcast-variable pattern at driver cost O(BLOOM_WORDS)), counted "
+    f"(collected to {BLOOM_WORDS} longs, inlined as a literal — the "
+    "broadcast-variable pattern at driver cost O(words)), counted "
     "against ground truth from the exact join. At scale this is the "
     "runtime-filter idiom: the probe side sheds non-candidates before the "
     "shuffle; the reported bloom-pass vs true-match gap IS the measured "

@@ -113,6 +113,9 @@ def test_safe_batch_invariants(raw, limit):
     assert batch == [tuple(p) for p in rows[: len(batch)]]
     # pairwise symbol-disjoint — except the always-safe top-1 fallback
     if len(batch) > 1:
+        # self-pairs may only merge alone (their created pairs are bounded
+        # by their own in-batch count, not the terminator)
+        assert all(l != r for l, r, _ in batch)
         syms: set[str] = set()
         for l, r, _ in batch:
             assert l not in syms and r not in syms
@@ -130,6 +133,11 @@ def test_batched_trainer_matches_sequential(spark):
         ["a b c a b c", "b c b c"],
         # self-overlap runs interleaved with normal pairs
         ["a a a a b c b c", "a a b c"],
+        # the self-pair trap (found by review): merging (a,a) creates
+        # ("a a","a a") with count 4, which TIES the disjoint (c,d) at 4
+        # and wins the lexicographic tie-break — a batch containing both
+        # (a,a) and (c,d) would diverge from sequential greedy
+        ["a a a a a a a a a a", "c d", "c d", "c d", "c d"],
         # composed symbols across rounds
         ["x y z x y z w", "x y z", "y z w"],
     ]
