@@ -184,10 +184,13 @@ def seed_cell_struct_array(rows) -> str:
     return "array(" + ",".join(structs) + ")"
 
 
-@register(
-    "q_ann_ivf_assign",
-    oracle=f"""
-    WITH q AS (
+# Shared oracle prelude for every fixed-seed-centroid query (this module's
+# assign/topk + vectors.q_semantic_dedup): quantized vectors, the K lowest-
+# vec_id seeds, and exact integer squared distances to each seed. One
+# definition so the quantization/tie-break can never drift between oracles
+# (the Spark twin is seed_cell_struct_array above).
+SQL_SEED_DIST_PRELUDE = f"""
+    q AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4194304) AS BIGINT)) AS qv
       FROM embeddings
@@ -201,7 +204,21 @@ def seed_cell_struct_array(rows) -> str:
              CAST(list_sum(list_transform(list_zip(q.qv, s.cv),
                                           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d
       FROM q, seeds s
-    ),
+    )"""
+
+# per-vector norms over the shared qv — needed wherever cosine follows
+SQL_SEED_NV_CTE = """
+    nv AS (
+      SELECT vec_id, qv,
+             sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)) AS nrm
+      FROM q
+    )"""
+
+
+@register(
+    "q_ann_ivf_assign",
+    oracle=f"""
+    WITH {SQL_SEED_DIST_PRELUDE},
     best AS (
       SELECT vec_id, cid, d,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -244,26 +261,8 @@ def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_ann_ivf_topk",
     oracle=f"""
-    WITH q AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4194304) AS BIGINT)) AS qv
-      FROM embeddings
-    ),
-    nv AS (
-      SELECT vec_id, qv,
-             sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)) AS nrm
-      FROM q
-    ),
-    seeds AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, qv AS cv
-      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {K})
-    ),
-    dist AS (
-      SELECT q.vec_id, s.cid,
-             CAST(list_sum(list_transform(list_zip(q.qv, s.cv),
-                                          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d
-      FROM q, seeds s
-    ),
+    WITH {SQL_SEED_DIST_PRELUDE},
+    {SQL_SEED_NV_CTE},
     rnk AS (
       SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
       FROM dist

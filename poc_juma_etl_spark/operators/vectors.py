@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, spread
 from ..plans.queries import register, scoped_cache
 from .dedup import SPARK_QNORM, SPARK_QVEC, spark_cosine_prequantized
-from .kmeans import K
+from .kmeans import K, SQL_SEED_DIST_PRELUDE, SQL_SEED_NV_CTE
 
 SEM_THRESHOLD = 0.30  # same near-dup bar as q_dedup_embedding_cosine
 DIM = 64
@@ -61,22 +61,8 @@ def _seed_cell_expr(vecs: DataFrame) -> str:
 @register(
     "q_semantic_dedup",
     oracle=f"""
-    WITH q AS (SELECT vec_id, {_SQL_QV} AS qv FROM embeddings),
-    nv AS (
-      SELECT vec_id, qv,
-             sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)) AS nrm
-      FROM q
-    ),
-    seeds AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, qv AS cv
-      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {K})
-    ),
-    dist AS (
-      SELECT q.vec_id, s.cid,
-             CAST(list_sum(list_transform(list_zip(q.qv, s.cv),
-                                          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d
-      FROM q, seeds s
-    ),
+    WITH {SQL_SEED_DIST_PRELUDE},
+    {SQL_SEED_NV_CTE},
     assign AS (
       SELECT vec_id, cid AS cell FROM (
         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
