@@ -149,3 +149,76 @@ def test_batched_trainer_matches_sequential(spark):
         finally:
             release_caches()
         assert bat == seq, texts
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python model equivalence: the batching logic (the only part that can
+# break greedy equivalence) verified against a reference sequential trainer
+# under hypothesis — no Spark in the loop, so hundreds of corpora are cheap.
+# (The reviewer's self-pair counterexample was exactly the kind of case a
+# fixed fixture list missed; this sweep covers the space.)
+
+
+def _py_pairs(corpus):
+    from collections import Counter
+
+    c = Counter()
+    for doc in corpus:
+        for a, b in zip(doc, doc[1:]):
+            c[(a, b)] += 1
+    return c
+
+
+def _py_merge(doc, l, r):
+    out = []
+    i = 0
+    while i < len(doc):
+        if i + 1 < len(doc) and doc[i] == l and doc[i + 1] == r:
+            out.append(l + " " + r)
+            i += 2
+        else:
+            out.append(doc[i])
+            i += 1
+    return out
+
+
+def _py_train(corpus, n_merges, batch_max):
+    corpus = [list(d) for d in corpus]
+    merges = []
+    while len(merges) < n_merges:
+        cnt = _py_pairs(corpus)
+        if not cnt:
+            break
+        rows = sorted(
+            (Pair(l, r, c) for (l, r), c in cnt.items()),
+            key=lambda p: (-p.cnt, p.l, p.r),
+        )
+        room = min(batch_max, n_merges - len(merges))
+        batch = _safe_batch(rows[: room + 1], room)
+        for l, r, c in batch:
+            merges.append((len(merges) + 1, l, r, c))
+            corpus = [_py_merge(d, l, r) for d in corpus]
+    return merges
+
+
+def test_py_model_reproduces_reviewer_counterexample():
+    corpus = [["a"] * 10, ["c", "d"], ["c", "d"], ["c", "d"], ["c", "d"]]
+    seq = _py_train(corpus, 3, 1)
+    bat = _py_train(corpus, 3, 8)
+    assert bat == seq
+    # and the sequence really does pick the created self-merge pair second
+    assert seq[1][1] == "a a" and seq[1][2] == "a a"
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 5),
+    st.integers(2, 8),
+)
+@settings(max_examples=300, deadline=None)
+def test_batched_python_model_always_matches_sequential(corpus, n_merges, bmax):
+    assert _py_train(corpus, n_merges, bmax) == _py_train(corpus, n_merges, 1)
