@@ -20,13 +20,22 @@ from ..plans.queries import register
 from .events import _MEMSINK_LOCK, _SINK_SEQ
 
 
-def user_tier_dim(spark: SparkSession) -> DataFrame:
+def user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static dimension: user_id → tier (a deterministic derivation standing
-    in for a customer-tier table)."""
-    return spark.range(0, 1000).select(
-        F.col("id").alias("user_id"),
-        F.when(F.col("id") % 10 == 0, "gold")
-        .when(F.col("id") % 3 == 0, "silver")
+    in for a customer-tier table). Built over the OBSERVED user-id domain
+    (one batch distinct over the same parquet) rather than a hard-coded
+    range: a fixed range(0, 1000) silently left users ≥ 1000 tierless —
+    invisible at sf0.01's 150 users, caught by the sf0.1 soak as a phantom
+    NULL-tier row. A real deployment reads the customer table; the lesson
+    (dimension must cover the fact key domain, or the join needs an
+    explicit unknown-key tier) is the same."""
+    from ..catalog import load_table
+
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    return users.select(
+        "user_id",
+        F.when(F.col("user_id") % 10 == 0, "gold")
+        .when(F.col("user_id") % 3 == 0, "silver")
         .otherwise("bronze")
         .alias("tier"),
     )
@@ -36,7 +45,7 @@ def stream_enriched_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the bounded events stream enriched with the tier dimension;
     returns per-tier event counts and decimal-exact value sums."""
     stream = stream_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    enriched = stream.join(F.broadcast(user_tier_dim(spark)), "user_id", "left")
+    enriched = stream.join(F.broadcast(user_tier_dim(spark, sf_dir)), "user_id", "left")
     agg = enriched.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),

@@ -82,7 +82,6 @@ def test_scalar_quantize_error_bounded_by_half_step(spark):
 
 def test_equidepth_histogram_is_equi_depth(spark):
     # decile buckets must each hold ~n/10 items (exact up to cut ties)
-    from poc_juma_etl_spark.operators.vectors import q_semantic_dedup  # noqa: F401
     from poc_juma_etl_spark.plans.extra5 import q_equidepth_histogram
 
     rows = q_equidepth_histogram(spark, SF_SMOKE).collect()

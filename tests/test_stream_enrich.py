@@ -15,7 +15,7 @@ def test_stream_enrich_converges_to_batch(spark):
     batch = (
         spark.read.parquet(f"{SF_SMOKE}/events.parquet")
         .select("user_id", "value")
-        .join(F.broadcast(user_tier_dim(spark)), "user_id", "left")
+        .join(F.broadcast(user_tier_dim(spark, SF_SMOKE)), "user_id", "left")
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
