@@ -233,7 +233,7 @@ def _oracle_sql(n_merges: int = N_MERGES) -> str:
     tok AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
     ),
-    c0 AS (
+    c0 AS MATERIALIZED (
       SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, len(ts) + 1),
@@ -246,13 +246,13 @@ def _oracle_sql(n_merges: int = N_MERGES) -> str:
         p, c = f"c{k - 1}", f"c{k}"
         parts.append(
             f"""
-    cnt{k} AS (
+    cnt{k} AS MATERIALIZED (
       SELECT l, r, COUNT(*) AS cnt FROM (
         SELECT tok AS l, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS r
         FROM {p}
       ) WHERE r IS NOT NULL GROUP BY l, r
     ),
-    win{k} AS (SELECT l, r, cnt FROM cnt{k} ORDER BY cnt DESC, l, r LIMIT 1),
+    win{k} AS MATERIALIZED (SELECT l, r, cnt FROM cnt{k} ORDER BY cnt DESC, l, r LIMIT 1),
     st{k} AS (  -- pair-start positions; LEFT JOIN (not CROSS) so an empty
                 -- win{k} (corpus merged out before round {k}) passes the
                 -- corpus through unchanged, mirroring Spark's train() break
@@ -274,7 +274,7 @@ def _oracle_sql(n_merges: int = N_MERGES) -> str:
                 AS active
       FROM isl{k}
     ),
-    {c} AS (
+    {c} AS MATERIALIZED (
       SELECT doc_id,
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
              CASE WHEN active THEN tok || ' ' || nxt ELSE tok END AS tok

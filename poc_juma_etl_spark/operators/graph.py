@@ -42,7 +42,7 @@ def _oracle_sql() -> str:
     for k in range(1, PR_ITERS + 1):
         iters.append(
             f"""
-    p{k} AS (
+    p{k} AS MATERIALIZED (
       SELECT e.dst AS node,
              (0.15 / MIN(n.n_nodes))
                + ({PR_DAMPING} * (CAST(SUM(CAST(floor((pp.pr / d.deg) * {q}) AS BIGINT))
@@ -56,18 +56,18 @@ def _oracle_sql() -> str:
         prev = f"p{k}"
     chain = ",".join(iters)
     return f"""
-    WITH cp AS (
+    WITH cp AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     ),
-    e AS (
+    e AS MATERIALIZED (
       SELECT c * 2 AS src, p * 2 + 1 AS dst FROM cp
       UNION ALL
       SELECT p * 2 + 1, c * 2 FROM cp
     ),
-    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
-    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
-    p0 AS (SELECT node, 1.0 / n.n_nodes AS pr FROM deg CROSS JOIN n),{chain}
+    deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+    p0 AS MATERIALIZED (SELECT node, 1.0 / n.n_nodes AS pr FROM deg CROSS JOIN n),{chain}
     SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type,
            CAST(node // 2 AS BIGINT) AS node_key,
            pr
@@ -204,12 +204,12 @@ TRI_TOP = 10
 @register(
     "q_graph_triangles",
     oracle="""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT e1.u AS a, e1.v AS b, e2.v AS c
       FROM e e1 JOIN e e2 ON e2.u = e1.v
       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
