@@ -114,6 +114,8 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_outer_join_null_skew",
     "q_event_sequence_match",
     "q_winsorize_prices",
+    "q_event_ohlc_hourly",
+    "q_grouped_quantiles",
 )
 
 

@@ -300,3 +300,92 @@ def q_event_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("seq").cast("bigint").alias("seq_len"),
         F.expr("regexp_count(seq, 'v[co]*p')").cast("bigint").alias("n_conversions"),
     ).orderBy("user_id")
+
+
+@register(
+    "q_event_ohlc_hourly",
+    oracle="""
+    WITH pe AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY hour_ts ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY hour_ts ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM pe
+    )
+    SELECT strftime(hour_ts, '%Y-%m-%d %H:00') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close
+    FROM ranked
+    GROUP BY hour_ts
+    ORDER BY hour
+    """,
+    doc="Hourly OHLC bars over purchase values — the time-bucketed "
+    "open/high/low/close rollup every metrics store needs. Open/close are "
+    "deterministic first/last by (ts, event_id) via min_by/max_by over a "
+    "struct ordering key (no window over the fact table — one hash "
+    "aggregate); high/low are plain min/max. The oracle reaches the same "
+    "bars through window row-numbers, a different algorithm.",
+    tags=("events", "ohlc", "timeseries"),
+)
+def q_event_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+        )
+        .select(
+            F.date_format("hour_ts", "yyyy-MM-dd HH:00").alias("hour"),
+            "n_trades",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+        .orderBy("hour")
+    )
+
+
+@register(
+    "q_grouped_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Per-group exact quartiles of order value: unlike the global-cut "
+    "queries (rfm, winsorize, equi-depth) this percentile is GROUP-LOCAL — "
+    "each group's values reduce inside its own hash-aggregate bucket, so "
+    "there is no single-partition value sink no matter how many groups "
+    "exist; the scale risk is only per-group cardinality (here bounded by "
+    "orders per priority; at 100 TB swap approx_percentile exactly as "
+    "rfm_segments does). Interpolated exact percentiles match DuckDB's "
+    "quantile_cont bitwise.",
+    tags=("olap", "percentile", "grouped"),
+)
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+            F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+        )
+        .orderBy("o_orderpriority")
+    )
