@@ -116,6 +116,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_winsorize_prices",
     "q_event_ohlc_hourly",
     "q_grouped_quantiles",
+    "q_time_weighted_average",
 )
 
 

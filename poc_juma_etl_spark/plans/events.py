@@ -389,3 +389,68 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_time_weighted_average",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec,
+             LEAD(CAST(epoch_us(ts) // 1000000 AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_sec
+      FROM events WHERE event_type = 'purchase'
+    ),
+    w AS (
+      SELECT user_id, cents, next_sec - sec AS dur_s
+      FROM seg WHERE next_sec IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dur_s) AS BIGINT) AS total_s,
+           CAST(SUM(cents * dur_s) AS DOUBLE) / SUM(dur_s) / 100.0 AS twap
+    FROM w GROUP BY user_id
+    HAVING COUNT(*) > 0
+    ORDER BY user_id
+    """,
+    doc="Time-weighted average purchase value per user (the TWAP / "
+    "interval-integral pattern): each observation holds until the next "
+    "one (LEAD over the per-user timeline), weights are whole seconds, "
+    "and the value integrates as CENTS×seconds — all-integer numerators "
+    "summed exactly (the SQ8 lesson: decimal-casting arbitrary "
+    "double products is not cross-engine portable; integer scaling is), "
+    "with exactly two float ops at the end. One shuffle on user_id for "
+    "the LEAD window; per-user history stays in its partition.",
+    tags=("events", "timeseries", "twap", "window"),
+)
+def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            F.col("ts").cast("long").alias("sec"),
+        )
+        .withColumn("next_sec", F.lead("sec").over(w))
+        .filter(F.col("next_sec").isNotNull())
+        .withColumn("dur_s", F.col("next_sec") - F.col("sec"))
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("dur_s").cast("bigint").alias("total_s"),
+            (
+                F.sum(F.col("cents") * F.col("dur_s")).cast("double")
+                / F.sum("dur_s")
+                / F.lit(100.0)
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
