@@ -411,7 +411,7 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(dur_s) AS BIGINT) AS total_s,
            CAST(SUM(cents * dur_s) AS DOUBLE) / SUM(dur_s) / 100.0 AS twap
     FROM w GROUP BY user_id
-    HAVING COUNT(*) > 0
+    HAVING SUM(dur_s) > 0  -- all-same-second users have no time to average over
     ORDER BY user_id
     """,
     doc="Time-weighted average purchase value per user (the TWAP / "
@@ -447,10 +447,16 @@ def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_segments"),
             F.sum("dur_s").cast("bigint").alias("total_s"),
             (
-                F.sum(F.col("cents") * F.col("dur_s")).cast("double")
+                # decimal(38,0): the cents x seconds products are exact
+                # int64s but their per-user SUM could pass 2^63 at corpus
+                # scale — Spark long sums wrap silently while the oracle's
+                # HUGEINT doesn't (same discipline as q_vector_scalar_quantize)
+                F.sum((F.col("cents") * F.col("dur_s")).cast("decimal(38,0)"))
+                .cast("double")
                 / F.sum("dur_s")
                 / F.lit(100.0)
             ).alias("twap"),
         )
+        .filter(F.col("total_s") > 0)
         .orderBy("user_id")
     )

@@ -22,20 +22,25 @@ from .events import _MEMSINK_LOCK, _SINK_SEQ
 
 def user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static dimension: user_id → tier (a deterministic derivation standing
-    in for a customer-tier table). Built over the OBSERVED user-id domain
-    (one batch distinct over the same parquet) rather than a hard-coded
-    range: a fixed range(0, 1000) silently left users ≥ 1000 tierless —
-    invisible at sf0.01's 150 users, caught by the sf0.1 soak as a phantom
-    NULL-tier row. A real deployment reads the customer table; the lesson
+    in for a customer-tier table). Sized to the OBSERVED user-id domain —
+    a hard-coded range(0, 1000) silently left users ≥ 1000 tierless
+    (invisible at sf0.01's 150 users, caught by the sf0.1 soak as a
+    phantom NULL-tier row). The bound comes from ONE 1-row max aggregate
+    collected at build time, so the dimension itself is a pure range —
+    embedding a distinct(scan(events)) in the dim plan would re-scan and
+    re-shuffle the fact table every micro-batch the stream re-reads the
+    dimension. A real deployment reads the customer table; the lesson
     (dimension must cover the fact key domain, or the join needs an
     explicit unknown-key tier) is the same."""
     from ..catalog import load_table
 
-    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
-    return users.select(
-        "user_id",
-        F.when(F.col("user_id") % 10 == 0, "gold")
-        .when(F.col("user_id") % 3 == 0, "silver")
+    max_id = (
+        load_table(spark, sf_dir, "events").agg(F.max("user_id")).collect()[0][0]
+    )
+    return spark.range(0, int(max_id) + 1).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 10 == 0, "gold")
+        .when(F.col("id") % 3 == 0, "silver")
         .otherwise("bronze")
         .alias("tier"),
     )
