@@ -117,6 +117,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_event_ohlc_hourly",
     "q_grouped_quantiles",
     "q_time_weighted_average",
+    "q_class_representatives",
 )
 
 

@@ -263,3 +263,94 @@ def q_vector_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+REPR_TOP = 3
+
+
+@register(
+    "q_class_representatives",
+    oracle=f"""
+    WITH {{px}},
+    per AS (
+      SELECT label, pos, CAST(SUM(val) AS DOUBLE) / COUNT(*) AS m
+      FROM px GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY pos) AS cv FROM per GROUP BY label
+    ),
+    scored AS (
+      SELECT q.vec_id, q.label,
+             list_sum(list_transform(list_zip(q.qv, c.cv),
+                                     x -> CAST(x[1] AS DOUBLE) * x[2]))
+               / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS BIGINT))
+                  * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS cos_c
+      FROM q JOIN cent c ON c.label = q.label
+    )
+    SELECT label, vec_id, cos_c, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                   ORDER BY cos_c DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= {REPR_TOP}
+    ORDER BY label, rk
+    """.format(px=_SQL_PX),
+    doc=f"Per-class representative examples: each label's centroid (exact "
+    "integer per-dim sums, one division per dim) scores its own members "
+    f"by cosine, and the top-{REPR_TOP} closest-to-centroid vectors per "
+    "class come back — the 'show me canonical examples of this class' "
+    "primitive for dataset curation and label auditing (the inverse of "
+    "SemDeDup's prune). Every float op runs in a fixed dimension order "
+    "(transform over the pos-sorted centroid), so the cosine chain is "
+    "bit-identical cross-engine. Scale: centroids are labels×dim rows "
+    "broadcast back over the corpus; scoring is one narrow map; per-label "
+    "top-k is a bounded window.",
+    tags=("vectors", "centroid", "curation", "topk"),
+)
+def q_class_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    vecs = _quantized(e)
+    per = (
+        vecs.select("label", F.posexplode("qv").alias("pos0", "val"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), "val")
+        .groupBy("label", "pos")
+        .agg((F.sum("val").cast("double") / F.count(F.lit(1))).alias("m"))
+    )
+    cent = per.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("cv")
+    )
+    scored = vecs.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.col("cv"),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / (
+                F.col("qnorm")
+                * F.sqrt(
+                    F.aggregate(
+                        F.transform(F.col("cv"), lambda x: x * x),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                )
+            )
+        ).alias("cos_c"),
+    )
+    w = W.partitionBy("label").orderBy(F.desc("cos_c"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= REPR_TOP)
+        .select("label", "vec_id", "cos_c", "rk")
+        .orderBy("label", "rk")
+    )
