@@ -41,6 +41,61 @@ _SQL_PX = f"""
       )
     )"""
 
+# shared label-centroid CTEs (exact integer sums, one division per dim,
+# dimension-ordered vector + norm) — ONE definition for both
+# q_embedding_pool_mean and q_class_representatives so the mean's
+# cast/ordering (and the anticipated DECIMAL switch past 2^29 vectors per
+# label) can never drift between the two queries' oracles
+_SQL_CENTROIDS = """
+    per AS (
+      SELECT label, pos,
+             CAST(SUM(val) AS DOUBLE) / COUNT(*) AS m,
+             COUNT(*) AS n
+      FROM px GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+             list(m ORDER BY pos) AS cv
+      FROM per GROUP BY label
+    ),
+    centn AS (
+      SELECT label, n_vectors, cv,
+             sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnorm
+      FROM cent
+    )"""
+
+
+def _label_centroids(vecs: DataFrame) -> DataFrame:
+    """(label, n_vectors, cv, cnorm): exact-integer mean centroid per label
+    with the dimension-ordered norm precomputed ONCE per label (labels×1
+    values — recomputing it per scored corpus row would double the scoring
+    map's arithmetic). Spark twin of _SQL_CENTROIDS."""
+    per = (
+        vecs.select("label", F.posexplode("qv").alias("pos0", "val"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), "val")
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum("val").cast("double") / F.count(F.lit(1))).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cent = per.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n_vectors"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("cv"),
+    )
+    return cent.withColumn(
+        "cnorm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("cv"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+    )
+
 
 def _quantized(e: DataFrame) -> DataFrame:
     return e.select(
@@ -134,20 +189,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embedding_pool_mean",
     oracle=f"""
     WITH {_SQL_PX},
-    per AS (
-      SELECT label, pos,
-             CAST(SUM(val) AS DOUBLE) / COUNT(*) AS m,
-             COUNT(*) AS n
-      FROM px GROUP BY label, pos
-    ),
-    agg AS (
-      SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
-             list(m ORDER BY pos) AS mean_vec
-      FROM per GROUP BY label
-    )
-    SELECT label, n_vectors, mean_vec,
-           sqrt(list_sum(list_transform(mean_vec, x -> x * x))) AS mean_norm
-    FROM agg ORDER BY label
+    {_SQL_CENTROIDS}
+    SELECT label, n_vectors, cv AS mean_vec, cnorm AS mean_norm
+    FROM centn ORDER BY label
     """,
     doc="Label centroids (mean pooling): per-dimension exact BIGINT sums "
     "over the quantized vectors, one double division per (label, dim), the "
@@ -161,33 +205,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_pool_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings"))
-    vecs = _quantized(e)
-    per = (
-        vecs.select("label", F.posexplode("qv").alias("pos0", "val"))
-        .select("label", (F.col("pos0") + 1).alias("pos"), "val")
-        .groupBy("label", "pos")
-        .agg(
-            (F.sum("val").cast("double") / F.count(F.lit(1))).alias("m"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-    agg = per.groupBy("label").agg(
-        F.max("n").cast("bigint").alias("n_vectors"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
-        ).alias("mean_vec"),
-    )
-    return agg.select(
+    cents = _label_centroids(_quantized(e))
+    return cents.select(
         "label",
         "n_vectors",
-        "mean_vec",
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col("mean_vec"), lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        ).alias("mean_norm"),
+        F.col("cv").alias("mean_vec"),
+        F.col("cnorm").alias("mean_norm"),
     ).orderBy("label")
 
 
@@ -272,20 +295,14 @@ REPR_TOP = 3
     "q_class_representatives",
     oracle=f"""
     WITH {{px}},
-    per AS (
-      SELECT label, pos, CAST(SUM(val) AS DOUBLE) / COUNT(*) AS m
-      FROM px GROUP BY label, pos
-    ),
-    cent AS (
-      SELECT label, list(m ORDER BY pos) AS cv FROM per GROUP BY label
-    ),
+    {{cents}},
     scored AS (
       SELECT q.vec_id, q.label,
              list_sum(list_transform(list_zip(q.qv, c.cv),
                                      x -> CAST(x[1] AS DOUBLE) * x[2]))
                / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS BIGINT))
-                  * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS cos_c
-      FROM q JOIN cent c ON c.label = q.label
+                  * c.cnorm) AS cos_c
+      FROM q JOIN centn c ON c.label = q.label
     )
     SELECT label, vec_id, cos_c, rk FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY label
@@ -293,7 +310,7 @@ REPR_TOP = 3
       FROM scored
     ) WHERE rk <= {REPR_TOP}
     ORDER BY label, rk
-    """.format(px=_SQL_PX),
+    """.format(px=_SQL_PX, cents=_SQL_CENTROIDS),
     doc=f"Per-class representative examples: each label's centroid (exact "
     "integer per-dim sums, one division per dim) scores its own members "
     f"by cosine, and the top-{REPR_TOP} closest-to-centroid vectors per "
@@ -311,18 +328,8 @@ def q_class_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spread(load_table(spark, sf_dir, "embeddings"))
     vecs = _quantized(e)
-    per = (
-        vecs.select("label", F.posexplode("qv").alias("pos0", "val"))
-        .select("label", (F.col("pos0") + 1).alias("pos"), "val")
-        .groupBy("label", "pos")
-        .agg((F.sum("val").cast("double") / F.count(F.lit(1))).alias("m"))
-    )
-    cent = per.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
-        ).alias("cv")
-    )
-    scored = vecs.join(F.broadcast(cent), "label").select(
+    cents = _label_centroids(vecs).select("label", "cv", "cnorm")
+    scored = vecs.join(F.broadcast(cents), "label").select(
         "vec_id",
         "label",
         (
@@ -335,16 +342,9 @@ def q_class_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
-            / (
-                F.col("qnorm")
-                * F.sqrt(
-                    F.aggregate(
-                        F.transform(F.col("cv"), lambda x: x * x),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    )
-                )
-            )
+            # cnorm precomputed once per label in _label_centroids — the
+            # same (qnorm * cnorm) op order, none of the per-row recompute
+            / (F.col("qnorm") * F.col("cnorm"))
         ).alias("cos_c"),
     )
     w = W.partitionBy("label").orderBy(F.desc("cos_c"), "vec_id")
