@@ -118,6 +118,8 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_grouped_quantiles",
     "q_time_weighted_average",
     "q_class_representatives",
+    "q_order_fulfilment_latency",
+    "q_revenue_mom_growth",
 )
 
 

@@ -396,3 +396,112 @@ def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_order_fulfilment_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             datediff('day', o.o_orderdate, MAX(l.l_shipdate)) AS days_to_ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(days_to_ship) AS BIGINT) AS min_days,
+           CAST(MAX(days_to_ship) AS BIGINT) AS max_days,
+           CAST(SUM(days_to_ship) AS BIGINT) AS total_days,
+           CAST(SUM(CASE WHEN days_to_ship > 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_30d
+    FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Order fulfilment latency: days from order date to the LAST "
+    "shipment of any of its lines (the order completes when its slowest "
+    "line ships), rolled up per priority with an SLA-breach count. One "
+    "shuffle keyed on o_orderkey for the per-order max, then a tiny "
+    "priority aggregate — integer day arithmetic end to end. The "
+    "operational-metrics shape every warehouse dashboard runs nightly.",
+    tags=("olap", "latency", "sla"),
+)
+def q_order_fulfilment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff("last_ship", "o_orderdate").cast("bigint").alias("days_to_ship"),
+        )
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("days_to_ship").cast("bigint").alias("min_days"),
+            F.max("days_to_ship").cast("bigint").alias("max_days"),
+            F.sum("days_to_ship").cast("bigint").alias("total_days"),
+            F.sum(F.when(F.col("days_to_ship") > 30, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_over_30d"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_revenue_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT cur.month, cur.revenue,
+           prev.revenue AS prev_revenue,
+           (cur.revenue - prev.revenue) / prev.revenue AS mom_growth
+    FROM m cur LEFT JOIN m prev
+      ON prev.month = strftime(date_trunc('month',
+                               CAST(cur.month || '-01' AS DATE)) - INTERVAL 1 MONTH,
+                               '%Y-%m')
+    ORDER BY cur.month
+    """,
+    doc="Month-over-month revenue growth as a WINDOWLESS time-shift self-"
+    "join: monthly exact decimal-summed revenue joined to itself on "
+    "month-minus-one. A LAG window here would be partition-less — the "
+    "registry-wide sweep bans that shape on principle (on a tiny month "
+    "table it would be harmless, but the ban stays syntactic so nothing "
+    "slips through on a fact table) — and the key-shift equi-join is the "
+    "general scale-safe idiom for sequential deltas over any calendar "
+    "dimension. Growth is one subtraction + one division over "
+    "bit-identical inputs.",
+    tags=("olap", "timeseries", "growth"),
+)
+def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(dsum("o_totalprice", "revenue"))
+    prev = m.select(
+        F.date_format(
+            F.add_months(F.to_date(F.concat(F.col("month"), F.lit("-01"))), 1),
+            "yyyy-MM",
+        ).alias("month"),
+        F.col("revenue").alias("prev_revenue"),
+    )
+    return (
+        m.join(prev, "month", "left")
+        .select(
+            "month",
+            "revenue",
+            "prev_revenue",
+            ((F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue")).alias(
+                "mom_growth"
+            ),
+        )
+        .orderBy("month")
+    )
