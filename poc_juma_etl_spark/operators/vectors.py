@@ -190,28 +190,44 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SQL_PX},
     {_SQL_CENTROIDS}
-    SELECT label, n_vectors, cv AS mean_vec, cnorm AS mean_norm
-    FROM centn ORDER BY label
+    SELECT p.label, p.pos, p.m AS mean_component,
+           c.cnorm AS mean_norm, c.n_vectors
+    FROM per p JOIN centn c ON c.label = p.label
+    ORDER BY p.label, p.pos
     """,
     doc="Label centroids (mean pooling): per-dimension exact BIGINT sums "
-    "over the quantized vectors, one double division per (label, dim), the "
-    "vector rebuilt in dimension order so the norm's summation order is "
-    "fixed — bit-identical cross-engine. Scale shape: posexplode shuffles "
-    "on (label, pos) with map-side partial sums, the result is labels×dim "
-    "rows regardless of corpus size. (Exactness note: integer sums stay "
-    "double-exact below 2^53 ≈ 2^29 vectors per label; beyond that switch "
-    "the final cast to DECIMAL like dsum.)",
+    "over the quantized vectors, one double division per (label, dim), "
+    "emitted as scalar (label, pos, mean_component) rows — labels×dim rows "
+    "regardless of corpus size — with the label's dimension-ordered norm "
+    "and member count on every row. Scalar output by contract: harness "
+    "canonicalizers hash cell values, and an array<double> cell is neither "
+    "sortable nor portable across engines, so the vector shape lives only "
+    "inside the shared centroid CTEs (q_class_representatives re-assembles "
+    "it). Scale shape: posexplode shuffles on (label, pos) with map-side "
+    "partial sums. (Exactness note: integer sums stay double-exact below "
+    "2^53 ≈ 2^29 vectors per label; beyond that switch the final cast to "
+    "DECIMAL like dsum.)",
     tags=("vectors", "pooling", "centroid"),
 )
 def q_embedding_pool_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings"))
     cents = _label_centroids(_quantized(e))
-    return cents.select(
-        "label",
-        "n_vectors",
-        F.col("cv").alias("mean_vec"),
-        F.col("cnorm").alias("mean_norm"),
-    ).orderBy("label")
+    return (
+        cents.select(
+            "label",
+            "n_vectors",
+            F.col("cnorm").alias("mean_norm"),
+            F.posexplode("cv").alias("pos0", "mean_component"),
+        )
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            "mean_component",
+            "mean_norm",
+            "n_vectors",
+        )
+        .orderBy("label", "pos")
+    )
 
 
 @register(

@@ -56,6 +56,11 @@ def _norm_cell(v: Any) -> Any:
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, str):
         return v
+    # numpy.ndarray (DuckDB list columns fetchdf as ndarray cells): recurse
+    # element-wise — the old str() fallback printed ~8 significant digits,
+    # which would let sub-1e-8 value drift pass silently (r4 ADVICE)
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1:
+        return tuple(_norm_cell(x) for x in v.tolist())
     # numpy scalars, Decimal, etc.
     try:
         if hasattr(v, "item"):
@@ -73,9 +78,32 @@ def normalize_frame(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
+def complex_output_columns(spark_df) -> list[str]:
+    """Names of output columns with non-scalar (array/map/struct) types.
+
+    The driver's canonicalizer pandas-sorts every output column before
+    hashing; an ndarray cell is unhashable and crashes it (r4's
+    q_embedding_pool_mean red). Registered queries must therefore emit
+    scalar columns only — explode vectors to (key, pos, component) rows."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame) -> dict[str, Any]:
     """Compare a Spark result against a DuckDB result. Returns a report dict;
     report["match"] is the verdict."""
+    if bad := complex_output_columns(spark_df):
+        return {
+            "match": False,
+            "why": f"non-scalar output column(s) {bad}: the driver's "
+            "canonicalizer cannot sort/hash array/map/struct cells — "
+            "explode to scalar rows",
+        }
     spark_pdf = spark_df.toPandas()
     report: dict[str, Any] = {
         "spark_rows": len(spark_pdf),

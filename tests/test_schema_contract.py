@@ -38,6 +38,14 @@ PURE = sorted(
 # oracled queries excluded from the two-sided check (side-effectful plans)
 SIDE_EFFECT = sorted(n for n, s in SPECS.items() if s.oracle is not None and n not in PURE)
 
+# every plan-time-pure query, oracled or rows-only — all face a driver
+# canonicalizer that cannot hash non-scalar cells
+PURE_ANY = sorted(
+    n
+    for n, s in SPECS.items()
+    if n.startswith("q") and "e2e" not in n and not n.startswith("q_stream_")
+)
+
 
 @pytest.fixture(scope="module")
 def con():
@@ -69,3 +77,28 @@ def test_side_effect_oracles_describe(con, name):
     cols = oracle_cols(con, SPECS[name].oracle)
     assert cols, name
     assert len(cols) == len(set(cols)), name
+
+
+@pytest.mark.parametrize("name", PURE_ANY, ids=str)
+def test_scalar_output_columns_only(spark, name):
+    """No registered query may emit array/map/struct output columns: the
+    driver's pandas canonicalizer crashes sorting ndarray cells (r4's
+    q_embedding_pool_mean red — the fix exploded the centroid to
+    (label, pos, mean_component) rows). Enforced here so the NEXT
+    non-scalar output fails locally before it reaches a driver window."""
+    from poc_juma_etl_spark.oracle import complex_output_columns
+
+    assert complex_output_columns(SPECS[name].fn(spark, SF_ORACLE)) == [], name
+
+
+def test_gate_rejects_array_output(spark):
+    """compare() itself must fail fast on a non-scalar Spark result —
+    before toPandas/canonicalization — mirroring the driver's behavior."""
+    import pandas as pd
+
+    from poc_juma_etl_spark.oracle import compare
+
+    df = spark.sql("SELECT 1 AS k, array(1.0, 2.0) AS vec")
+    report = compare(df, pd.DataFrame({"k": [1], "vec": [[1.0, 2.0]]}))
+    assert report["match"] is False
+    assert "non-scalar" in report["why"] and "vec" in report["why"]
