@@ -127,7 +127,10 @@ def pagerank_top(
 ) -> DataFrame:
     """(node, pr) ranks over a directed edge list where every node has
     out-degree ≥ 1 (callers emit both directions for undirected graphs, so
-    there is no dangling-mass term). ``top=N`` returns the N highest-rank
+    there is no dangling-mass term). Nodes with in-degree 0 (pure sources
+    in a directed graph) receive no messages but keep the teleport term
+    0.15/n — the per-iteration degree join preserves the full node table,
+    not just message receivers. ``top=N`` returns the N highest-rank
     nodes (ties to the lower node id); ``top=None`` returns the full,
     unordered rank table for callers that apply their own ordered limit."""
     # materialize the edge list once: every iteration re-joins it, and
@@ -181,14 +184,25 @@ def pagerank_top(
             e.join(contrib, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("cq").cast("bigint").alias("sq"))
-            .join(deg, "node")
+            # RIGHT join: deg is the full node table — an inner join would
+            # silently drop zero-in-degree nodes (pure sources) from the
+            # rank table; they get sq=0 and keep the teleport term
+            .join(deg, "node", "right")
             .crossJoin(F.broadcast(n))
             .select(
                 "node",
                 "deg",
                 (
                     (0.15 / F.col("n_nodes"))
-                    + (PR_DAMPING * (F.col("sq").cast("double") / PR_Q))
+                    + (
+                        PR_DAMPING
+                        * (
+                            F.coalesce(F.col("sq"), F.lit(0).cast("bigint")).cast(
+                                "double"
+                            )
+                            / PR_Q
+                        )
+                    )
                 ).alias("pr"),
             )
         )

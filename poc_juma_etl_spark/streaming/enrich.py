@@ -37,6 +37,10 @@ def user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_id = (
         load_table(spark, sf_dir, "events").agg(F.max("user_id")).collect()[0][0]
     )
+    # max() over an empty fact table is NULL — yield an EMPTY dimension
+    # (zero enriched rows) rather than crash on int(None)
+    if max_id is None:
+        max_id = -1
     return spark.range(0, int(max_id) + 1).select(
         F.col("id").alias("user_id"),
         F.when(F.col("id") % 10 == 0, "gold")
