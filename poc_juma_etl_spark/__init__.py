@@ -120,6 +120,8 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_class_representatives",
     "q_order_fulfilment_latency",
     "q_revenue_mom_growth",
+    # -- round 5 --
+    "q_stream_interval_join_outer",
 )
 
 

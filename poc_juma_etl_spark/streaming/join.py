@@ -8,16 +8,19 @@ buffer forever — Spark rejects it in append mode). The batch twin is
 q_range_join_close_events (plans/advanced.py); the test drives this bounded
 stream and checks it converges to exactly the batch answer.
 
-Deliberately absent: the LEFT OUTER variant. Outer-join null rows emit
-only when the watermark passes their eviction point BETWEEN micro-batches;
-under the gate's availableNow drain the fixture lands in one batch, the
-watermark never advances past the tail, and the unmatched rows for the
-last watermark-horizon of events are retained in state rather than
-emitted — so an outer entry could not converge to any batch oracle and
-would be a permanently flaky gate row, not a capability. (Spark documents
-this delayed/withheld emission for outer stream-stream joins.) Users who
-need unmatched events batch-diff the inner result against the stream
-instead — q_snapshot_diff's full-outer classify is the batch shape."""
+The LEFT OUTER variant (q_stream_interval_join_outer) adds the null-
+emission-on-watermark semantics: unmatched left rows emit (b = NULL) only
+once the watermark passes their join horizon. Under an availableNow drain
+the watermark stops at max(ts) − delay, which would withhold the last
+watermark-horizon of unmatched rows forever — so the outer drain streams
+the events file PLUS a far-future sentinel row (user_id = −1, ts weeks
+past the tail): the final no-data micro-batch sees a watermark beyond
+every real event's eviction point and flushes every pending null row,
+making the stream converge exactly to the batch LEFT JOIN. The sentinel
+itself stays withheld in state (its own horizon is past the final
+watermark) and is filtered defensively anyway. In production the same
+trick is a per-partition heartbeat/punctuation event — the standard way
+to close out watermark-held state in any event-time system."""
 
 from __future__ import annotations
 
@@ -74,6 +77,147 @@ def stream_close_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def _sentinel_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a temp directory holding the events file plus ONE far-future
+    sentinel row (user_id = −1, ts = max(ts) + 35 days) whose arrival
+    pushes the final watermark past every real event's outer-join
+    eviction point. The fixture file is copied (2 MB at sf0.1); on a real
+    deployment the sentinel is appended to the live source directory (or
+    unioned in from a control topic) instead — the watermark mechanics
+    are identical."""
+    import glob
+    import shutil
+    import tempfile
+
+    from ..catalog import table_path
+
+    d = tempfile.mkdtemp(prefix="stream_outer_")
+    src = table_path(sf_dir, "events")
+    shutil.copy(src, f"{d}/events.parquet")
+    max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+    stage = tempfile.mkdtemp(prefix="stream_outer_stage_")
+    (
+        spark.read.parquet(src)
+        .limit(1)
+        .select(
+            F.lit(-1).cast("bigint").alias("event_id"),
+            (F.lit(max_ts) + F.expr("INTERVAL 35 DAYS")).alias("ts"),
+            F.lit(-1).cast("bigint").alias("user_id"),
+            F.lit("__sentinel__").alias("event_type"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        .coalesce(1)
+        .write.parquet(stage, mode="overwrite")
+    )
+    shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], f"{d}/zz_sentinel.parquet")
+    return d
+
+
+def stream_close_event_pairs_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the LEFT OUTER stream-stream interval join (sentinel-flushed);
+    returns (event_a, event_b|NULL, user_id, gap_s|NULL) as a batch
+    DataFrame covering every real left event exactly once per match, plus
+    one NULL row per unmatched left event."""
+    from ..catalog import normalize_timestamps
+
+    d = _sentinel_events_dir(spark, sf_dir)
+    physical = spark.read.parquet(f"{d}/events.parquet").schema
+
+    def side(alias: str) -> DataFrame:
+        raw = (
+            spark.readStream.schema(physical)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(d)
+        )
+        return normalize_timestamps(raw, "events").select(
+            F.col("event_id").alias(f"{alias}_event_id"),
+            F.col("user_id").alias(f"{alias}_user_id"),
+            F.col("ts").alias(f"{alias}_ts"),
+        )
+
+    left = side("a").withWatermark("a_ts", "1 hour")
+    right = side("b").withWatermark("b_ts", "1 hour")
+    # state bound: the interval term (a superset horizon, +1 s) is what
+    # Spark derives the state watermark from; the floor-second term is the
+    # exact batch-twin gap semantics (same-second pairs count, gap_s is
+    # whole seconds — see q_range_join_close_events' soak-caught lesson),
+    # so the outer's null rows appear for exactly the left rows the batch
+    # LEFT JOIN leaves unmatched
+    joined = left.join(
+        right,
+        F.expr(
+            f"""
+            a_user_id = b_user_id AND
+            b_ts > a_ts AND
+            b_ts <= a_ts + INTERVAL {RANGE_GAP_S + 1} SECONDS AND
+            CAST(b_ts AS LONG) - CAST(a_ts AS LONG) <= {RANGE_GAP_S}
+            """
+        ),
+        "leftOuter",
+    ).select(
+        F.col("a_event_id").alias("event_a"),
+        F.col("b_event_id").alias("event_b"),
+        F.col("a_user_id").alias("user_id"),
+        (F.col("b_ts").cast("long") - F.col("a_ts").cast("long")).alias("gap_s"),
+    )
+    with _MEMSINK_LOCK:
+        _SINK_SEQ[0] += 1
+        sink = f"stream_pairs_outer_out_{_SINK_SEQ[0]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the sentinel's own left row stays withheld in state; the filter makes
+    # that a contract rather than a timing accident
+    return spark.table(sink).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "q_stream_interval_join_outer",
+    oracle=f"""
+    WITH j AS (
+      SELECT a.user_id, a.event_id AS ea, b.event_id AS eb,
+             CAST(epoch_us(b.ts) // 1000000 - epoch_us(a.ts) // 1000000 AS BIGINT) AS gap_s
+      FROM events a LEFT JOIN events b
+        ON a.user_id = b.user_id
+       AND b.ts > a.ts
+       AND epoch_us(b.ts) // 1000000 - epoch_us(a.ts) // 1000000 <= {RANGE_GAP_S}
+    )
+    SELECT user_id,
+           CAST(COUNT(eb) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN eb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+           CAST(COALESCE(SUM(gap_s), 0) AS BIGINT) AS sum_gap_s
+    FROM j GROUP BY user_id ORDER BY user_id
+    """,
+    doc=f"LEFT OUTER stream-stream interval join, driver-gated: same-user "
+    f"pairs within {RANGE_GAP_S}s plus a NULL row per event with no "
+    "successor — emitted incrementally as the watermark passes each "
+    "event's join horizon, flushed to completion by a far-future sentinel "
+    "row (see stream_close_event_pairs_outer). The oracle is the batch "
+    "LEFT JOIN rolled up per user (matched-pair count, unmatched count, "
+    "whole-second gap sum): bounded-state incremental execution with "
+    "watermark-driven null emission must converge to exactly the batch "
+    "outer join.",
+    tags=("streaming", "join", "events", "outer"),
+)
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = stream_close_event_pairs_outer(spark, sf_dir)
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("event_b").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("event_b").isNull().cast("int")).cast("bigint").alias("n_unmatched"),
+            F.coalesce(F.sum("gap_s"), F.lit(0)).cast("bigint").alias("sum_gap_s"),
+        )
+        .orderBy("user_id")
+    )
 
 
 @register(

@@ -23,6 +23,134 @@ def test_pagerank_keeps_zero_in_degree_nodes(spark):
     assert ranks[1] > ranks[0] and ranks[2] > ranks[0]
 
 
+def _write_events_file(spark, rows, path):
+    """One single-file events fixture (schema = the catalog's events)."""
+    import glob
+    import shutil
+
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string"
+        )
+        .select(
+            "event_id",
+            F.to_timestamp("ts").alias("ts"),
+            "user_id",
+            F.lit("click").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .coalesce(1)
+    )
+    stage = f"{path}__stage"
+    df.write.parquet(stage)
+    shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], path)
+
+
+def _drain_outer(spark, d):
+    from poc_juma_etl_spark.catalog import normalize_timestamps
+    from poc_juma_etl_spark.streaming.join import RANGE_GAP_S
+
+    physical = spark.read.parquet(f"{d}/events.parquet").schema
+
+    def side(a):
+        raw = (
+            spark.readStream.schema(physical)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(d)
+        )
+        return normalize_timestamps(raw, "events").select(
+            F.col("event_id").alias(f"{a}_event_id"),
+            F.col("user_id").alias(f"{a}_user_id"),
+            F.col("ts").alias(f"{a}_ts"),
+        )
+
+    left = side("a").withWatermark("a_ts", "1 hour")
+    right = side("b").withWatermark("b_ts", "1 hour")
+    joined = left.join(
+        right,
+        F.expr(
+            f"a_user_id = b_user_id AND b_ts > a_ts AND "
+            f"b_ts <= a_ts + INTERVAL {RANGE_GAP_S + 1} SECONDS AND "
+            f"CAST(b_ts AS LONG) - CAST(a_ts AS LONG) <= {RANGE_GAP_S}"
+        ),
+        "leftOuter",
+    ).select("a_event_id", "b_event_id")
+    import uuid
+
+    sink = f"outer_probe_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {(r.a_event_id, r.b_event_id) for r in spark.table(sink).collect()}
+
+
+def test_outer_interval_join_null_emission_is_watermark_driven(spark, tmp_path):
+    """The outer join's NULL rows emit only once the watermark passes an
+    event's join horizon: without a flush row, the unmatched tail event is
+    WITHHELD in state; a far-future sentinel row releases it. This is the
+    semantics q_stream_interval_join_outer's sentinel exists for."""
+    # e1-e2 pair within 300s; e3 unmatched, 2 days before the tail (its
+    # horizon is long past the final watermark); e4 unmatched AT the tail
+    rows = [
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 00:02:00"),
+        (3, 2, "2024-01-01 00:00:30"),
+        (4, 3, "2024-01-03 00:00:00"),
+    ]
+    d1 = str(tmp_path / "no_sentinel")
+    import os
+
+    os.makedirs(d1)
+    _write_events_file(spark, rows, f"{d1}/events.parquet")
+    got = _drain_outer(spark, d1)
+    assert (1, 2) in got, "matched pair emits immediately"
+    assert (3, None) in got, "old unmatched row's horizon passed -> null emitted"
+    assert (4, None) not in got, "tail unmatched row is withheld without a flush"
+
+    d2 = str(tmp_path / "with_sentinel")
+    os.makedirs(d2)
+    _write_events_file(
+        spark, rows + [(-1, -1, "2024-02-20 00:00:00")], f"{d2}/events.parquet"
+    )
+    got2 = _drain_outer(spark, d2)
+    assert {(1, 2), (2, None), (3, None), (4, None)} <= got2
+    assert (-1, None) not in got2, "the sentinel's own row stays withheld"
+
+
+def test_stream_outer_join_converges_to_batch_left_join(spark):
+    """Row-level convergence on the real fixture: the sentinel-flushed
+    outer drain equals the batch LEFT JOIN exactly."""
+    from poc_juma_etl_spark.streaming.join import (
+        RANGE_GAP_S,
+        stream_close_event_pairs_outer,
+    )
+
+    got = {
+        (r.event_a, r.event_b)
+        for r in stream_close_event_pairs_outer(spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    want_df = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts").cast("long") - F.col("a.ts").cast("long") <= RANGE_GAP_S),
+        "left",
+    ).select(F.col("a.event_id").alias("ea"), F.col("b.event_id").alias("eb"))
+    want = {(r.ea, r.eb) for r in want_df.collect()}
+    assert got == want
+
+
 def test_user_tier_dim_empty_fact_table(spark, tmp_path):
     """max(user_id) over an empty events table is NULL; the dimension must
     come back empty instead of crashing on int(None) (r4 ADVICE)."""
