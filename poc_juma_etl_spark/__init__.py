@@ -122,6 +122,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_revenue_mom_growth",
     # -- round 5 --
     "q_stream_interval_join_outer",
+    "q_multimodal_decode_real",
 )
 
 

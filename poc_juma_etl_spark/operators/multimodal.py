@@ -7,18 +7,22 @@ Python worker per partition, whole-column batches over Arrow — never a
 row-at-a-time UDF). Parallelism is partition-level; a decode that needs 10k
 cores is just a repartition before the map.
 
-The decode itself is STUBBED — image/audio libraries are not in this
-container. ``decode_stub`` derives deterministic pseudo-features from the
-bytes so the plumbing (schema, batching, partitioning, UDF signature) is
-real and testable; ``decode_real`` raises NotImplementedError and documents
-where a Pillow/librosa call would slot in. Swapping stub→real changes no
-Spark code.
+Two decode tiers:
 
-The fixture corpus has no binary table, so the demo query synthesizes a
-binary payload from ``documents.text`` (utf-8 bytes standing in for an
-encoded image) plus metadata columns — the shape a real ingest would have.
-No SQL oracle: mapInPandas is outside DuckDB's surface; the driver records
-the rows-only check, and tests/test_m4_operators.py pins exact values.
+- ``decode_stub`` — deterministic pseudo-features from raw bytes; keeps
+  the plumbing queries (features/frames/resize) oracle-exact on the
+  text-derived fixture payloads.
+- ``decode_real`` — GENUINE container decode with zero required
+  dependencies: PNG via zlib inflate + the full five-filter unfilter
+  pass (RFC 2083), WAV via RIFF/PCM16 parse (stdlib wave). Pillow, when
+  installed, takes over PNG and adds JPEG. q_multimodal_decode_real
+  hash-gates the whole encode→decode→stats chain against a closed-form
+  DuckDB oracle.
+
+The fixture corpus has no binary table, so the plumbing queries synthesize
+payloads from ``documents.text`` (utf-8 bytes standing in for an encoded
+image) and the real-decode query synthesizes spec-valid PNG/WAV containers
+from ``doc_id`` — the shapes a real binaryFile ingest would have.
 """
 
 from __future__ import annotations
@@ -40,15 +44,56 @@ OUT_SCHEMA = (
 )
 
 
-def decode_real(payload: bytes) -> list[float]:
-    """Real decode slot: Pillow/torchvision/librosa goes here.
+def decode_real(payload: bytes) -> dict:
+    """Real media decode, dispatched on the container's magic bytes.
 
-    raise until the runtime ships the codec libs; the Spark plumbing above
-    it is already correct."""
-    raise NotImplementedError(
-        "media decode requires an image/audio library not present in this "
-        "container; use decode_stub (deterministic fake) for plumbing tests"
-    )
+    PNG and WAV decode for real with the standard library alone (full
+    zlib inflate + per-scanline unfilter for PNG, RIFF/PCM parse for WAV
+    — see decode_png / decode_wav below); Pillow, when installed, takes
+    over PNG and adds JPEG. No required dependency: only a format that
+    genuinely needs an external codec (JPEG without Pillow) raises."""
+    if payload[:8] == PNG_SIG:
+        try:  # optional fast path — identical stats, C-speed decode
+            from PIL import Image  # type: ignore
+            import io
+
+            im = Image.open(io.BytesIO(payload)).convert("L")
+            px = list(im.getdata())
+            return {
+                "media_kind": "png",
+                "width": im.width,
+                "height": im.height,
+                "sample_rate": None,
+                "n_units": len(px),
+                "pixel_sum": sum(px),
+                "sample_sq_sum": None,
+            }
+        except ImportError:
+            return decode_png(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if payload[:3] == b"\xff\xd8\xff":  # JPEG
+        try:
+            from PIL import Image  # type: ignore
+        except ImportError as exc:
+            raise NotImplementedError(
+                "JPEG decode requires Pillow, which this container lacks; "
+                "PNG and WAV decode for real via the stdlib"
+            ) from exc
+        import io
+
+        im = Image.open(io.BytesIO(payload)).convert("L")
+        px = list(im.getdata())
+        return {
+            "media_kind": "jpeg",
+            "width": im.width,
+            "height": im.height,
+            "sample_rate": None,
+            "n_units": len(px),
+            "pixel_sum": sum(px),
+            "sample_sq_sum": None,
+        }
+    raise ValueError(f"unrecognized media container: {payload[:8]!r}")
 
 
 def decode_stub(payload: bytes) -> tuple[int, list[float]]:
@@ -277,3 +322,309 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return media.mapInPandas(resize_items, schema=RESIZE_SCHEMA).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# REAL media decode (no external dependency). PNG and WAV are both fully
+# decodable with the standard library — zlib inflate + the five PNG
+# scanline filters (public spec, RFC 2083 §6) for images, RIFF/PCM16 parse
+# (the `wave` module) for audio — so the engine's real-decode path runs in
+# this container rather than hiding behind a stub. Pillow, when present,
+# replaces the pure-Python PNG path and adds JPEG (decode_real above).
+#
+# The q_multimodal_decode_real fixture SYNTHESIZES valid containers from
+# doc_id (a deterministic gradient image; a deterministic integer-noise
+# PCM track), so the decoded statistics have closed-form SQL — the kernel
+# chain encode → inflate/unfilter → stats is value-hash-gated end to end
+# against DuckDB computing the same stats from first principles.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §6.6): nearest of left/up/up-left to
+    the linear estimate a + b − c, ties to left then up."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(rows: list[bytes]) -> bytes:
+    """Encode 8-bit grayscale scanlines as a real, spec-valid PNG.
+
+    Filter type cycles y % 5 through None/Sub/Up/Average/Paeth, so a
+    decoder must implement the whole filter suite to round-trip the
+    fixture — the encoder is the test harness for the decoder, not its
+    mirror image."""
+    import struct
+    import zlib
+
+    h = len(rows)
+    w = len(rows[0]) if rows else 0
+    raw = bytearray()
+    prev = bytes(w)
+    for y, cur in enumerate(rows):
+        ft = y % 5
+        raw.append(ft)
+        for i, x in enumerate(cur):
+            left = cur[i - 1] if i else 0
+            up = prev[i]
+            upleft = prev[i - 1] if i else 0
+            if ft == 0:
+                raw.append(x)
+            elif ft == 1:
+                raw.append((x - left) & 0xFF)
+            elif ft == 2:
+                raw.append((x - up) & 0xFF)
+            elif ft == 3:
+                raw.append((x - (left + up) // 2) & 0xFF)
+            else:
+                raw.append((x - _paeth(left, up, upleft)) & 0xFF)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Pure-stdlib PNG decode for 8-bit grayscale (color type 0): walk
+    the chunk stream, inflate the concatenated IDATs, reverse the per-
+    scanline filter (all five types), return real pixel statistics."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])[0] != (
+            zlib.crc32(tag + body) & 0xFFFFFFFF
+        ):
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise NotImplementedError(
+                    "stdlib decoder handles 8-bit non-interlaced grayscale; "
+                    "install Pillow for other PNG flavors"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    stride = width + 1
+    if len(raw) != stride * height:
+        raise ValueError("inflated size mismatch")
+    prev = bytes(width)
+    pixel_sum = 0
+    for y in range(height):
+        ft = raw[y * stride]
+        line = raw[y * stride + 1 : (y + 1) * stride]
+        cur = bytearray(width)
+        for i, x in enumerate(line):
+            left = cur[i - 1] if i else 0
+            up = prev[i]
+            upleft = prev[i - 1] if i else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = x + left
+            elif ft == 2:
+                v = x + up
+            elif ft == 3:
+                v = x + (left + up) // 2
+            elif ft == 4:
+                v = x + _paeth(left, up, upleft)
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            cur[i] = v & 0xFF
+        pixel_sum += sum(cur)
+        prev = bytes(cur)
+    return {
+        "media_kind": "png",
+        "width": width,
+        "height": height,
+        "sample_rate": None,
+        "n_units": width * height,
+        "pixel_sum": pixel_sum,
+        "sample_sq_sum": None,
+    }
+
+
+def encode_wav_pcm16(samples: list[int], sample_rate: int) -> bytes:
+    """Real RIFF/WAVE container, PCM16 mono, via the stdlib wave module."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real WAV decode (stdlib wave + struct): container parse, PCM16
+    sample extraction, energy statistic."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise NotImplementedError("decoder fixture contract is PCM16 mono")
+        n = w.getnframes()
+        rate = w.getframerate()
+        samples = struct.unpack(f"<{n}h", w.readframes(n))
+    return {
+        "media_kind": "wav",
+        "width": None,
+        "height": None,
+        "sample_rate": rate,
+        "n_units": n,
+        "pixel_sum": None,
+        "sample_sq_sum": sum(s * s for s in samples),
+    }
+
+
+# fixture generators: deterministic, closed-form content so DuckDB can
+# compute the decoded statistics from first principles
+WAV_MIX = 2654435761  # Knuth multiplicative-hash constant
+
+
+def synth_media(doc_id: int) -> bytes:
+    """Even doc_id → PNG gradient pixel(x,y) = (x + 3y + doc_id) % 256 at
+    (16 + id%16) × (8 + id%8); odd → PCM16 integer-noise track
+    sample(i) = ((i·(id+7)·WAV_MIX) % 65536) − 32768 at 8000 + id%100 Hz,
+    64 + id%64 frames."""
+    if doc_id % 2 == 0:
+        w, h = 16 + doc_id % 16, 8 + doc_id % 8
+        rows = [
+            bytes((x + 3 * y + doc_id) % 256 for x in range(w)) for y in range(h)
+        ]
+        return encode_png_gray(rows)
+    n = 64 + doc_id % 64
+    samples = [((i * (doc_id + 7) * WAV_MIX) % 65536) - 32768 for i in range(n)]
+    return encode_wav_pcm16(samples, 8000 + doc_id % 100)
+
+
+DECODE_SCHEMA = (
+    "doc_id long, media_kind string, width long, height long, "
+    "sample_rate long, n_units long, pixel_sum long, sample_sq_sum long"
+)
+
+
+def synth_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": [synth_media(int(d)) for d in pdf["doc_id"]]}
+        )
+
+
+def decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel over (doc_id, payload): REAL decode per item."""
+    for pdf in batches:
+        recs = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            recs.append({"doc_id": doc_id, **decode_real(bytes(payload))})
+        yield pd.DataFrame.from_records(recs)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """The real-decode operator: (doc_id, payload binary) → decoded stats.
+
+    Plug a ``spark.read.format("binaryFile")`` scan straight in: rename
+    its ``content`` to ``payload`` and derive doc_id from ``path``. Same
+    scale posture as media_features: narrow Arrow-batched map, decode
+    parallelism = partition count."""
+    return df.mapInPandas(decode_kernel, schema=DECODE_SCHEMA)
+
+
+@register(
+    "q_multimodal_decode_real",
+    oracle=f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    png AS (
+      SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+      FROM d WHERE doc_id % 2 = 0
+    ),
+    pe1 AS (SELECT doc_id, w, h, unnest(range(0, w)) AS xx FROM png),
+    pe2 AS (SELECT doc_id, w, h, xx, unnest(range(0, h)) AS yy FROM pe1),
+    psum AS (
+      SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+             CAST(SUM((xx + 3 * yy + doc_id) % 256) AS BIGINT) AS pixel_sum
+      FROM pe2 GROUP BY doc_id
+    ),
+    wav AS (
+      SELECT doc_id, 8000 + doc_id % 100 AS sr, 64 + doc_id % 64 AS n
+      FROM d WHERE doc_id % 2 = 1
+    ),
+    we AS (SELECT doc_id, sr, n, unnest(range(0, n)) AS i FROM wav),
+    wsum AS (
+      SELECT doc_id, MAX(sr) AS sr, MAX(n) AS n,
+             CAST(SUM(POWER((i * (doc_id + 7) * {WAV_MIX}) % 65536 - 32768, 2))
+                  AS BIGINT) AS sq
+      FROM we GROUP BY doc_id
+    )
+    SELECT doc_id, 'png' AS media_kind,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(NULL AS BIGINT) AS sample_rate,
+           CAST(w * h AS BIGINT) AS n_units,
+           pixel_sum, CAST(NULL AS BIGINT) AS sample_sq_sum
+    FROM psum
+    UNION ALL
+    SELECT doc_id, 'wav', NULL, NULL, CAST(sr AS BIGINT), CAST(n AS BIGINT),
+           NULL, sq
+    FROM wsum
+    ORDER BY doc_id
+    """,
+    doc="REAL media decode, value-hash-gated: synthesize a spec-valid "
+    "container per document (even ids: 8-bit grayscale PNG of a known "
+    "gradient, scanlines cycling all five PNG filter types; odd ids: "
+    "PCM16 WAV of known integer noise), then DECODE it for real — zlib "
+    "inflate + per-scanline unfilter, RIFF/PCM parse — in a second "
+    "Arrow-batched kernel that knows nothing of the generator, and report "
+    "per-item stats (dimensions, pixel sum, sample energy). The oracle "
+    "computes the same stats from the closed-form content definition, so "
+    "a single flipped bit anywhere in encode, inflate, unfilter or parse "
+    "hash-fails. Both kernels are narrow maps: decode parallelism is "
+    "partition count, the 100 TB shape. Pillow, when installed, replaces "
+    "the stdlib PNG path and adds JPEG (decode_real).",
+    tags=("multimodal", "pandas-udf", "decode"),
+)
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(synth_kernel, schema="doc_id long, payload binary")
+    return decode_media(media).orderBy("doc_id")

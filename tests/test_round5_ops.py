@@ -151,6 +151,70 @@ def test_stream_outer_join_converges_to_batch_left_join(spark):
     assert got == want
 
 
+class TestMediaCodec:
+    """The stdlib PNG/WAV codecs under q_multimodal_decode_real."""
+
+    def test_png_all_filter_types_roundtrip(self):
+        from poc_juma_etl_spark.operators.multimodal import (
+            decode_png,
+            encode_png_gray,
+        )
+
+        # 7 rows -> filter cycle covers 0..4 plus repeats; ragged content
+        rows = [bytes((13 * x + 31 * y) % 256 for x in range(23)) for y in range(7)]
+        r = decode_png(encode_png_gray(rows))
+        assert (r["width"], r["height"]) == (23, 7)
+        assert r["pixel_sum"] == sum(sum(row) for row in rows)
+        assert r["n_units"] == 23 * 7
+
+    def test_png_bad_crc_rejected(self):
+        import pytest as _pytest
+
+        from poc_juma_etl_spark.operators.multimodal import (
+            decode_png,
+            encode_png_gray,
+        )
+
+        p = bytearray(encode_png_gray([bytes(range(16))]))
+        p[40] ^= 0xFF  # flip a byte inside a chunk body
+        with _pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(p))
+
+    def test_wav_roundtrip(self):
+        from poc_juma_etl_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav_pcm16,
+        )
+
+        samples = [0, 1000, -32768, 32767, -1]
+        r = decode_wav(encode_wav_pcm16(samples, 44100))
+        assert r["sample_rate"] == 44100
+        assert r["n_units"] == len(samples)
+        assert r["sample_sq_sum"] == sum(s * s for s in samples)
+
+    def test_jpeg_without_pillow_raises_not_implemented(self):
+        import pytest as _pytest
+
+        from poc_juma_etl_spark.operators.multimodal import decode_real
+
+        try:
+            import PIL  # noqa: F401
+
+            _pytest.skip("Pillow installed; JPEG path is real here")
+        except ImportError:
+            pass
+        with _pytest.raises(NotImplementedError, match="Pillow"):
+            decode_real(b"\xff\xd8\xff\xe0fakejpeg")
+
+    def test_unknown_container_rejected(self):
+        import pytest as _pytest
+
+        from poc_juma_etl_spark.operators.multimodal import decode_real
+
+        with _pytest.raises(ValueError, match="unrecognized"):
+            decode_real(b"GIF89a....")
+
+
 def test_user_tier_dim_empty_fact_table(spark, tmp_path):
     """max(user_id) over an empty events table is NULL; the dimension must
     come back empty instead of crashing on int(None) (r4 ADVICE)."""
