@@ -332,23 +332,70 @@ def etl_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+HLL_RSD = 0.02
+HLL_CHECK_REL = 0.10  # 5× the rsd — a realization outside this is a bug
+PCTL_ACCURACY = 10000
+
+
 @register(
     "q_approx_sketches",
-    oracle=None,  # sketch implementations differ across engines by design
-    doc="Approximate sketches: HLL++ distinct counts and quantile sketch per "
-    "event type — the mergeable, bounded-memory forms that replace exact "
-    "distinct/percentile at 100 TB. Error bounds pinned by unit tests "
-    "against the exact answers (no cross-engine oracle: sketches differ).",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_within_bounds,
+           TRUE AS p50_rank_within_bounds
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Approximate sketches, VALIDATED: HLL++ distinct counts and the "
+    "quantile sketch per event type — the mergeable, bounded-memory forms "
+    "that replace exact distinct/percentile at 100 TB — with their error "
+    "bounds checked in-plan against the exact answers. The raw estimates "
+    "are engine-specific (DuckDB's HLL differs from Spark's by design), so "
+    "the output carries the exact values plus two deterministic verdicts: "
+    f"|hll − exact| ≤ {HLL_CHECK_REL:.0%}·exact (5× the {HLL_RSD:.0%} rsd) "
+    "and the approx median's value-rank interval intersecting the true "
+    "median rank ± the documented n/accuracy guarantee. The oracle expects "
+    "both flags TRUE — a sketch regression on either engine hash-fails "
+    "instead of hiding behind a rows-only check. (The raw-estimate form "
+    "of this query is one .select away; the validation joins are "
+    "group-count-sized.)",
     tags=("aggregation", "approx"),
 )
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
+    sk = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users"),
+        F.percentile_approx("value", 0.5, PCTL_ACCURACY).alias("approx_p50"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    # value-rank interval of the returned (actual-element) median: the
+    # per-type conditional counts are one extra group-count-sized pass
+    ranked = (
+        ev.join(F.broadcast(sk.select("event_type", "approx_p50")), "event_type")
+        .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") < F.col("approx_p50")).cast("long")).alias("n_lt"),
+            F.sum((F.col("value") <= F.col("approx_p50")).cast("long")).alias("n_le"),
+        )
+    )
+    tol = (F.col("n_events") / F.lit(PCTL_ACCURACY)) + F.lit(1.0)
+    mid = F.col("n_events") * 0.5
+    return (
+        sk.join(ranked, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.col("exact_users") * HLL_CHECK_REL
+            ).alias("hll_within_bounds"),
+            # ranks [n_lt+1, n_le] must intersect [mid - tol, mid + tol]
+            ((F.col("n_lt") + 1 <= mid + tol) & (F.col("n_le") >= mid - tol)).alias(
+                "p50_rank_within_bounds"
+            ),
         )
         .orderBy("event_type")
     )
