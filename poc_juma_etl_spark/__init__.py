@@ -123,6 +123,9 @@ LATE_ADDITIONS: tuple[str, ...] = (
     # -- round 5 --
     "q_stream_interval_join_outer",
     "q_multimodal_decode_real",
+    "q_scd2_dimension_build",
+    "q_scd2_point_in_time_join",
+    "q_ann_recall_at_k",
 )
 
 
@@ -173,6 +176,7 @@ def all_queries():
         "poc_juma_etl_spark.plans.extra3",
         "poc_juma_etl_spark.plans.extra4",
         "poc_juma_etl_spark.plans.extra5",
+        "poc_juma_etl_spark.plans.extra6",
         "poc_juma_etl_spark.plans.behavior",
         "poc_juma_etl_spark.plans.tpch_extra",
         "poc_juma_etl_spark.plans.tpch_full",

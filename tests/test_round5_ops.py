@@ -215,6 +215,46 @@ class TestMediaCodec:
             decode_real(b"GIF89a....")
 
 
+def test_scd2_dimension_invariants(spark):
+    """Structural SCD2 contract on the real fixture (values are oracle-
+    gated; this pins the interval algebra): versions are contiguous from
+    1, valid_to chains to the next valid_from, exactly one open (current)
+    version per customer, and n_orders tiles the customer's history."""
+    from poc_juma_etl_spark.plans.extra6 import scd2_dimension
+
+    rows = scd2_dimension(spark, SF_SMOKE).orderBy("custkey", "version").collect()
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r.custkey, []).append(r)
+    order_counts = {
+        r.o_custkey: r.n
+        for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(by_cust) == set(order_counts)
+    for ck, vs in by_cust.items():
+        assert [v.version for v in vs] == list(range(1, len(vs) + 1)), ck
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from, ck
+            assert a.valid_from <= b.valid_from, ck
+            # adjacent versions always change the attribute (run collapse)
+            assert a.priority != b.priority, ck
+        assert vs[-1].valid_to is None, ck
+        assert sum(v.n_orders for v in vs) == order_counts[ck], ck
+
+
+def test_ann_recall_bounds_and_consistency(spark):
+    from poc_juma_etl_spark import all_queries
+
+    rows = all_queries()["q_ann_recall_at_k"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert r.recall_at_k == pytest.approx(r.n_hits / 5.0, abs=0)
+
+
 def test_user_tier_dim_empty_fact_table(spark, tmp_path):
     """max(user_id) over an empty events table is NULL; the dimension must
     come back empty instead of crashing on int(None) (r4 ADVICE)."""
