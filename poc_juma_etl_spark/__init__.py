@@ -125,6 +125,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_multimodal_decode_real",
     "q_scd2_dimension_build",
     "q_scd2_point_in_time_join",
+    "q_scd2_incremental_apply",
     "q_ann_recall_at_k",
 )
 

@@ -245,6 +245,36 @@ def test_scd2_dimension_invariants(spark):
         assert sum(v.n_orders for v in vs) == order_counts[ck], ck
 
 
+@pytest.mark.parametrize(
+    "split",
+    [
+        "1990-01-01",  # empty base: everything arrives as delta
+        "1995-06-01",  # early split: most history is incremental
+        "2000-01-01",
+        "2001-07-15",  # thin delta
+        "2002-01-01",  # empty delta: base passes through untouched
+    ],
+)
+def test_scd2_incremental_equals_rebuild(spark, split):
+    """Incremental-view-maintenance equivalence at arbitrary split dates,
+    including both empty edges (the registered query's oracle pins one
+    split; this sweeps the seam)."""
+    from poc_juma_etl_spark.plans.extra6 import (
+        _scd2_from_orders,
+        scd2_incremental_from_orders,
+    )
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    cols = ["custkey", "version", "priority", "valid_from", "valid_to", "n_orders"]
+    inc = sorted(
+        tuple(r) for r in scd2_incremental_from_orders(o, split).select(*cols).collect()
+    )
+    full = sorted(tuple(r) for r in _scd2_from_orders(o).select(*cols).collect())
+    assert inc == full
+
+
 def test_ann_recall_bounds_and_consistency(spark):
     from poc_juma_etl_spark import all_queries
 
