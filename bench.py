@@ -84,6 +84,13 @@ HEADLINE: list[str] = [
     "q_semantic_dedup",
     "q_vector_scalar_quantize",
     "q_equidepth_histogram",
+    # round-5 operator families
+    "q_scd2_dimension_build",
+    "q_scd2_point_in_time_join",
+    "q_scd2_incremental_apply",
+    "q_multimodal_decode_real",
+    "q_approx_sketches",
+    "q_ann_recall_at_k",
 ]
 
 

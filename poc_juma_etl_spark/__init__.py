@@ -127,6 +127,8 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_scd2_point_in_time_join",
     "q_scd2_incremental_apply",
     "q_ann_recall_at_k",
+    "q_dedup_containment",
+    "q_triplet_mining",
 )
 
 

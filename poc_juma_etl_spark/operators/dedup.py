@@ -218,6 +218,91 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+CONTAIN_THRESHOLD = 0.25
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    keep AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {NGRAM_DF_CUTOFF}
+    ),
+    kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    directed AS (
+      SELECT doc_a AS contained, doc_b AS container, n_shared FROM inter
+      UNION ALL
+      SELECT doc_b AS contained, doc_a AS container, n_shared FROM inter
+    )
+    SELECT d.contained, d.container,
+           CAST(d.n_shared AS DOUBLE) / s.n AS containment
+    FROM directed d JOIN sizes s ON s.doc_id = d.contained
+    WHERE CAST(d.n_shared AS DOUBLE) / s.n >= {CONTAIN_THRESHOLD}
+    ORDER BY contained, container
+    """,
+    doc="Containment dedup — the ASYMMETRIC near-dup Jaccard misses: "
+    "containment(A→B) = |A∩B|/|A| flags a document whose shingles mostly "
+    "appear inside a larger one (quotes, boilerplate-wrapped reposts, "
+    "subset scrapes) even when the symmetric Jaccard is tiny because the "
+    "container is big. Same posting-list candidate generation as "
+    "q_dedup_ngram_jaccard (pairs only from shared discriminative "
+    "shingles, df-capped, never n²); each unordered candidate then fans "
+    "to its two directions and divides by the CONTAINED side's size — "
+    f"threshold {CONTAIN_THRESHOLD}. Integer counts ⇒ exact ratios.",
+    tags=("dedup", "containment", "jaccard"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = scoped_cache(_shingles(d))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CUTOFF)
+        .select("shingle")
+    )
+    kept = scoped_cache(sh.join(hot, "shingle", "left_anti"))
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    posts = (
+        kept.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    pairs = posts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) -> "
+                "transform(slice(docs, i + 2, size(docs)), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_shared"))
+    directed = inter.select(
+        F.col("doc_a").alias("contained"),
+        F.col("doc_b").alias("container"),
+        "n_shared",
+    ).unionByName(
+        inter.select(
+            F.col("doc_b").alias("contained"),
+            F.col("doc_a").alias("container"),
+            "n_shared",
+        )
+    )
+    cont = F.col("n_shared").cast("double") / F.col("n")
+    return (
+        directed.join(sizes, directed.contained == sizes.doc_id)
+        .select("contained", "container", cont.alias("containment"))
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+        .orderBy("contained", "container")
+    )
+
+
 _SQL_BASE_HASH = f"({SQL_MD5_LONG.format(x='shingle')} % {MOD_P})"
 
 

@@ -370,3 +370,108 @@ def q_class_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "vec_id", "cos_c", "rk")
         .orderBy("label", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Triplet mining: the metric-learning data-prep primitive — for each anchor
+# in the probe set, the hardest positive (most-similar same-label vector)
+# and hardest negative (most-similar other-label vector), with the margin.
+
+N_ANCHORS = 50
+
+
+@register(
+    "q_triplet_mining",
+    oracle=f"""
+    WITH nvl AS (
+      SELECT vec_id, label, {_SQL_QV} AS qv,
+             sqrt(CAST(list_sum(list_transform({_SQL_QV}, x -> x * x)) AS BIGINT)) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, a.label,
+             b.vec_id AS cand_id, b.label = a.label AS same,
+             CAST(CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                               x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+               / (a.nrm * b.nrm) AS cosine
+      FROM nvl a JOIN nvl b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_ANCHORS}
+    ),
+    pos AS (
+      SELECT anchor_id, label, cand_id AS pos_id, cosine AS pos_cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cosine DESC, cand_id) AS rk
+        FROM scored WHERE same
+      ) WHERE rk = 1
+    ),
+    neg AS (
+      SELECT anchor_id, cand_id AS neg_id, cosine AS neg_cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cosine DESC, cand_id) AS rk
+        FROM scored WHERE NOT same
+      ) WHERE rk = 1
+    )
+    SELECT p.anchor_id, p.label, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+           p.pos_cos - n.neg_cos AS margin
+    FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+    ORDER BY p.anchor_id
+    """,
+    doc=f"Triplet mining for metric learning: each of the {N_ANCHORS} "
+    "anchor vectors gets its hardest positive (most-similar same-label "
+    "vector) and hardest negative (most-similar other-label vector) plus "
+    "the margin between them — the pair/triplet construction step of "
+    "contrastive dataset curation, and the per-class confusion signal "
+    "(a negative margin = nearest neighbor has the wrong label). Same "
+    "physical shape as brute-force ANN: the anchor set broadcasts into "
+    "one map-only corpus scan, two windowed top-1s over anchors×corpus "
+    "scores, anchor-count-sized join after. Quantized-integer cosine ⇒ "
+    "bit-identical cross-engine; ties break to the lower candidate id.",
+    tags=("vectors", "similarity", "triplet", "curation"),
+)
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    vecs = _quantized(e)
+    a = vecs.filter(F.col("vec_id") < N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("label"),
+        F.col("qv").alias("a_qv"),
+        F.col("qnorm").alias("a_n"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("b_label"),
+        F.col("qv").alias("b_qv"),
+        F.col("qnorm").alias("b_n"),
+    )
+    scored = b.join(F.broadcast(a), F.col("cand_id") != F.col("anchor_id")).select(
+        "anchor_id",
+        "label",
+        "cand_id",
+        (F.col("b_label") == F.col("label")).alias("same"),
+        F.expr(spark_cosine_prequantized("a_qv", "b_qv", "a_n", "b_n")).alias("cosine"),
+    )
+    wk = W.partitionBy("anchor_id").orderBy(F.desc("cosine"), "cand_id")
+    pos = (
+        scored.filter("same")
+        .withColumn("rk", F.row_number().over(wk))
+        .filter("rk = 1")
+        .select("anchor_id", "label", F.col("cand_id").alias("pos_id"),
+                F.col("cosine").alias("pos_cos"))
+    )
+    neg = (
+        scored.filter("NOT same")
+        .withColumn("rk", F.row_number().over(wk))
+        .filter("rk = 1")
+        .select("anchor_id", F.col("cand_id").alias("neg_id"),
+                F.col("cosine").alias("neg_cos"))
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id", "label", "pos_id", "pos_cos", "neg_id", "neg_cos",
+            (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )
