@@ -165,22 +165,34 @@ def q_scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem reads the priority version current at its ship date, then "
     "revenue rolls up by the looked-up attribute — how a fact table "
     "reads a versioned dimension without time-travel storage. The lookup "
-    "is resolved per DISTINCT (custkey, ship_date) key, not per fact row: "
-    "the version window runs over the key set (bounded by customers × "
-    "active days, with candidates bounded by versions-per-customer) and "
-    "facts equi-join the resolved map back — which both shrinks the "
-    "windowed data and sidesteps any reliance on a unique fact key (the "
+    "is resolved per DISTINCT (custkey, ship_date) key by MERGE-AND-"
+    "CARRY-FORWARD: version-start rows and key rows union into one "
+    "per-customer timeline, sorted once, and last(priority, ignorenulls) "
+    "carries each version over the keys it covers — O(keys + versions) "
+    "rows through one custkey-partitioned window, versus the keys × "
+    "versions candidate join whose sf1 soak run ground a single-task "
+    "hash map to 1.8 GB (this rewrite IS that soak fix). Resolving per "
+    "distinct key also sidesteps any reliance on a unique fact key (the "
     "fixture's (orderkey, linenumber) is NOT unique; a per-fact rn=1 "
     "window silently dropped rows with engine-dependent survivors — "
     "caught by this oracle before it shipped). Ties at same-day version "
-    "flips break to the later version.",
+    "flips break to the later version: version rows sort before the key "
+    "row on their date, ascending, so the carry picks the last.",
     tags=("etl", "scd2", "asof", "join"),
 )
 def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_shipdate",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    from ..catalog import spread
+
+    # spread(): the single-file fixture scan yields 1-2 input splits, so
+    # the 6M-row distinct's map-side partial aggregate would otherwise run
+    # (and grow its hash map) on one core — at real scale the scan has
+    # thousands of splits and this is a no-op
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_shipdate",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     fact = li.join(o, li.l_orderkey == o.o_orderkey).select(
@@ -190,19 +202,38 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = scd2_dimension(spark, sf_dir).select(
         "custkey", "version", "priority", "valid_from"
     )
-    cand = keys.join(
-        dim,
-        (keys.custkey == dim.custkey) & (dim.valid_from <= keys.l_shipdate),
-    ).drop(dim.custkey)
-    # tie-break on version: same-day priority flips share a valid_from,
-    # and the later version is the one current at day end
-    wpit = W.partitionBy("custkey", "l_shipdate").orderBy(
-        F.desc("valid_from"), F.desc("version")
+    # merge-and-carry-forward: version starts and lookup keys share one
+    # per-customer timeline. Sort key (d, is_key, version): version rows
+    # (is_key=0) sort before the key row on the same date — valid_from <=
+    # shipdate is inclusive — and ascending version makes the carried
+    # last() the same-day flip winner
+    starts = dim.select(
+        "custkey",
+        F.col("valid_from").alias("d"),
+        F.lit(0).alias("is_key"),
+        "version",
+        "priority",
+    )
+    keyrows = keys.select(
+        "custkey",
+        F.col("l_shipdate").alias("d"),
+        F.lit(1).alias("is_key"),
+        F.lit(None).cast("bigint").alias("version"),
+        F.lit(None).cast("string").alias("priority"),
+    )
+    wseq = (
+        W.partitionBy("custkey")
+        .orderBy("d", "is_key", "version")
+        .rowsBetween(W.unboundedPreceding, 0)
     )
     lkp = (
-        cand.withColumn("rn", F.row_number().over(wpit))
-        .filter(F.col("rn") == 1)
-        .select("custkey", "l_shipdate", "priority")
+        starts.unionByName(keyrows)
+        .withColumn("cur", F.last("priority", ignorenulls=True).over(wseq))
+        # keys before the customer's first version carry nothing — the
+        # fixture has shipdates preceding the first order date — and the
+        # candidate form (the oracle) excludes them too
+        .filter((F.col("is_key") == 1) & F.col("cur").isNotNull())
+        .select("custkey", F.col("d").alias("l_shipdate"), F.col("cur").alias("priority"))
     )
     return (
         fact.join(lkp, ["custkey", "l_shipdate"])
