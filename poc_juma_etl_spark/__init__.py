@@ -129,6 +129,8 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_ann_recall_at_k",
     "q_dedup_containment",
     "q_triplet_mining",
+    "q_feature_drift",
+    "q_table_fingerprint",
 )
 
 

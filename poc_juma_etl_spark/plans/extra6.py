@@ -432,3 +432,223 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature drift: distribution shift of events.value between two time
+# windows, reported per bucket with rational-only divergence terms.
+
+DRIFT_SPLIT = "2024-01-16"  # fixture events span 2024-01-01 .. 2024-01-30
+DRIFT_BUCKETS = 10
+
+
+@register(
+    "q_feature_drift",
+    oracle=f"""
+    WITH ref AS (
+      SELECT event_type, value FROM events
+      WHERE ts < TIMESTAMP '{DRIFT_SPLIT} 00:00:00'
+    ),
+    cur AS (
+      SELECT event_type, value FROM events
+      WHERE ts >= TIMESTAMP '{DRIFT_SPLIT} 00:00:00'
+    ),
+    bounds AS (
+      SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      FROM ref GROUP BY event_type
+    ),
+    spine AS (
+      SELECT b.event_type, b.lo, b.hi, r.range AS bucket
+      FROM bounds b, range(0, {DRIFT_BUCKETS}) r
+    ),
+    bref AS (
+      SELECT r.event_type,
+             CASE WHEN b.hi > b.lo
+                  THEN greatest(0, least({DRIFT_BUCKETS - 1},
+                       CAST(floor((r.value - b.lo) / ((b.hi - b.lo) / {DRIFT_BUCKETS}.0)) AS BIGINT)))
+                  ELSE 0 END AS bucket,
+             COUNT(*) AS n
+      FROM ref r JOIN bounds b ON b.event_type = r.event_type
+      GROUP BY 1, 2
+    ),
+    bcur AS (
+      SELECT c.event_type,
+             CASE WHEN b.hi > b.lo
+                  THEN greatest(0, least({DRIFT_BUCKETS - 1},
+                       CAST(floor((c.value - b.lo) / ((b.hi - b.lo) / {DRIFT_BUCKETS}.0)) AS BIGINT)))
+                  ELSE 0 END AS bucket,
+             COUNT(*) AS n
+      FROM cur c JOIN bounds b ON b.event_type = c.event_type
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             (SELECT COUNT(*) FROM ref r WHERE r.event_type = bounds.event_type) AS t_ref,
+             (SELECT COUNT(*) FROM cur c WHERE c.event_type = bounds.event_type) AS t_cur
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.event_type, CAST(s.bucket AS BIGINT) AS bucket,
+             CAST(COALESCE(br.n, 0) AS BIGINT) AS n_ref,
+             CAST(COALESCE(bc.n, 0) AS BIGINT) AS n_cur,
+             CAST(COALESCE(br.n, 0) AS DOUBLE) / t.t_ref AS p_ref,
+             CAST(COALESCE(bc.n, 0) AS DOUBLE) / t.t_cur AS p_cur
+      FROM spine s
+      LEFT JOIN bref br ON br.event_type = s.event_type AND br.bucket = s.bucket
+      LEFT JOIN bcur bc ON bc.event_type = s.event_type AND bc.bucket = s.bucket
+      JOIN tot t ON t.event_type = s.event_type
+    )
+    SELECT event_type, bucket, n_ref, n_cur, p_ref, p_cur,
+           abs(p_cur - p_ref) AS l1_term,
+           CASE WHEN p_ref > 0 THEN (p_cur - p_ref) * (p_cur - p_ref) / p_ref
+                ELSE NULL END AS chi2_term
+    FROM joined
+    ORDER BY event_type, bucket
+    """,
+    doc=f"Feature drift monitor: the distribution of events.value before "
+    f"vs after {DRIFT_SPLIT}, per event type, over {DRIFT_BUCKETS} equal-"
+    "width buckets anchored to the REFERENCE window's [min, max] (current-"
+    "window outliers clamp to the edge buckets — drift mass lands visibly "
+    "at the edges instead of silently re-scaling the axis). Emitted per "
+    "bucket with rational-only divergence terms (L1 / total-variation "
+    "contribution, chi-square contribution; consumers sum them — PSI's "
+    "ln() is deliberately absent because transcendental libm results are "
+    "not bit-portable across engines, the repo's exactness rule). Two "
+    "group-count passes plus a broadcast bounds/totals join: one shuffle "
+    "per window keyed on (type, bucket), the monitoring-job shape at any "
+    "scale.",
+    tags=("dq", "drift", "monitoring"),
+)
+def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    ref = ev.filter(F.col("ts") < split)
+    cur = ev.filter(F.col("ts") >= split)
+    bounds = ref.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+
+    def bucketed(side: DataFrame) -> DataFrame:
+        width = (F.col("hi") - F.col("lo")) / float(DRIFT_BUCKETS)
+        idx = F.when(
+            F.col("hi") > F.col("lo"),
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(DRIFT_BUCKETS - 1),
+                    F.floor((F.col("value") - F.col("lo")) / width).cast("bigint"),
+                ),
+            ),
+        ).otherwise(F.lit(0)).cast("bigint")
+        return (
+            side.join(F.broadcast(bounds), "event_type")
+            .select("event_type", idx.alias("bucket"))
+            .groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    bref = bucketed(ref)
+    bcur = bucketed(cur)
+    tot = (
+        ref.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("t_ref"))
+        .join(cur.groupBy("event_type").agg(F.count(F.lit(1)).alias("t_cur")), "event_type")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence(F.lit(0), F.lit(DRIFT_BUCKETS - 1))).alias("bucket")
+    ).withColumn("bucket", F.col("bucket").cast("bigint"))
+    joined = (
+        spine.join(bref.withColumnRenamed("n", "n_ref"), ["event_type", "bucket"], "left")
+        .join(bcur.withColumnRenamed("n", "n_cur"), ["event_type", "bucket"], "left")
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+            (F.coalesce("n_ref", F.lit(0)).cast("double") / F.col("t_ref")).alias("p_ref"),
+            (F.coalesce("n_cur", F.lit(0)).cast("double") / F.col("t_cur")).alias("p_cur"),
+        )
+    )
+    return joined.select(
+        "event_type",
+        "bucket",
+        "n_ref",
+        "n_cur",
+        "p_ref",
+        "p_cur",
+        F.abs(F.col("p_cur") - F.col("p_ref")).alias("l1_term"),
+        F.when(
+            F.col("p_ref") > 0,
+            (F.col("p_cur") - F.col("p_ref"))
+            * (F.col("p_cur") - F.col("p_ref"))
+            / F.col("p_ref"),
+        ).alias("chi2_term"),
+    ).orderBy("event_type", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Table fingerprint: order-independent content hash for snapshot
+# verification (migration / replication / backup checks) without sorting.
+
+_FP_TABLES: dict[str, list[str]] = {
+    # int/string/date columns only: float cells have no canonical
+    # cross-engine string form, so they stay out of the fingerprint
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+}
+
+_FP_HALF = 1 << 30  # split the 60-bit row hash into two 30-bit halves:
+# each SUM stays < rows * 2^30 — bigint-safe beyond 10^9 rows
+
+
+def _fp_sql(table: str, cols: list[str]) -> str:
+    row = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    h = f"CAST(('0x' || substr(md5({row}), 1, 15)) AS BIGINT)"
+    return f"""
+      SELECT '{table}' AS table_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(h % {_FP_HALF}) AS BIGINT) AS fp_lo,
+             CAST(SUM(h // {_FP_HALF}) AS BIGINT) AS fp_hi
+      FROM (SELECT {h} AS h FROM {table})"""
+
+
+@register(
+    "q_table_fingerprint",
+    oracle=" UNION ALL ".join(_fp_sql(t, c) for t, c in _FP_TABLES.items())
+    + " ORDER BY table_name",
+    doc="Order-independent table fingerprints: md5 each row's canonical "
+    "'|'-joined key-column string to a 60-bit hash, SUM the two 30-bit "
+    "halves (bigint-safe past 10^9 rows) — equal fingerprints mean equal "
+    "row multisets with no global sort, the cheap way to verify a "
+    "migration, replica, or backup copy at any scale (commutative sums "
+    "parallelize perfectly and merge across partitions/files). Float "
+    "columns are excluded by design: they have no canonical cross-engine "
+    "string form (the decimal-cast exactness rule, applied to hashing). "
+    "The fingerprint hash-matching DuckDB here IS the demo: two engines, "
+    "same bytes, same fingerprint.",
+    tags=("dq", "fingerprint", "ops"),
+)
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for table, cols in _FP_TABLES.items():
+        h = F.expr(
+            "CAST(conv(substring(md5(concat_ws('|', {cs})), 1, 15), 16, 10) AS BIGINT)".format(
+                cs=", ".join(f"CAST({c} AS STRING)" for c in cols)
+            )
+        )
+        outs.append(
+            load_table(spark, sf_dir, table)
+            .select(h.alias("h"))
+            .agg(
+                F.lit(table).alias("table_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col("h") % _FP_HALF).cast("bigint").alias("fp_lo"),
+                F.sum((F.col("h") / _FP_HALF).cast("bigint")).cast("bigint").alias("fp_hi"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name")
