@@ -514,23 +514,32 @@ DRIFT_BUCKETS = 10
     "contribution, chi-square contribution; consumers sum them — PSI's "
     "ln() is deliberately absent because transcendental libm results are "
     "not bit-portable across engines, the repo's exactness rule). Two "
-    "group-count passes plus a broadcast bounds/totals join: one shuffle "
-    "per window keyed on (type, bucket), the monitoring-job shape at any "
-    "scale.",
+    "fact scans total — a reference-bounds pass and ONE flagged bucketing "
+    "pass covering both windows (per-window totals fall out of the tiny "
+    "types×buckets count table, since clamping buckets every row) — the "
+    "monitoring-job shape at any scale.",
     tags=("dq", "drift", "monitoring"),
 )
 def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     split = F.lit(DRIFT_SPLIT).cast("timestamp")
-    ref = ev.filter(F.col("ts") < split)
-    cur = ev.filter(F.col("ts") >= split)
-    bounds = ref.groupBy("event_type").agg(
-        F.min("value").alias("lo"), F.max("value").alias("hi")
-    )
+    from .queries import scoped_cache
 
-    def bucketed(side: DataFrame) -> DataFrame:
-        width = (F.col("hi") - F.col("lo")) / float(DRIFT_BUCKETS)
-        idx = F.when(
+    # pass 1: reference-window bounds (tiny — one row per event type).
+    # bounds and counts are each referenced by several branches below;
+    # caching the types(×buckets)-sized tables pins the fact-scan count
+    # at two regardless of how the small-side joins reuse them
+    bounds = scoped_cache(
+        ev.filter(F.col("ts") < split)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    # pass 2: ONE flagged bucketing scan covers both windows; every row
+    # lands in a bucket (clamped), so the per-window totals are just sums
+    # over the types×buckets×2 count table — no extra fact scans
+    width = (F.col("hi") - F.col("lo")) / float(DRIFT_BUCKETS)
+    idx = (
+        F.when(
             F.col("hi") > F.col("lo"),
             F.greatest(
                 F.lit(0),
@@ -539,27 +548,27 @@ def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor((F.col("value") - F.col("lo")) / width).cast("bigint"),
                 ),
             ),
-        ).otherwise(F.lit(0)).cast("bigint")
-        return (
-            side.join(F.broadcast(bounds), "event_type")
-            .select("event_type", idx.alias("bucket"))
-            .groupBy("event_type", "bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
         )
-
-    bref = bucketed(ref)
-    bcur = bucketed(cur)
-    tot = (
-        ref.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("t_ref"))
-        .join(cur.groupBy("event_type").agg(F.count(F.lit(1)).alias("t_cur")), "event_type")
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    counts = scoped_cache(
+        ev.join(F.broadcast(bounds), "event_type")
+        .select("event_type", (F.col("ts") >= split).alias("is_cur"), idx.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum((~F.col("is_cur")).cast("long")).alias("n_ref"),
+            F.sum(F.col("is_cur").cast("long")).alias("n_cur"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
     spine = bounds.select(
         "event_type", F.explode(F.sequence(F.lit(0), F.lit(DRIFT_BUCKETS - 1))).alias("bucket")
     ).withColumn("bucket", F.col("bucket").cast("bigint"))
     joined = (
-        spine.join(bref.withColumnRenamed("n", "n_ref"), ["event_type", "bucket"], "left")
-        .join(bcur.withColumnRenamed("n", "n_cur"), ["event_type", "bucket"], "left")
+        spine.join(counts, ["event_type", "bucket"], "left")
         .join(F.broadcast(tot), "event_type")
         .select(
             "event_type",
