@@ -131,6 +131,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_triplet_mining",
     "q_feature_drift",
     "q_table_fingerprint",
+    "etl_binaryfile_decode_e2e",
 )
 
 

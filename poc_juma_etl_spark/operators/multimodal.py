@@ -628,3 +628,91 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     media = d.mapInPandas(synth_kernel, schema="doc_id long, payload binary")
     return decode_media(media).orderBy("doc_id")
+
+
+N_BINFILES = 200
+
+
+@register(
+    "etl_binaryfile_decode_e2e",
+    oracle=f"""
+    WITH d AS (SELECT r.range AS doc_id FROM range(0, {N_BINFILES}) r),
+    png AS (
+      SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+      FROM d WHERE doc_id % 2 = 0
+    ),
+    pe1 AS (SELECT doc_id, w, h, unnest(range(0, w)) AS xx FROM png),
+    pe2 AS (SELECT doc_id, w, h, xx, unnest(range(0, h)) AS yy FROM pe1),
+    psum AS (
+      SELECT doc_id, MAX(w * h) AS units,
+             CAST(SUM((xx + 3 * yy + doc_id) % 256) AS BIGINT) AS csum
+      FROM pe2 GROUP BY doc_id
+    ),
+    wav AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n
+      FROM d WHERE doc_id % 2 = 1
+    ),
+    we AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM wav),
+    wsum AS (
+      SELECT doc_id, MAX(n) AS units,
+             CAST(SUM(POWER((i * (doc_id + 7) * {WAV_MIX}) % 65536 - 32768, 2))
+                  AS BIGINT) AS csum
+      FROM we GROUP BY doc_id
+    ),
+    kinds AS (
+      SELECT 'png' AS media_kind, units, csum FROM psum
+      UNION ALL
+      SELECT 'wav', units, csum FROM wsum
+    )
+    SELECT media_kind,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(units) AS BIGINT) AS n_units_total,
+           CAST(SUM(csum) AS BIGINT) AS content_sum
+    FROM kinds GROUP BY media_kind ORDER BY media_kind
+    """,
+    doc=f"binaryFile source end-to-end: {N_BINFILES} spec-valid PNG/WAV "
+    "files land on disk, Spark's binaryFile reader scans them as "
+    "(path, content) rows, doc ids parse from file names, decode_media "
+    "runs the REAL stdlib decoders over the scanned bytes, and per-kind "
+    "rollups hash-match the closed-form oracle. This is the multimodal "
+    "ingest shape verbatim — a binaryFile (or object-store listing) scan "
+    "into an Arrow-batched decode map — with the whole path gated, not "
+    "just the kernel. Scan parallelism = file splits; the decode map is "
+    "narrow.",
+    tags=("etl", "multimodal", "source", "binaryfile"),
+)
+def etl_binaryfile_decode_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="binfiles_")
+    try:
+        for doc_id in range(N_BINFILES):
+            with open(f"{d}/doc_{doc_id:05d}.bin", "wb") as fh:
+                fh.write(synth_media(doc_id))
+        scanned = (
+            spark.read.format("binaryFile")
+            .load(d)
+            .select(
+                F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+                .cast("long")
+                .alias("doc_id"),
+                F.col("content").alias("payload"),
+            )
+        )
+        out = (
+            decode_media(scanned)
+            .groupBy("media_kind")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum("n_units").cast("bigint").alias("n_units_total"),
+                F.sum(F.coalesce("pixel_sum", "sample_sq_sum"))
+                .cast("bigint")
+                .alias("content_sum"),
+            )
+            .orderBy("media_kind")
+        )
+        # materialize before the temp files vanish
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
