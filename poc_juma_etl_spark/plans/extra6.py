@@ -195,8 +195,14 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    fact = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_shipdate", "revenue", F.col("o_custkey").alias("custkey")
+    from .queries import scoped_cache
+
+    # fact feeds both the key-set distinct and the final rollup join —
+    # cache it so the lineitem⋈orders join runs once, not twice
+    fact = scoped_cache(
+        li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_shipdate", "revenue", F.col("o_custkey").alias("custkey")
+        )
     )
     keys = fact.select("custkey", "l_shipdate").distinct()
     dim = scd2_dimension(spark, sf_dir).select(
