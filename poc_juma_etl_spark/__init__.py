@@ -132,6 +132,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_feature_drift",
     "q_table_fingerprint",
     "etl_binaryfile_decode_e2e",
+    "etl_python_sink_e2e",
 )
 
 
@@ -218,6 +219,7 @@ def all_queries():
         "poc_juma_etl_spark.streaming.stateful",
         "poc_juma_etl_spark.streaming.sink",
         "poc_juma_etl_spark.sources.rest_api",
+        "poc_juma_etl_spark.sources.rest_sink",
     ):
         import importlib
         import importlib.util

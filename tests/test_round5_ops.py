@@ -285,6 +285,75 @@ def test_ann_recall_bounds_and_consistency(spark):
         assert r.recall_at_k == pytest.approx(r.n_hits / 5.0, abs=0)
 
 
+class TestBatchPostSink:
+    """Two-phase-commit semantics of the Python DataSource sink,
+    pinned at the protocol level (no Spark): only pages named in the
+    commit messages publish; staged orphans stay invisible; abort
+    removes staged pages."""
+
+    def _stage(self, dest, rows):
+        from poc_juma_etl_spark.sources.rest_sink import FixtureSinkTransport
+
+        return FixtureSinkTransport(dest).post_page(rows)
+
+    def test_commit_publishes_only_named_pages(self, tmp_path):
+        import json
+        import os
+
+        from poc_juma_etl_spark.sources.rest_sink import (
+            MANIFEST,
+            STAGING,
+            FixtureSinkTransport,
+        )
+
+        dest = str(tmp_path / "out")
+        os.makedirs(dest)
+        good = self._stage(dest, [{"k": 1}, {"k": 2}])
+        # a failed/speculative task attempt staged this page but its
+        # message never reached commit
+        orphan = self._stage(dest, [{"k": 99}])
+        FixtureSinkTransport(dest).finalize([good], 2)
+        manifest = json.load(open(os.path.join(dest, MANIFEST)))
+        assert manifest == {"pages": [good], "n_rows": 2}
+        assert os.path.exists(os.path.join(dest, good))
+        assert not os.path.exists(os.path.join(dest, orphan))
+        assert os.path.exists(os.path.join(dest, STAGING, orphan)), (
+            "orphan stays quarantined in staging, never published"
+        )
+
+    def test_abort_removes_staged_pages(self, tmp_path):
+        import os
+
+        from poc_juma_etl_spark.sources.rest_sink import (
+            STAGING,
+            FixtureSinkTransport,
+        )
+
+        dest = str(tmp_path / "out")
+        os.makedirs(dest)
+        p1 = self._stage(dest, [{"k": 1}])
+        p2 = self._stage(dest, [{"k": 2}])
+        FixtureSinkTransport(dest).abort([p1, p2])
+        assert os.listdir(os.path.join(dest, STAGING)) == []
+
+    def test_reader_sees_only_manifest_pages(self, spark, tmp_path):
+        import os
+
+        from poc_juma_etl_spark.sources.rest_sink import (
+            FixtureSinkTransport,
+            read_published,
+        )
+
+        dest = str(tmp_path / "out")
+        os.makedirs(dest)
+        good = self._stage(dest, [{"k": 1}, {"k": 2}])
+        self._stage(dest, [{"k": 99}])  # orphan
+        FixtureSinkTransport(dest).finalize([good], 2)
+        back, manifest = read_published(spark, dest)
+        assert sorted(r.k for r in back.collect()) == [1, 2]
+        assert manifest["n_rows"] == 2
+
+
 def test_user_tier_dim_empty_fact_table(spark, tmp_path):
     """max(user_id) over an empty events table is NULL; the dimension must
     come back empty instead of crashing on int(None) (r4 ADVICE)."""
