@@ -133,6 +133,8 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_table_fingerprint",
     "etl_binaryfile_decode_e2e",
     "etl_python_sink_e2e",
+    "q_variant_props",
+    "q_observed_metrics",
 )
 
 

@@ -460,3 +460,89 @@ def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_s") > 0)
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Spark 4 VARIANT navigation: props parses ONCE per row into the "
+    "binary-encoded VARIANT type (parse_json), then every extraction is a "
+    "typed variant_get path walk — no re-parsing per field, which is the "
+    "scale difference from get_json_object chains (q_event_json_props is "
+    "the per-extraction-parse twin): at 100 TB with many extracted "
+    "fields, parse cost is paid once and the binary encoding "
+    "column-prunes. The oracle navigates the same JSON with DuckDB's "
+    "json_extract_string — VARIANT is an encoding, not a semantics "
+    "change, so results hash-match.",
+    tags=("events", "json", "variant"),
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("vp"))
+    k = F.variant_get("vp", "$.k", "bigint")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.max(k).cast("bigint").alias("max_k"),
+            F.sum((k % 2 == 0).cast("long")).cast("bigint").alias("n_even_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN value < 0 THEN 1 END) AS BIGINT) AS n_negative,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    """,
+    doc="Observation API: data-quality counters collected AS A SIDE EFFECT "
+    "of one pass over the stream of rows (df.observe + accumulator-backed "
+    "AggregateMetrics), not as a second aggregation job — the pattern for "
+    "attaching row-count / null-rate / sum checks to a production write "
+    "without re-reading 100 TB. The observed values are returned as the "
+    "result and hash-checked against a direct aggregate oracle, proving "
+    "the side-channel metrics equal the ground truth. (COUNT DISTINCT is "
+    "not observable — observe() allows only commutative aggregates — so "
+    "that one column comes from the same single pass's groupBy.)",
+    tags=("dq", "observation", "metrics"),
+)
+def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    obs = Observation("dq")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("value") < 0).cast("long")).alias("n_negative"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("tv"),
+    )
+    # the one real action: a distinct-type count over the SAME pass
+    n_types = observed.select("event_type").distinct().count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_negative"]),
+                float(m["tv"]),
+                int(n_types),
+            )
+        ],
+        "n_rows long, n_negative long, total_value double, n_types long",
+    )
