@@ -91,6 +91,9 @@ HEADLINE: list[str] = [
     "q_multimodal_decode_real",
     "q_approx_sketches",
     "q_ann_recall_at_k",
+    "q_dedup_containment",
+    "q_feature_drift",
+    "q_table_fingerprint",
 ]
 
 
