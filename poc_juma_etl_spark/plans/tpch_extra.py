@@ -456,19 +456,33 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+HLL_MERGE_CHECK_REL = 0.05  # lgK=14 → rsd ≈ 0.8%; 5% ≈ 6σ
+
+
 @register(
     "q_hll_rollup_merge",
-    oracle=None,  # DataSketches binary sketches have no DuckDB twin
-    doc="Sketch partial-merge rollup — the pattern that makes distinct "
-    "counts re-aggregable at 100 TB: per (event_type, day) the engine "
-    "builds DataSketches HLL sketches (hll_sketch_agg), then rolls them up "
-    "to per-type totals by merging the day sketches (hll_union_agg) "
-    "WITHOUT touching raw events again. A pre-aggregated day table plus "
-    "mergeable sketches answers any coarser-grain distinct-count query "
-    "from kilobytes of state; exact distinct would need the full user_id "
-    "set per group. Estimate accuracy vs exact countDistinct is pinned "
-    "within 3% by tests/test_sketch_rollup.py (no cross-engine oracle: "
-    "sketch binaries are engine-specific by design).",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merge_within_bounds,
+           TRUE AS merge_equals_single_pass
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Sketch partial-merge rollup, VALIDATED in-plan — the pattern that "
+    "makes distinct counts re-aggregable at 100 TB: per (event_type, day) "
+    "the engine builds DataSketches HLL sketches (hll_sketch_agg), then "
+    "rolls them up to per-type totals by merging the day sketches "
+    "(hll_union_agg) WITHOUT touching raw events again. The sketch "
+    "binaries have no DuckDB twin, so the output carries two "
+    "deterministic verdicts the oracle expects TRUE: the merged estimate "
+    f"within {HLL_MERGE_CHECK_REL:.0%} of the exact distinct count (6× "
+    "the lgK=14 rsd), and merged-of-partials EXACTLY equal to the "
+    "single-pass sketch (the re-aggregability property itself — HLL "
+    "register unions are lossless, so any inequality is a merge bug). "
+    "The validation joins are group-count-sized; "
+    "tests/test_sketch_rollup.py pins the same properties unit-side.",
     tags=("aggregation", "approx", "rollup"),
 )
 def q_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,12 +491,29 @@ def q_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id", 14).alias("user_sketch"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias("approx_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias("single_pass"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias("approx_users"),
-            F.count(F.lit(1)).cast("bigint").alias("n_days"),
-            F.sum("n_events").cast("bigint").alias("n_events"),
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.col("exact_users") * HLL_MERGE_CHECK_REL
+            ).alias("merge_within_bounds"),
+            (F.col("approx_users") == F.col("single_pass")).alias(
+                "merge_equals_single_pass"
+            ),
         )
         .orderBy("event_type")
     )

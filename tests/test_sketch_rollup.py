@@ -1,8 +1,10 @@
-"""q_hll_rollup_merge is rows-only at the driver gate (sketch binaries are
-engine-specific); these tests pin what the oracle cannot: the merged
-estimate tracks the exact distinct count, and merging per-day partials
-equals sketching the raw stream in one pass (the re-aggregability property
-the 100 TB rollup pattern depends on)."""
+"""q_hll_rollup_merge validates its sketches IN-PLAN since round 5 (the
+sketch binaries are engine-specific, so the query emits exact counts plus
+boolean verdicts its oracle expects TRUE); these tests pin the same
+properties unit-side: the merged estimate tracks the exact distinct
+count, and merging per-day partials equals sketching the raw stream in
+one pass (the re-aggregability property the 100 TB rollup pattern
+depends on)."""
 
 from __future__ import annotations
 
@@ -14,7 +16,10 @@ from poc_juma_etl_spark.catalog import load_table
 SF_DIR = "/root/testdata/sf0.01"
 
 
-def test_rollup_estimate_within_3pct_of_exact(spark):
+def test_rollup_estimate_within_bounds_and_exact_columns(spark):
+    """Round 5 moved the bound check in-plan (the query emits verdicts and
+    its oracle expects TRUE); this pins the exact column against an
+    independent computation plus the verdicts."""
     out = {
         r["event_type"]: r for r in all_queries()["q_hll_rollup_merge"].fn(spark, SF_DIR).collect()
     }
@@ -27,7 +32,9 @@ def test_rollup_estimate_within_3pct_of_exact(spark):
     }
     assert set(out) == set(exact)
     for et, row in out.items():
-        assert abs(row["approx_users"] - exact[et]) <= 0.03 * exact[et], (et, row)
+        assert row["exact_users"] == exact[et], (et, row)
+        assert row["merge_within_bounds"] is True, (et, row)
+        assert row["merge_equals_single_pass"] is True, (et, row)
 
 
 def test_merged_partials_equal_single_pass_sketch(spark):
