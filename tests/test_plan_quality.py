@@ -312,3 +312,56 @@ def test_null_skew_join_routes_nulls_around_the_join(spark):
     plan = plan_of(spark, "q_outer_join_null_skew")
     assert "Union" in plan
     assert "LeftOuter" in plan or "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# Round-5 plan guards: the shapes the sf1 soak and the drift rewrite fixed.
+
+
+def test_scd2_pit_is_carry_forward_not_candidate_join(spark):
+    """The sf1 soak lesson pinned: the point-in-time lookup must be the
+    merge-and-carry-forward window (one Union feeding a Window), never a
+    keys x versions range-condition join (whose candidate fan-out ground
+    a single task's hash map to 1.8 GB at sf1)."""
+    plan = plan_of(spark, "q_scd2_point_in_time_join")
+    assert "Window" in plan and "Union" in plan
+    # the dim lookup must not appear as a non-equi join: every join in the
+    # plan is an equi join (SortMerge/Hash/BroadcastHash all print join
+    # keys; a range-only condition would force BroadcastNestedLoop)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_table_fingerprint_has_no_wide_shuffle(spark):
+    """Commutative hash sums need no hashpartitioning exchange — each
+    table contributes one partial-agg row per partition; only the
+    single-partition final merge moves data."""
+    plan = plan_of(spark, "q_table_fingerprint")
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_feature_drift_two_fact_scans(spark):
+    """Bounds pass + one flagged bucketing pass: the cached tiny tables
+    must absorb every other reference (the pre-cache form re-scanned the
+    fact table five times)."""
+    df = SPECS["q_feature_drift"].fn(spark, SF_ORACLE)
+    df.count()  # materialize the scoped caches
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    from poc_juma_etl_spark.plans.queries import release_caches
+
+    release_caches()
+
+
+def test_triplet_mining_broadcasts_anchor_set(spark):
+    plan = plan_of(spark, "q_triplet_mining")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_uses_posting_lists_not_self_join(spark):
+    """Candidate pairs come from in-row posting-list expansion (Generate/
+    explode over collect_list), never a shingle-table self-join."""
+    plan = plan_of(spark, "q_dedup_containment")
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "CartesianProduct" not in plan
