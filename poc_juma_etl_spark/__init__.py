@@ -135,6 +135,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "etl_python_sink_e2e",
     "q_variant_props",
     "q_observed_metrics",
+    "q_kmeans_lloyd_exact",
 )
 
 

@@ -343,3 +343,159 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cell", "cosine", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Integer-exact Lloyd k-means: the ITERATIVE trainer itself, hash-verified.
+# Quantized int64 vectors make every distance exact; centroid updates use
+# truncate-toward-zero integer-division means (DuckDB's // semantics —
+# Python's // floors and drifts one unit on negative sums), so after any
+# number of iterations both engines hold bit-identical integer centroids.
+# This closes the "iterative training is inherently rows-only" gap for
+# k-means the way the batched trainer closed it for BPE: the float Lloyd
+# (kmeans_fit above) remains the production path; this is its verifiable
+# integer twin, and the assignment/update dataflow is identical.
+
+LLOYD_ITERS = 3
+INERTIA_SHIFT = 1024  # SUM(d DIV 1024): keeps the exact integer inertia
+# total inside BIGINT past 10^7 vectors (d ≤ 64·(2·2^22)^2 ≈ 4.5e15)
+
+_SQL_QV_KM = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4194304) AS BIGINT))"
+
+
+def _int_cell_struct_array(cents: list[list[int]]) -> str:
+    """Spark SQL text: array of named_struct('d', exact squared distance
+    from column qv to each integer centroid, 'cid', i) — the
+    seed_cell_struct_array renderer generalized to arbitrary centroid
+    lists (post-update iterations)."""
+    structs = []
+    for cid, cv in enumerate(cents):
+        arr = "array(" + ",".join(f"{int(x)}L" for x in cv) + ")"
+        dist = (
+            f"aggregate(zip_with(qv, {arr}, (x,y) -> (x-y)*(x-y)), "
+            "CAST(0 AS BIGINT), (acc,v) -> acc + v)"
+        )
+        structs.append(f"named_struct('d', {dist}, 'cid', {cid})")
+    return "array(" + ",".join(structs) + ")"
+
+
+def _lloyd_oracle() -> str:
+    """Iterative CTE chain: c0 (seeds) → a1/s1/c1 → … → final stats.
+    Multiply-referenced CTEs are MATERIALIZED (the round-4 DuckDB
+    CTE-inlining lesson); empty cells keep their previous centroid."""
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(q.qv, c.cv), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT)"
+    )
+    parts = [
+        f"q AS MATERIALIZED (SELECT vec_id, {_SQL_QV_KM} AS qv FROM embeddings)",
+        f"""c0 AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, qv AS cv
+      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {K})
+    )""",
+    ]
+    for t in range(1, LLOYD_ITERS + 1):
+        prev = f"c{t - 1}"
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn
+        FROM q, {prev} c
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+      SELECT a.cid, u.pos, SUM(u.val) // COUNT(*) AS m
+      FROM a{t} a JOIN (
+        SELECT vec_id,
+               unnest(list_transform(range(1, {64} + 1),
+                                     i -> struct_pack(pos := i, val := qv[i]))) AS u
+        FROM q
+      ) v ON v.vec_id = a.vec_id
+      GROUP BY a.cid, u.pos
+    )"""
+        )
+        parts.append(
+            f"""c{t} AS MATERIALIZED (
+      SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT cid, list(m ORDER BY pos) AS cv FROM s{t} GROUP BY cid
+      ) n ON n.cid = p.cid
+    )"""
+        )
+    final = f"""
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(d // {INERTIA_SHIFT}) AS BIGINT) AS inertia_kq
+    FROM (
+      SELECT vec_id, cid AS cell, d FROM (
+        SELECT q.vec_id, c.cid, {dist} AS d,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn
+        FROM q, c{LLOYD_ITERS} c
+      ) WHERE rn = 1
+    ) GROUP BY cell ORDER BY cell"""
+    return "WITH " + ",\n    ".join(parts) + final
+
+
+@register(
+    "q_kmeans_lloyd_exact",
+    oracle=_lloyd_oracle(),
+    doc=f"Lloyd k-means, the ITERATION ITSELF hash-verified: {LLOYD_ITERS} "
+    f"full assign→update rounds over {K} centroids on 2^22-quantized "
+    "integer vectors, centroid means as truncate-toward-zero integer "
+    "divisions (DuckDB's // semantics; Python's floor-// drifts on "
+    "negative sums — caught by this oracle), empty cells keeping their previous "
+    "centroid — so both engines hold bit-identical centroids after every "
+    "round, and the final per-cell membership + shifted exact inertia "
+    "hash-match an iterative-CTE oracle (MATERIALIZED per the round-4 "
+    "CTE-inlining lesson). Spark dataflow per round: one narrow literal-"
+    "centroid assignment map (zero shuffle), one posexplode shuffle keyed "
+    "on (cell, dim) with map-side partials, K×dim rows collected — the "
+    "same shape as the production float trainer (kmeans_fit), which "
+    "remains the at-scale path; this is its verifiable integer twin.",
+    tags=("kmeans", "iterative", "clustering"),
+)
+def q_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    from .dedup import SPARK_QVEC
+
+    vecs = e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
+    cents: list[list[int]] = [
+        [int(x) for x in r.qv] for r in vecs.orderBy("vec_id").limit(K).collect()
+    ]
+    for _ in range(LLOYD_ITERS):
+        best = F.expr(f"array_min({_int_cell_struct_array(cents)})")
+        assigned = vecs.withColumn("cell", best["cid"])
+        per = (
+            assigned.select("cell", F.posexplode("qv").alias("pos0", "val"))
+            .groupBy("cell", "pos0")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in per:
+            # truncate-toward-zero integer mean: DuckDB's // (and Spark's
+            # DIV) truncate on negatives, while Python's // floors —
+            # measured one-off centroid drift on negative-sum dims before
+            # this match-up
+            s, n = int(r.s), int(r.n)
+            m = abs(s) // n
+            by_cell.setdefault(r.cell, {})[r.pos0] = -m if s < 0 else m
+        cents = [
+            [by_cell[c][p] for p in range(len(cents[c]))] if c in by_cell else cents[c]
+            for c in range(K)
+        ]
+    best = F.expr(f"array_min({_int_cell_struct_array(cents)})")
+    return (
+        vecs.select(
+            best["cid"].alias("cell"),
+            (best["d"] / F.lit(INERTIA_SHIFT)).cast("bigint").alias("dk"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("dk").cast("bigint").alias("inertia_kq"),
+        )
+        .orderBy("cell")
+    )
