@@ -285,6 +285,85 @@ def test_ann_recall_bounds_and_consistency(spark):
         assert r.recall_at_k == pytest.approx(r.n_hits / 5.0, abs=0)
 
 
+def test_rocksdb_state_store_same_results(spark):
+    """The at-scale state backend: the watermarked tumbling aggregation
+    must produce identical results under the RocksDB state store provider
+    (spill-to-disk state, the 100 TB configuration) as under the default
+    in-memory HDFSBackedStateStore."""
+    from poc_juma_etl_spark.streaming.events import streaming_tumbling_hour
+
+    def run():
+        return {
+            tuple(r) for r in streaming_tumbling_hour(spark, SF_SMOKE).collect()
+        }
+
+    default_res = run()
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        rocks_res = run()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert rocks_res == default_res
+    assert len(rocks_res) > 0
+
+
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Checkpoint-recovery contract: drain a source dir with a durable
+    checkpoint, then land a NEW file and drain again with the SAME
+    checkpoint + sink — the second run must process only the new file
+    (no reprocessing, no double counting), converging to the batch total
+    over all files."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def land(name, rows):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, "k long, v long").coalesce(1).write.parquet(stage)
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], str(src / name))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("k long, v long")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land("a.parquet", [(1, 10), (2, 20)])
+    drain()
+    first = spark.read.parquet(out).count()
+    assert first == 2
+    land("b.parquet", [(3, 30)])
+    drain()
+    got = (
+        spark.read.parquet(out)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()[0]
+    )
+    # exactly-once: 3 rows total, a.parquet not re-emitted
+    assert (got.n, got.s) == (3, 60)
+
+
 class TestBatchPostSink:
     """Two-phase-commit semantics of the Python DataSource sink,
     pinned at the protocol level (no Spark): only pages named in the
