@@ -467,7 +467,7 @@ HLL_MERGE_CHECK_REL = 0.05  # lgK=14 → rsd ≈ 0.8%; 5% ≈ 6σ
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            TRUE AS merge_within_bounds,
-           TRUE AS merge_equals_single_pass
+           TRUE AS single_pass_within_bounds
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     doc="Sketch partial-merge rollup, VALIDATED in-plan — the pattern that "
@@ -476,13 +476,17 @@ HLL_MERGE_CHECK_REL = 0.05  # lgK=14 → rsd ≈ 0.8%; 5% ≈ 6σ
     "rolls them up to per-type totals by merging the day sketches "
     "(hll_union_agg) WITHOUT touching raw events again. The sketch "
     "binaries have no DuckDB twin, so the output carries two "
-    "deterministic verdicts the oracle expects TRUE: the merged estimate "
-    f"within {HLL_MERGE_CHECK_REL:.0%} of the exact distinct count (6× "
-    "the lgK=14 rsd), and merged-of-partials EXACTLY equal to the "
-    "single-pass sketch (the re-aggregability property itself — HLL "
-    "register unions are lossless, so any inequality is a merge bug). "
-    "The validation joins are group-count-sized; "
-    "tests/test_sketch_rollup.py pins the same properties unit-side.",
+    "deterministic verdicts the oracle expects TRUE: the merged-of-"
+    "partials estimate AND the single-pass estimate each within "
+    f"{HLL_MERGE_CHECK_REL:.0%} of the exact distinct count (6× the "
+    "lgK=14 rsd). Merged == single-pass is deliberately NOT asserted: "
+    "DataSketches estimates a directly-updated sketch with the order-"
+    "dependent HIP estimator but a union result with the composite "
+    "estimator, so the two legitimately diverge at high cardinality — "
+    "they coincided at sf≤0.1 and split at the sf1 soak (15k users/"
+    "type), which is what caught the bad assertion. Validation joins are "
+    "group-count-sized; tests/test_sketch_rollup.py pins the same "
+    "properties unit-side.",
     tags=("aggregation", "approx", "rollup"),
 )
 def q_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,9 +515,10 @@ def q_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("approx_users") - F.col("exact_users"))
                 <= F.col("exact_users") * HLL_MERGE_CHECK_REL
             ).alias("merge_within_bounds"),
-            (F.col("approx_users") == F.col("single_pass")).alias(
-                "merge_equals_single_pass"
-            ),
+            (
+                F.abs(F.col("single_pass") - F.col("exact_users"))
+                <= F.col("exact_users") * HLL_MERGE_CHECK_REL
+            ).alias("single_pass_within_bounds"),
         )
         .orderBy("event_type")
     )

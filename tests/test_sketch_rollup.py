@@ -34,10 +34,17 @@ def test_rollup_estimate_within_bounds_and_exact_columns(spark):
     for et, row in out.items():
         assert row["exact_users"] == exact[et], (et, row)
         assert row["merge_within_bounds"] is True, (et, row)
-        assert row["merge_equals_single_pass"] is True, (et, row)
+        assert row["single_pass_within_bounds"] is True, (et, row)
 
 
-def test_merged_partials_equal_single_pass_sketch(spark):
+def test_merged_partials_track_single_pass_sketch(spark):
+    """Merged-of-partials vs single-pass: NOT asserted equal — DataSketches
+    estimates a directly-updated sketch with the HIP estimator but a union
+    result with the composite estimator, and the two legitimately diverge
+    at high cardinality (they matched at sf0.01 and split at the sf1 soak,
+    which caught the over-strong equality this test used to assert). The
+    durable property: both estimates stay within the lgK=14 error envelope
+    of each other."""
     ev = load_table(spark, SF_DIR, "events")
     merged = (
         ev.groupBy("event_type", F.to_date("ts").alias("day"))
@@ -50,4 +57,6 @@ def test_merged_partials_equal_single_pass_sketch(spark):
     )
     m = {r["event_type"]: r["est"] for r in merged.collect()}
     s = {r["event_type"]: r["est"] for r in single.collect()}
-    assert m == s
+    assert set(m) == set(s)
+    for et in m:
+        assert abs(m[et] - s[et]) <= 0.05 * max(s[et], 1), (et, m[et], s[et])
