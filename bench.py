@@ -94,6 +94,7 @@ HEADLINE: list[str] = [
     "q_dedup_containment",
     "q_feature_drift",
     "q_table_fingerprint",
+    "q_kmeans_lloyd_exact",
 ]
 
 
