@@ -136,6 +136,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_variant_props",
     "q_observed_metrics",
     "q_kmeans_lloyd_exact",
+    "q_text_chunk_overlap",
 )
 
 

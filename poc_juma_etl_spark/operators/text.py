@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..plans.queries import register
 
 # Whitespace tokenizer — the BPE-ish fallback for token *counting* is a
@@ -1198,3 +1198,67 @@ def q_text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleaned.alias("cleaned"),
         F.length(cleaned).cast("bigint").alias("n_clean_chars"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# RAG-style overlapping chunking: fixed-size token windows with stride
+# (context windows that overlap so no semantic boundary is lost at a cut —
+# the retrieval-corpus preprocessing twin of the NON-overlapping packer in
+# q_dedup_passage / q_text_pack_sequences).
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "q_text_chunk_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    st AS (
+      SELECT doc_id, ts, len(ts) AS n,
+             unnest(range(1, greatest(len(ts), 1) + 1, {CHUNK_STRIDE})) AS s
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_token,
+           CAST(len(list_slice(ts, s, s + {CHUNK_TOKENS} - 1)) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(ts, s, s + {CHUNK_TOKENS} - 1), ' ')) AS chunk_md5
+    FROM st
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc=f"Overlapping chunker for retrieval corpora: {CHUNK_TOKENS}-token "
+    f"windows every {CHUNK_STRIDE} tokens ({CHUNK_TOKENS - CHUNK_STRIDE}-"
+    "token overlap), the RAG preprocessing step that keeps facts spanning "
+    "a cut retrievable from at least one chunk. Pure in-row Catalyst "
+    "(sequence → posexplode → slice → md5): zero shuffles at any corpus "
+    "size, chunk identity pinned by the md5 of the joined window so the "
+    "oracle verifies exact token boundaries, not just counts. Chunks then "
+    "feed the embedding/ANN operators the same way documents do.",
+    tags=("text", "chunking", "rag"),
+)
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", tokens("text").alias("ts"))
+    st = tok.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("ts"), F.lit(1)), F.lit(CHUNK_STRIDE)
+            )
+        ).alias("s"),
+    )
+    sl = F.slice(F.col("ts"), F.col("s"), CHUNK_TOKENS)
+    return (
+        st.select(
+            "doc_id",
+            ((F.col("s") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.col("s").cast("bigint").alias("start_token"),
+            F.size(sl).cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", sl)).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
