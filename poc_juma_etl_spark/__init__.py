@@ -140,17 +140,21 @@ LATE_ADDITIONS: tuple[str, ...] = (
 )
 
 
-def _verified_counts() -> dict[str, int]:
-    """How many driver rounds have fully verified each query, read from the
-    CORRECTNESS_r*.json files the driver drops in the repo root. A row
-    counts as verified when all three checks passed, or when the driver ran
-    its rows-only path for an oracle-less query without error. Missing or
+def _verified_counts() -> dict[str, float]:
+    """How much driver evidence each query has accumulated, read from the
+    CORRECTNESS_r*.json files the driver drops in the repo root. A full
+    rows+schema+hash pass counts 1.0; a rows-only ``no_oracle`` pass counts
+    0.25 — real but strictly weaker evidence, so a query that has since
+    gained a DuckDB oracle outranks every once-hash-verified query and
+    re-enters the 50-slot window for a hash-green row (the r05→r06 lesson:
+    q_approx_sketches/q_hll_rollup_merge were oracled in r5 but their
+    rows-only r01/r03 samples kept them out of the rotation). Missing or
     unreadable files simply contribute nothing — ordering degrades to the
     static priority list."""
     import json
     from pathlib import Path
 
-    counts: dict[str, int] = {}
+    counts: dict[str, float] = {}
     root = Path(__file__).resolve().parent.parent
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
@@ -160,11 +164,10 @@ def _verified_counts() -> dict[str, int]:
         for name, r in rows.items():
             if not isinstance(r, dict):
                 continue
-            green = (
-                r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
-            ) or (r.get("err") == "no_oracle" and r.get("spark_rows") is not None)
-            if green:
-                counts[name] = counts.get(name, 0) + 1
+            if r.get("rows_match") and r.get("schema_match") and r.get("hash_match"):
+                counts[name] = counts.get(name, 0) + 1.0
+            elif r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
+                counts[name] = counts.get(name, 0) + 0.25
     return counts
 
 

@@ -526,21 +526,41 @@ def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     obs = Observation("dq")
+    # empty-input hardening: a NULL decimal inside a mixed observed row
+    # trips a toPyRow assertion in pyspark 4.1 (verified by experiment),
+    # so the decimal sum is coalesced and an observed value-count restores
+    # SQL's NULL-on-empty SUM semantics afterward
     observed = ev.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum((F.col("value") < 0).cast("long")).alias("n_negative"),
-        F.sum(F.col("value").cast("decimal(25,6)")).alias("tv"),
+        F.coalesce(F.sum((F.col("value") < 0).cast("long")), F.lit(0)).alias(
+            "n_negative"
+        ),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(25,6)")),
+            F.lit("0").cast("decimal(25,6)"),
+        ).alias("tv"),
+        F.count(F.col("value")).alias("n_vals"),
     )
     # the one real action: a distinct-type count over the SAME pass
     n_types = observed.select("event_type").distinct().count()
-    m = obs.get
+    try:
+        m = obs.get
+    except Exception:
+        # empty source: AQE's empty-relation propagation eliminates the
+        # whole subtree INCLUDING the CollectMetrics node, so the metrics
+        # row never materializes (getOrEmpty returns a schema-less row that
+        # trips toPyRow). The exact empty-input answer is static.
+        m = {"n_rows": 0, "n_negative": 0, "tv": None, "n_vals": 0}
     return spark.createDataFrame(
         [
             (
                 int(m["n_rows"]),
+                # oracle's COUNT(CASE WHEN ...) is 0 on empty input, and the
+                # coalesced sum agrees
                 int(m["n_negative"]),
-                float(m["tv"]),
+                # SUM over zero non-NULL values is NULL in both engines
+                float(m["tv"]) if m["n_vals"] else None,
                 int(n_types),
             )
         ],

@@ -497,8 +497,8 @@ DRIFT_BUCKETS = 10
       SELECT s.event_type, CAST(s.bucket AS BIGINT) AS bucket,
              CAST(COALESCE(br.n, 0) AS BIGINT) AS n_ref,
              CAST(COALESCE(bc.n, 0) AS BIGINT) AS n_cur,
-             CAST(COALESCE(br.n, 0) AS DOUBLE) / t.t_ref AS p_ref,
-             CAST(COALESCE(bc.n, 0) AS DOUBLE) / t.t_cur AS p_cur
+             CAST(COALESCE(br.n, 0) AS DOUBLE) / NULLIF(t.t_ref, 0) AS p_ref,
+             CAST(COALESCE(bc.n, 0) AS DOUBLE) / NULLIF(t.t_cur, 0) AS p_cur
       FROM spine s
       LEFT JOIN bref br ON br.event_type = s.event_type AND br.bucket = s.bucket
       LEFT JOIN bcur bc ON bc.event_type = s.event_type AND bc.bucket = s.bucket
@@ -581,8 +581,17 @@ def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
             F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
-            (F.coalesce("n_ref", F.lit(0)).cast("double") / F.col("t_ref")).alias("p_ref"),
-            (F.coalesce("n_cur", F.lit(0)).cast("double") / F.col("t_cur")).alias("p_cur"),
+            # NULL (not inf/NaN) when a window is empty for the type: Spark's
+            # x/0 is NULL while DuckDB's double /0 is inf — NULLIF in the
+            # oracle plus the natural Spark NULL keeps both engines agreed
+            (
+                F.coalesce("n_ref", F.lit(0)).cast("double")
+                / F.when(F.col("t_ref") > 0, F.col("t_ref"))
+            ).alias("p_ref"),
+            (
+                F.coalesce("n_cur", F.lit(0)).cast("double")
+                / F.when(F.col("t_cur") > 0, F.col("t_cur"))
+            ).alias("p_cur"),
         )
     )
     return joined.select(
@@ -660,7 +669,11 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(table).alias("table_name"),
                 F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                 F.sum(F.col("h") % _FP_HALF).cast("bigint").alias("fp_lo"),
-                F.sum((F.col("h") / _FP_HALF).cast("bigint")).cast("bigint").alias("fp_hi"),
+                # shiftright = exact integer h // 2^30 (h >= 0).  Spark's `/` on
+                # bigint goes through double, which rounds a 60-bit h to a
+                # multiple of 128 and can truncate to hi+1 near cell edges —
+                # ~6e-8 per row, i.e. guaranteed divergence beyond ~1e8 rows.
+                F.sum(F.shiftright(F.col("h"), 30)).cast("bigint").alias("fp_hi"),
             )
         )
     out = outs[0]

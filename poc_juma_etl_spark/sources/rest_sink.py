@@ -94,14 +94,22 @@ class FixtureSinkTransport:
         )
         return name
 
-    def finalize(self, pages: list[str], n_rows: int) -> None:
-        """Publish exactly ``pages`` (atomic renames) + manifest."""
+    def finalize(
+        self, pages: list[str], n_rows: int, schema_json: str | None = None
+    ) -> None:
+        """Publish exactly ``pages`` (atomic renames) + manifest.  The
+        manifest records the writer-side schema so a zero-page commit (an
+        empty source table) is still readable with the right columns."""
         for name in pages:
             os.rename(
                 os.path.join(self.staging, name), os.path.join(self.dest, name)
             )
+        os.makedirs(self.dest, exist_ok=True)
         with open(os.path.join(self.dest, MANIFEST), "w") as fh:
-            json.dump({"pages": sorted(pages), "n_rows": n_rows}, fh)
+            json.dump(
+                {"pages": sorted(pages), "n_rows": n_rows, "schema": schema_json},
+                fh,
+            )
 
     def abort(self, pages: list[str]) -> None:
         for name in pages:
@@ -112,9 +120,10 @@ class FixtureSinkTransport:
 
 
 class BatchPostWriter(DataSourceWriter):
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         self.dest = options["path"]
         self.page_size = int(options.get("page_size", "1000"))
+        self.schema_json = schema.json() if schema is not None else None
 
     # -- executor side -----------------------------------------------------
     def write(self, iterator) -> PageCommitMessage:
@@ -140,7 +149,7 @@ class BatchPostWriter(DataSourceWriter):
         for m in messages:
             pages.extend(m.pages)
             n_rows += m.n_rows
-        transport.finalize(pages, n_rows)
+        transport.finalize(pages, n_rows, self.schema_json)
 
     def abort(self, messages) -> None:
         transport = FixtureSinkTransport(self.dest)
@@ -158,7 +167,7 @@ class BatchPostDataSource(DataSource):
         return "batched_post"
 
     def writer(self, schema, overwrite: bool):
-        return BatchPostWriter(self.options)
+        return BatchPostWriter(self.options, schema)
 
 
 def read_published(spark, dest: str):
@@ -167,6 +176,18 @@ def read_published(spark, dest: str):
     with open(os.path.join(dest, MANIFEST)) as fh:
         manifest = json.load(fh)
     paths = [os.path.join(dest, p) for p in manifest["pages"]]
+    if not paths:
+        # zero-page commit (empty source): honor the manifest's recorded
+        # schema instead of crashing on a path-less parquet read
+        from pyspark.sql.types import StructType
+
+        schema_json = manifest.get("schema")
+        schema = (
+            StructType.fromJson(json.loads(schema_json))
+            if schema_json
+            else StructType([])
+        )
+        return spark.createDataFrame([], schema), manifest
     return spark.read.parquet(*paths), manifest
 
 

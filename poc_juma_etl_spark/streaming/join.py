@@ -112,7 +112,14 @@ def _sentinel_events_dir(spark: SparkSession, sf_dir: str) -> str:
         .coalesce(1)
         .write.parquet(stage, mode="overwrite")
     )
-    shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], f"{d}/zz_sentinel.parquet")
+    try:
+        shutil.copy(
+            glob.glob(f"{stage}/part-*.parquet")[0], f"{d}/zz_sentinel.parquet"
+        )
+    finally:
+        # the staging dir's job ends at the copy; don't let repeated gate
+        # runs accumulate one-file dirs in /tmp
+        shutil.rmtree(stage, ignore_errors=True)
     return d
 
 
@@ -122,6 +129,8 @@ def stream_close_event_pairs_outer(spark: SparkSession, sf_dir: str) -> DataFram
     DataFrame covering every real left event exactly once per match, plus
     one NULL row per unmatched left event."""
     from ..catalog import normalize_timestamps
+
+    import shutil
 
     d = _sentinel_events_dir(spark, sf_dir)
     physical = spark.read.parquet(f"{d}/events.parquet").schema
@@ -166,14 +175,19 @@ def stream_close_event_pairs_outer(spark: SparkSession, sf_dir: str) -> DataFram
     with _MEMSINK_LOCK:
         _SINK_SEQ[0] += 1
         sink = f"stream_pairs_outer_out_{_SINK_SEQ[0]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # memory sink holds the drained rows on the driver; the staged
+        # fixture copy is dead weight once the stream terminates
+        shutil.rmtree(d, ignore_errors=True)
     # the sentinel's own left row stays withheld in state; the filter makes
     # that a contract rather than a timing accident
     return spark.table(sink).filter(F.col("user_id") >= 0)

@@ -15,7 +15,12 @@ def test_verified_counts_read_driver_files():
     assert counts.get("q_scalar_function_suite", 0) == 0 or counts.get(
         "q_scalar_function_suite"
     ) >= 1  # becomes green once a later round passes it
-    assert counts.get("q_approx_sketches", 0) >= 1
+    # rows-only (no_oracle) samples count as weak evidence: strictly
+    # positive but below one full hash-green pass, so a query that gained
+    # an oracle after a rows-only sample re-enters the window
+    assert 0 < counts.get("q_approx_sketches", 0)
+    sketches = counts["q_approx_sketches"]
+    assert sketches < counts.get("q1_pricing_summary", 0) or sketches >= 1
 
 
 def test_least_verified_lead_the_window():

@@ -393,7 +393,7 @@ class TestBatchPostSink:
         orphan = self._stage(dest, [{"k": 99}])
         FixtureSinkTransport(dest).finalize([good], 2)
         manifest = json.load(open(os.path.join(dest, MANIFEST)))
-        assert manifest == {"pages": [good], "n_rows": 2}
+        assert manifest == {"pages": [good], "n_rows": 2, "schema": None}
         assert os.path.exists(os.path.join(dest, good))
         assert not os.path.exists(os.path.join(dest, orphan))
         assert os.path.exists(os.path.join(dest, STAGING, orphan)), (

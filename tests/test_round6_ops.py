@@ -1,0 +1,216 @@
+"""Round-6 regressions: the r05 ADVICE findings (fingerprint integer
+division, drift zero-guard, empty-sink read-back, sentinel tempdir
+cleanup, observed-metrics empty guard) plus window-rotation weighting."""
+
+import glob
+import json
+import os
+
+import pytest
+
+from .conftest import SF_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# ADVICE medium: fp_hi must use exact integer division (shiftright), not
+# double division + cast. 60-bit hashes near a multiple of 2^30 are the
+# failure cell: float rounding pushes the quotient to hi+1.
+
+
+def test_fingerprint_hi_split_is_exact(spark):
+    from pyspark.sql import functions as F
+
+    # h = k*2^30 - d for small d: double rounding of h/2^30 rounds UP to k,
+    # while exact integer division gives k-1. 60-bit values, like the real
+    # 15-hex-digit md5 prefix hash.
+    k = 1 << 29  # puts h around 2^59
+    hs = [k * (1 << 30) - d for d in (1, 7, 63)] + [k * (1 << 30) + d for d in (0, 1)]
+    df = spark.createDataFrame([(h,) for h in hs], "h long").select(
+        F.shiftright(F.col("h"), 30).alias("hi"),
+        (F.col("h") % (1 << 30)).alias("lo"),
+    )
+    rows = df.collect()
+    for h, r in zip(hs, rows):
+        assert r.hi == h // (1 << 30), h
+        assert r.lo == h % (1 << 30), h
+    # the buggy float path really does differ on these inputs (the reason
+    # for the fix): double(h)/2^30 cast to bigint truncates the ROUNDED h
+    bad = [int(float(h) / (1 << 30)) for h in hs]
+    assert bad != [h // (1 << 30) for h in hs]
+
+
+def test_fingerprint_spark_uses_no_float_division():
+    from poc_juma_etl_spark.plans import extra6
+
+    src = open(extra6.__file__).read()
+    body = src[src.index("def q_table_fingerprint") :]
+    assert "shiftright" in body
+    assert "/ _FP_HALF" not in body
+
+
+# ---------------------------------------------------------------------------
+# ADVICE low: feature drift must yield NULL (both engines) when one window
+# is empty for an event type, not Spark-NULL-vs-DuckDB-inf.
+
+
+def test_feature_drift_empty_window_yields_null(spark, duck, tmp_path):
+    """Craft an events table where one type exists only BEFORE the split
+    and one only AFTER; p_cur / p_ref must come back NULL on the empty
+    side in both engines, and the full comparator must agree."""
+    import duckdb
+
+    from poc_juma_etl_spark.oracle import compare
+    from poc_juma_etl_spark.plans.extra6 import q_feature_drift
+
+    src = glob.glob(os.path.join(SF_ORACLE, "events.parquet"))[0]
+    con = duckdb.connect()
+    fixture_dir = tmp_path / "drift_fixture"
+    fixture_dir.mkdir()
+    out = str(fixture_dir / "events.parquet")
+    # only_before: every row < split, so its t_cur = 0 (the empty current
+    # window); mixed keeps both windows populated as the control group
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id, ts, user_id, 'only_before' AS event_type, value, props
+          FROM read_parquet('{src}') WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+          UNION ALL
+          SELECT event_id, ts, user_id, 'mixed' AS event_type, value, props
+          FROM read_parquet('{src}')
+        ) TO '{out}' (FORMAT PARQUET)
+        """
+    )
+    df = q_feature_drift(spark, str(fixture_dir))
+    pdf = df.toPandas()
+    ob = pdf[pdf.event_type == "only_before"]
+    assert len(ob) == 10
+    assert ob.p_cur.isna().all(), "empty current window must be NULL"
+    assert ob.l1_term.isna().all()
+    # and the oracle agrees cell-for-cell
+    from poc_juma_etl_spark import all_queries
+
+    oracle_sql = all_queries()["q_feature_drift"].oracle
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{out}')")
+    oracle_pdf = con.execute(oracle_sql).fetchdf()
+    report = compare(df, oracle_pdf)
+    assert report["match"], report
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE low: read_published over a zero-page manifest returns an empty
+# DataFrame with the writer's schema instead of crashing.
+
+
+def test_sink_empty_commit_is_readable(spark, tmp_path):
+    from poc_juma_etl_spark.sources.rest_sink import (
+        HAVE_WRITER_API,
+        read_published,
+    )
+
+    if not HAVE_WRITER_API:
+        pytest.skip("pyspark < 4: no Python DataSource writer API")
+    from poc_juma_etl_spark.sources.rest_sink import BatchPostDataSource
+
+    spark.dataSource.register(BatchPostDataSource)
+    dest = str(tmp_path / "sink_empty")
+    empty = spark.createDataFrame([], "k long, v string")
+    empty.write.format("batched_post").option("path", dest).mode("append").save()
+    back, manifest = read_published(spark, dest)
+    assert manifest["pages"] == [] and manifest["n_rows"] == 0
+    assert back.count() == 0
+    assert back.schema.fieldNames() == ["k", "v"]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE low: the outer-join sentinel staging dirs must not accumulate.
+
+
+def test_stream_outer_join_cleans_tempdirs(spark):
+    import tempfile
+
+    from poc_juma_etl_spark.streaming.join import stream_close_event_pairs_outer
+
+    tmp = tempfile.gettempdir()
+
+    def dirs(prefix):
+        return {d for d in os.listdir(tmp) if d.startswith(prefix)}
+
+    before_data = dirs("stream_outer_")
+    out = stream_close_event_pairs_outer(spark, SF_ORACLE)
+    assert out.count() > 0  # memory sink survives the cleanup
+    assert dirs("stream_outer_stage_") <= before_data
+    assert dirs("stream_outer_") <= before_data, "fixture-copy dir leaked"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE low: q_observed_metrics over an empty events table.
+
+
+def test_observed_metrics_empty_events(spark, tmp_path):
+    import duckdb
+
+    from poc_juma_etl_spark.plans.events import q_observed_metrics
+
+    src = glob.glob(os.path.join(SF_ORACLE, "events.parquet"))[0]
+    fixture_dir = tmp_path / "empty_events"
+    fixture_dir.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}') WHERE 1=0) "
+        f"TO '{fixture_dir / 'events.parquet'}' (FORMAT PARQUET)"
+    )
+    con.close()
+    row = q_observed_metrics(spark, str(fixture_dir)).collect()[0]
+    assert row.n_rows == 0
+    assert row.total_value is None  # SUM over zero rows is NULL, not a crash
+    assert row.n_types == 0
+
+
+# ---------------------------------------------------------------------------
+# Window rotation: rows-only driver samples are weak evidence (0.25) so a
+# query oracled after a no_oracle sample re-enters the 50-slot window.
+
+
+def test_rows_only_evidence_is_weaker_than_hash_green(tmp_path, monkeypatch):
+    import poc_juma_etl_spark as p
+
+    fake = {
+        "q_hash_green": {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "spark_rows": 1,
+            "oracle_rows": 1,
+            "err": None,
+        },
+        "q_rows_only": {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": 7,
+            "oracle_rows": None,
+            "err": "no_oracle",
+        },
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(fake))
+    monkeypatch.setattr(
+        "pathlib.Path.glob",
+        lambda self, pat: iter([tmp_path / "CORRECTNESS_r99.json"])
+        if pat == "CORRECTNESS_r*.json"
+        else iter([]),
+    )
+    counts = p._verified_counts()
+    assert counts["q_hash_green"] == 1.0
+    assert counts["q_rows_only"] == 0.25
+
+
+def test_newly_oracled_sketch_queries_lead_r06_window():
+    """The concrete r06 requirement: both r5-oracled sketch queries and the
+    pq top-k must occupy window slots (first 50 of all_queries())."""
+    from poc_juma_etl_spark import all_queries
+
+    window = list(all_queries())[:50]
+    assert "q_approx_sketches" in window
+    assert "q_hll_rollup_merge" in window
+    assert "q_ann_pq_topk" in window
