@@ -95,6 +95,8 @@ HEADLINE: list[str] = [
     "q_feature_drift",
     "q_table_fingerprint",
     "q_kmeans_lloyd_exact",
+    # round-6 operator families
+    "q_ann_pq_topk",
 ]
 
 
@@ -164,17 +166,23 @@ def main() -> None:
         jvm_gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": {k: round(v, 4) for k, v in timings.items()},
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # The consumer captures only the LAST 2000 characters of output (the r05
+    # record shipped with parsed=null because the pretty 4-decimal line grew
+    # past that window) — emit compact separators and drop precision until
+    # the whole line fits.
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    for ndigits in (3, 2, 1):
+        payload["queries"] = {k: round(v, ndigits) for k, v in timings.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= 1950:
+            break
+    print(line)
     spark.stop()
 
 

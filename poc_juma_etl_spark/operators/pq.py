@@ -25,10 +25,14 @@ Spark-first shape:
 - the driver only ever holds centroids (M×K rows), never the corpus.
 
 Deterministic: init = subvectors of the K lowest-vec_id vectors per
-subspace; assignment ties break to the lower code. Iterative k-means
-training is the driver contract's rows-only case (no SQL oracle);
-determinism, code shape, and recall-vs-brute-force are pinned by
-tests/test_pq.py.
+subspace; assignment ties break to the lower code. The registered
+q_ann_pq_topk runs the whole pipeline — training included — over
+2^22-quantized integer vectors with truncate-toward-zero integer-division
+means, so the trained codebooks are bit-identical across engines and the
+query is fully hash-gated against an iterative-CTE DuckDB oracle
+(the q_kmeans_lloyd_exact recipe applied per subspace). The float-centroid
+trainer (pq_fit) remains the production path; its determinism, code shape,
+and recall-vs-brute-force are pinned by tests/test_pq.py.
 
 Reference parity: the reference engine (fe-malveira-87/poc-juma-etl) has no
 vector search at all — this extends the engine's LLM-data-pipeline surface
@@ -297,52 +301,254 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _arr_sql(vals: list[int]) -> str:
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def _sq_dist_sql(sv: str, cv: list[int]) -> str:
+    """Spark SQL text: exact int64 ||sv − cv||² against a centroid literal."""
+    return (
+        f"aggregate(zip_with({sv}, {_arr_sql(cv)}, (x,y) -> (x-y)*(x-y)), "
+        "CAST(0 AS BIGINT), (acc,v) -> acc + v)"
+    )
+
+
+def _pq_lloyd_oracle() -> str:
+    """DuckDB twin of the integer-exact PQ pipeline: joint Lloyd training of
+    all M sub-quantizers as an iterative CTE chain (c0 seeds → a1/s1/c1 → …),
+    then encode, query LUTs, ADC candidate ranking, and quantized-cosine
+    re-rank. Truncate-toward-zero integer-division means (``//``) and
+    MATERIALIZED multiply-referenced CTEs follow q_kmeans_lloyd_exact."""
+    d = 64 // M
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(s.sv, c.cv), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT)"
+    )
+    qvec = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4194304) AS BIGINT))"
+    parts = [
+        f"q AS MATERIALIZED (SELECT vec_id, {qvec} AS qv FROM embeddings)",
+        f"""subs AS MATERIALIZED (
+      SELECT vec_id, CAST(r.m AS INTEGER) AS m,
+             list_slice(qv, r.m * {d} + 1, (r.m + 1) * {d}) AS sv
+      FROM q, range(0, {M}) r(m)
+    )""",
+        f"""c0 AS MATERIALIZED (
+      SELECT m, CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INTEGER) AS k,
+             sv AS cv
+      FROM subs WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT {K})
+    )""",
+    ]
+    for t in range(1, ITERS + 1):
+        prev = f"c{t - 1}"
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT s.vec_id, s.m, c.k,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY {dist}, c.k) AS rn
+        FROM subs s JOIN {prev} c ON c.m = s.m
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+      SELECT a.m, a.code, u.pos, SUM(u.val) // COUNT(*) AS mval
+      FROM a{t} a JOIN (
+        SELECT vec_id, m,
+               unnest(list_transform(range(1, {d} + 1),
+                                     i -> struct_pack(pos := i, val := sv[i]))) AS u
+        FROM subs
+      ) v ON v.vec_id = a.vec_id AND v.m = a.m
+      GROUP BY a.m, a.code, u.pos
+    )"""
+        )
+        parts.append(
+            f"""c{t} AS MATERIALIZED (
+      SELECT p.m, p.k, COALESCE(n.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT m, code, list(mval ORDER BY pos) AS cv FROM s{t} GROUP BY m, code
+      ) n ON n.m = p.m AND n.code = p.k
+    )"""
+        )
+    qdot = "CAST(list_sum(list_transform(list_zip(qq.qv, nq.qv), x -> x[1] * x[2])) AS BIGINT)"
+    qn = "sqrt(CAST(list_sum(list_transform(qq.qv, x -> x * x)) AS BIGINT))"
+    nn = "sqrt(CAST(list_sum(list_transform(nq.qv, x -> x * x)) AS BIGINT))"
+    parts.append(
+        f"""enc AS MATERIALIZED (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT s.vec_id, s.m, c.k,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY {dist}, c.k) AS rn
+        FROM subs s JOIN c{ITERS} c ON c.m = s.m
+      ) WHERE rn = 1
+    )"""
+    )
+    parts.append(
+        f"""luts AS MATERIALIZED (
+      SELECT s.vec_id, s.m, c.k, {dist} AS d
+      FROM subs s JOIN c{ITERS} c ON c.m = s.m
+      WHERE s.vec_id < {N_QUERIES}
+    )"""
+    )
+    parts.append(
+        f"""adc AS (
+      SELECT l.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(l.d) AS BIGINT) AS adc_dist
+      FROM enc e JOIN luts l ON l.m = e.m AND l.k = e.code
+      WHERE e.vec_id <> l.vec_id
+      GROUP BY l.vec_id, e.vec_id
+    )""",
+    )
+    parts.append(
+        f"""cand AS (
+      SELECT query_id, neighbor_id, adc_dist FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS crn
+        FROM adc
+      ) WHERE crn <= {RERANK}
+    )""",
+    )
+    parts.append(
+        f"""rr AS (
+      SELECT c.query_id, c.neighbor_id, c.adc_dist,
+             CAST({qdot} AS DOUBLE) / ({qn} * {nn}) AS cosine
+      FROM cand c JOIN q qq ON qq.vec_id = c.query_id
+                  JOIN q nq ON nq.vec_id = c.neighbor_id
+    )""",
+    )
+    final = f"""
+    SELECT query_id, neighbor_id, adc_dist, cosine, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT query_id, neighbor_id, adc_dist, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM rr
+    ) WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk"""
+    return "WITH " + ",\n    ".join(parts) + final
+
+
 @register(
     "q_ann_pq_topk",
-    oracle=None,  # iterative k-means training — the contract's rows-only case
-    doc=f"PQ ANN top-{TOP_K}: {M}×{K}-centroid product quantizer (joint "
-    f"distributed Lloyd, {ITERS} iterations, deterministic init) compresses "
-    f"each vector to {M} 4-bit codes; queries ADC-scan the code list via "
-    f"broadcast lookup tables, keep {RERANK} candidates, and exact-rank "
-    f"those with quantized cosine. Composable with IVF cells for the "
-    "scan-pruning half; recall and determinism pinned by tests/test_pq.py.",
-    tags=("similarity", "ann", "pq", "kmeans"),
+    oracle=_pq_lloyd_oracle(),
+    doc=f"PQ ANN top-{TOP_K}, TRAINING INCLUDED in the hash gate: a "
+    f"{M}×{K}-centroid product quantizer is Lloyd-trained jointly for "
+    f"{ITERS} iterations over 2^22-quantized integer vectors (deterministic "
+    "lowest-vec_id seeds, ties to the lower code, truncate-toward-zero "
+    "integer-division means, empty cells carrying forward — the "
+    "q_kmeans_lloyd_exact arithmetic applied per subspace), so both engines "
+    f"hold bit-identical codebooks after every round. Each vector compresses "
+    f"to {M} 4-bit codes; queries ADC-scan the code list via broadcast int64 "
+    f"lookup tables, keep {RERANK} candidates, and exact-rank those with the "
+    "bit-exact quantized cosine. Spark dataflow per training round: one "
+    "narrow literal-centroid assignment map (zero shuffle) + one "
+    "(m,code,pos)-keyed shuffle with map-side partials; only M×K×(D/M) "
+    "integers ever reach the driver. The float-centroid trainer (pq_fit) "
+    "remains the production path, pinned by tests/test_pq.py.",
+    tags=("similarity", "ann", "pq", "kmeans", "iterative"),
 )
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from .dedup import SPARK_QNORM, SPARK_QVEC, spark_cosine_prequantized
 
+    d = 64 // M
     e = spread(load_table(spark, sf_dir, "embeddings"))
-    centroids = pq_fit(e)
-    coded = pq_encode(e, centroids).select(
+    vecs = e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
+    first = vecs.orderBy("vec_id").limit(K).collect()
+    # cb[m][k] = m-th quantized subvector of the k-th seed
+    cb: list[list[list[int]]] = [
+        [[int(x) for x in r.qv[mi * d : (mi + 1) * d]] for r in first]
+        for mi in range(M)
+    ]
+
+    # joint integer Lloyd: the corpus explodes to (vec_id, m, sv) once; each
+    # iteration is one literal-tensor assignment map + one (m,code,pos)
+    # aggregation — two shuffles per iteration TOTAL, not per subspace
+    subs = vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("qv", mi * d + 1, d) for mi in range(M)])
+        ).alias("m", "sv"),
+    )
+
+    def assign_expr(cents: list[list[list[int]]]) -> str:
+        per_m = []
+        for mi in range(M):
+            structs = ",".join(
+                f"named_struct('d', {_sq_dist_sql('sv', cents[mi][k])}, 'cid', {k})"
+                for k in range(K)
+            )
+            per_m.append(f"array({structs})")
+        return f"array_min(element_at(array({','.join(per_m)}), m + 1)).cid"
+
+    for _ in range(ITERS):
+        per = (
+            subs.withColumn("code", F.expr(assign_expr(cb)))
+            .select("m", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("m", "code", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new: dict[tuple[int, int], dict[int, int]] = {}
+        for r in per:
+            # truncate-toward-zero integer mean (DuckDB's // / Spark's DIV);
+            # Python's floor-// drifts one unit on negative sums
+            s, n = int(r.s), int(r.n)
+            mv = abs(s) // n
+            new.setdefault((r.m, r.code), {})[r.pos] = -mv if s < 0 else mv
+        cb = [
+            [
+                [new[(mi, k)][p] for p in range(d)] if (mi, k) in new else cb[mi][k]
+                for k in range(K)
+            ]
+            for mi in range(M)
+        ]
+
+    # encode the corpus against the FINAL codebooks — rendered as one SQL
+    # string (1 024 F.lit() Columns cost ~2 s of py4j round-trips; see
+    # q_ann_pq_adc)
+    codes = "array(" + ",".join(
+        "array_min(array("
+        + ",".join(
+            f"named_struct('d', {_sq_dist_sql(f'slice(qv, {mi * d + 1}, {d})', cb[mi][k])}, 'cid', {k})"
+            for k in range(K)
+        )
+        + ")).cid"
+        for mi in range(M)
+    ) + ")"
+    coded = vecs.select(
         F.col("vec_id").alias("neighbor_id"),
-        "codes",
-        F.expr(SPARK_QVEC.format(a="embedding")).alias("n_qv"),
-    )
-    coded = coded.withColumn("n_norm", F.expr(SPARK_QNORM.format(qa="n_qv")))
+        F.expr(codes).alias("codes"),
+        F.col("qv").alias("n_qv"),
+    ).withColumn("n_norm", F.expr(SPARK_QNORM.format(qa="n_qv")))
 
-    q = pq_query_luts(
-        e.filter(F.col("vec_id") < N_QUERIES), centroids
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        "luts",
-        F.expr(SPARK_QVEC.format(a="embedding")).alias("q_qv"),
+    luts = "array(" + ",".join(
+        "array("
+        + ",".join(
+            _sq_dist_sql(f"slice(qv, {mi * d + 1}, {d})", cb[mi][k])
+            for k in range(K)
+        )
+        + ")"
+        for mi in range(M)
+    ) + ")"
+    q = (
+        vecs.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(luts).alias("luts"),
+            F.col("qv").alias("q_qv"),
+        )
+        .withColumn("q_norm", F.expr(SPARK_QNORM.format(qa="q_qv")))
     )
-    q = q.withColumn("q_norm", F.expr(SPARK_QNORM.format(qa="q_qv")))
 
-    # ADC scan: one corpus pass, approx distance = Σ_m LUT[m][code_m]
+    # ADC scan: one corpus pass, approx distance = Σ_m LUT[m][code_m], int64
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"), F.col("luts"), lambda c, lut: F.element_at(lut, c + 1)
         ),
-        F.lit(0.0),
+        F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
-    scored = (
-        coded.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc_dist", adc)
-    )
+    scored = coded.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("adc_dist", adc)
     w_adc = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     cands = scored.withColumn("c_rk", F.row_number().over(w_adc)).filter(
         F.col("c_rk") <= RERANK
