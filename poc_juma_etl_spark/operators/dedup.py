@@ -438,10 +438,11 @@ SIM_RADIUS = 3  # requires SIM_BLOCKS >= SIM_RADIUS + 1 (pigeonhole)
 assert SIM_BLOCKS >= SIM_RADIUS + 1
 
 
-@register(
-    "q_dedup_simhash",
-    oracle=f"""
-    WITH tok AS (
+# Shared oracle text: simhash fingerprints + the brute-force radius-filtered
+# pair set (the candidate superset argument in the module docstring). simh is
+# MATERIALIZED — the self-join references it twice and DuckDB inlines
+# non-materialized CTEs per reference (the round-4 lesson).
+_SQL_SIMHASH_PAIRS = f"""tok AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
     ),
     tokh AS (
@@ -454,26 +455,22 @@ assert SIM_BLOCKS >= SIM_RADIUS + 1
       FROM tokh, range(0, {SIM_BITS}) r(i)
       GROUP BY doc_id, i
     ),
-    simh AS (
+    simh AS MATERIALIZED (
       SELECT doc_id,
              SUM(CASE WHEN w > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
       FROM bits GROUP BY doc_id
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM simh a JOIN simh b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIM_RADIUS}
-    ORDER BY doc_a, doc_b
-    """,
-    doc=f"SimHash near-dup: {SIM_BITS}-bit sign fingerprint of token-hash "
-    f"bit votes; pairs within hamming ≤ {SIM_RADIUS}. Spark generates "
-    f"candidates by the pigeonhole block join ({SIM_BLOCKS} blocks of "
-    f"{SIM_BLOCK_BITS} bits — any pair within radius {SIM_RADIUS} shares an "
-    "exact block, and 2^12 bucket values per block bound join skew), oracle "
-    "brute-forces; the exact hamming filter makes both sets identical.",
-    tags=("dedup", "simhash"),
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIM_RADIUS}
+    )"""
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within the pigeonhole radius — the
+    shared core of q_dedup_simhash and its grouped twin."""
     # spread(): the per-token bit voting is CPU-heavy; a small single-file
     # scan would run it on one core (no-op at real scale)
     d = spread(load_table(spark, sf_dir, "documents"))
@@ -529,7 +526,72 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .filter(F.col("hamming") <= SIM_RADIUS)
-        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_PAIRS}
+    SELECT doc_a, doc_b, hamming FROM pairs
+    ORDER BY doc_a, doc_b
+    """,
+    doc=f"SimHash near-dup: {SIM_BITS}-bit sign fingerprint of token-hash "
+    f"bit votes; pairs within hamming ≤ {SIM_RADIUS}. Spark generates "
+    f"candidates by the pigeonhole block join ({SIM_BLOCKS} blocks of "
+    f"{SIM_BLOCK_BITS} bits — any pair within radius {SIM_RADIUS} shares an "
+    "exact block, and 2^12 bucket values per block bound join skew), oracle "
+    "brute-forces; the exact hamming filter makes both sets identical.",
+    tags=("dedup", "simhash"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q_dedup_simhash_grouped",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_PAIRS},
+    sym AS (
+      SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS partner, hamming FROM pairs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(bit_xor(partner) AS BIGINT) AS partner_xor,
+           CAST(SUM(partner) AS BIGINT) AS partner_sum,
+           CAST(SUM(hamming) AS BIGINT) AS hamming_sum
+    FROM sym GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=f"SimHash near-dup, BOUNDED output: the same pigeonhole block-join "
+    f"pair set as q_dedup_simhash (hamming ≤ {SIM_RADIUS}) folded to one row "
+    "per involved document — partner count, order-independent bit_xor and "
+    "sum checksums of partner ids, hamming total. The pair set is verified "
+    "through exact integer aggregates while the output stays ≤ n_docs rows "
+    "at every scale: on the sf1 soak fixture (where replication makes every "
+    "doc a 10-way exact duplicate and pair rows square past the driver's "
+    "maxResultSize) this is the full-row-hashable form of the family.",
+    tags=("dedup", "simhash", "grouped"),
+)
+def q_dedup_simhash_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _simhash_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("partner"), "hamming"
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("partner"), "hamming"
+        )
+    )
+    return (
+        sym.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.expr("bit_xor(partner)").cast("bigint").alias("partner_xor"),
+            F.sum("partner").cast("bigint").alias("partner_sum"),
+            F.sum("hamming").cast("bigint").alias("hamming_sum"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -621,17 +683,63 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared oracle text for the cosine family: SRP-bucketed candidate pairs
+# with the exact quantized cosine AND the exact int64 dot product (the
+# grouped twin aggregates qdot — summing the cosine doubles would be
+# order-dependent and engine-divergent; integer dot sums are exact).
+_SQL_COSINE_PAIRS = f"""e AS MATERIALIZED (
+      SELECT vec_id, label, embedding, {sql_srp_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    cpairs AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             x.label AS label_a, y.label AS label_b,
+             {sql_cosine_expr("x.embedding", "y.embedding")} AS cosine,
+             {SQL_QDOT.format(qa=SQL_QVEC.format(a="x.embedding"), qb=SQL_QVEC.format(a="y.embedding"))} AS qdot
+      FROM e x JOIN e y ON y.bucket = x.bucket AND x.vec_id < y.vec_id
+      WHERE {sql_cosine_expr("x.embedding", "y.embedding")} >= {COS_THRESHOLD}
+    )"""
+
+
+def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-bucketed near-dup pairs with exact cosine + int64 dot — the
+    shared core of q_dedup_embedding_cosine and its grouped twin."""
+    # cached: quantize + norm + SRP hash run once per vector, not once per
+    # side of the bucket self-join
+    e = scoped_cache(
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "label", "embedding")
+        .withColumn("qv", F.expr(SPARK_QVEC.format(a="embedding")))
+        .withColumn("nrm", F.expr(SPARK_QNORM.format(qa="qv")))
+        .withColumn("bucket", F.expr(spark_srp_bucket("embedding")))
+        .drop("embedding")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.expr(spark_cosine_prequantized("a.qv", "b.qv", "a.nrm", "b.nrm"))
+    qdot = F.expr(SPARK_QDOT.format(qa="a.qv", qb="b.qv"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            cos.alias("cosine"),
+            qdot.cast("bigint").alias("qdot"),
+        )
+        .filter(F.col("cosine") >= COS_THRESHOLD)
+    )
+
+
 @register(
     "q_dedup_embedding_cosine",
     oracle=f"""
-    WITH e AS (
-      SELECT vec_id, label, embedding, {sql_srp_bucket("embedding")} AS bucket
-      FROM embeddings
-    )
-    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.label AS label_a, y.label AS label_b,
-           {sql_cosine_expr("x.embedding", "y.embedding")} AS cosine
-    FROM e x JOIN e y ON y.bucket = x.bucket AND x.vec_id < y.vec_id
-    WHERE {sql_cosine_expr("x.embedding", "y.embedding")} >= {COS_THRESHOLD}
+    WITH {_SQL_COSINE_PAIRS}
+    SELECT vec_a, vec_b, label_a, label_b, cosine FROM cpairs
     ORDER BY vec_a, vec_b
     """,
     doc="Embedding near-dup over the FULL table: SRP-LSH buckets (operators/"
@@ -645,33 +753,53 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "embedding"),
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cached: quantize + norm + SRP hash run once per vector, not once per
-    # side of the bucket self-join
-    e = scoped_cache(
-        spread(load_table(spark, sf_dir, "embeddings"))
-        .select("vec_id", "label", "embedding")
-        .withColumn("qv", F.expr(SPARK_QVEC.format(a="embedding")))
-        .withColumn("nrm", F.expr(SPARK_QNORM.format(qa="qv")))
-        .withColumn("bucket", F.expr(spark_srp_bucket("embedding")))
-        .drop("embedding")
+    return _cosine_pairs(spark, sf_dir).drop("qdot").orderBy("vec_a", "vec_b")
+
+
+@register(
+    "q_dedup_embedding_cosine_grouped",
+    oracle=f"""
+    WITH {_SQL_COSINE_PAIRS},
+    sym AS (
+      SELECT vec_a AS vec_id, vec_b AS partner, qdot FROM cpairs
+      UNION ALL
+      SELECT vec_b AS vec_id, vec_a AS partner, qdot FROM cpairs
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.expr(spark_cosine_prequantized("a.qv", "b.qv", "a.nrm", "b.nrm"))
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(bit_xor(partner) AS BIGINT) AS partner_xor,
+           CAST(SUM(partner) AS BIGINT) AS partner_sum,
+           CAST(SUM(qdot) AS BIGINT) AS qdot_sum
+    FROM sym GROUP BY vec_id ORDER BY vec_id
+    """,
+    doc="Embedding near-dup, BOUNDED output: the q_dedup_embedding_cosine "
+    "pair set folded to one row per involved vector — partner count, "
+    "order-independent bit_xor and sum checksums of partner ids, and the "
+    "exact int64 dot-product total (summing the cosine doubles would be "
+    "order-dependent across partitionings and engines; integer dot sums "
+    "commute exactly). Output stays ≤ n_vectors rows at every scale, so "
+    "the standard full-row hash gate covers this family on the sf1 soak "
+    "fixture where raw pair rows blow the driver's maxResultSize.",
+    tags=("dedup", "embedding", "grouped"),
+)
+def q_dedup_embedding_cosine_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _cosine_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("partner"), "qdot"
+    ).unionAll(
+        pairs.select(
+            F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("partner"), "qdot"
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        sym.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.expr("bit_xor(partner)").cast("bigint").alias("partner_xor"),
+            F.sum("partner").cast("bigint").alias("partner_sum"),
+            F.sum("qdot").cast("bigint").alias("qdot_sum"),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label_a"),
-            F.col("b.label").alias("label_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= COS_THRESHOLD)
-        .orderBy("vec_a", "vec_b")
+        .orderBy("vec_id")
     )
 
 

@@ -214,3 +214,55 @@ def test_newly_oracled_sketch_queries_lead_r06_window():
     assert "q_approx_sketches" in window
     assert "q_hll_rollup_merge" in window
     assert "q_ann_pq_topk" in window
+
+
+# ---------------------------------------------------------------------------
+# Bounded-output twins for the pair-explosive dedups: the grouped summaries
+# must be exactly derivable from the pair outputs (count / xor / sum /
+# metric-total per involved endpoint).
+
+
+def _fold_pairs(pairs, a_field, b_field, metric):
+    import collections
+
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for r in pairs:
+        a, b, m = getattr(r, a_field), getattr(r, b_field), getattr(r, metric)
+        for me, other in ((a, b), (b, a)):
+            acc = agg[me]
+            acc[0] += 1
+            acc[1] ^= other
+            acc[2] += other
+            acc[3] += m
+    return agg
+
+
+def test_simhash_grouped_matches_pair_output(spark):
+    from poc_juma_etl_spark import all_queries
+
+    specs = all_queries()
+    pairs = specs["q_dedup_simhash"].fn(spark, SF_ORACLE).collect()
+    want = _fold_pairs(pairs, "doc_a", "doc_b", "hamming")
+    got = {
+        r.doc_id: (r.n_dups, r.partner_xor, r.partner_sum, r.hamming_sum)
+        for r in specs["q_dedup_simhash_grouped"].fn(spark, SF_ORACLE).collect()
+    }
+    assert set(got) == set(want)
+    for k, acc in want.items():
+        assert got[k] == tuple(acc), k
+
+
+def test_cosine_grouped_matches_pair_output(spark):
+    from poc_juma_etl_spark import all_queries
+    from poc_juma_etl_spark.operators.dedup import _cosine_pairs
+
+    specs = all_queries()
+    pairs = _cosine_pairs(spark, SF_ORACLE).collect()
+    want = _fold_pairs(pairs, "vec_a", "vec_b", "qdot")
+    got = {
+        r.vec_id: (r.n_dups, r.partner_xor, r.partner_sum, r.qdot_sum)
+        for r in specs["q_dedup_embedding_cosine_grouped"].fn(spark, SF_ORACLE).collect()
+    }
+    assert set(got) == set(want)
+    for k, acc in want.items():
+        assert got[k] == tuple(acc), k
