@@ -159,6 +159,7 @@ class HttpTransport:
         filter_start: str | None = None,
         filter_end: str | None = None,
         session=None,
+        partial_ok: bool = False,
     ):
         if session is None:  # pragma: no cover - requires network
             import requests
@@ -170,6 +171,14 @@ class HttpTransport:
         self.filter_start = filter_start
         self.filter_end = filter_end
         self._http = session
+        # Mid-pagination failure contract: the reference BREAKS and returns
+        # the records accumulated so far when a page request fails partway
+        # through (reference utils.py:228-233) — silently partial data. The
+        # default here is the opposite, deliberate divergence: raise, naming
+        # the failed page, so a transient API error can never masquerade as
+        # a short table. ``partial_ok=True`` restores bug-for-bug reference
+        # parity for consumers that depended on the salvage behavior.
+        self.partial_ok = partial_ok
 
     def _payload(self, page: int) -> dict:
         payload: dict = {"pagina": page, "tamanho_pagina": self.page_size}
@@ -210,12 +219,25 @@ class HttpTransport:
         ``total_paginas`` cannot be trusted (or is absent). The Spark
         DataSource path prefers :meth:`n_pages` + one InputPartition per page
         (parallel fetch); this loop is the sequential fallback and the
-        protocol-compatibility surface for reference-shaped servers."""
+        protocol-compatibility surface for reference-shaped servers.
+
+        On a mid-pagination request failure: raises a RuntimeError naming
+        the failed page (default), or — with ``partial_ok=True`` — returns
+        the pages accumulated so far, matching the reference's salvage
+        behavior (utils.py:228-233). See ``__init__`` for the rationale."""
         import pyarrow as pa
 
         page, chunks = 0, []
         while True:
-            data = self._post(page)
+            try:
+                data = self._post(page)
+            except Exception as exc:
+                if self.partial_ok:
+                    break
+                raise RuntimeError(
+                    f"paginated fetch failed at page {page} "
+                    f"({len(chunks)} pages accumulated, discarded): {exc}"
+                ) from exc
             recs = data.get("registros", data.get("data", []))
             if not recs:
                 break

@@ -266,3 +266,93 @@ def test_cosine_grouped_matches_pair_output(spark):
     assert set(got) == set(want)
     for k, acc in want.items():
         assert got[k] == tuple(acc), k
+
+
+# ---------------------------------------------------------------------------
+# Mid-pagination failure contract (reference utils.py:228-233 returns the
+# partial accumulation; this engine raises by default, names the page, and
+# offers partial_ok=True for bug-for-bug parity).
+
+
+class _FlakySession:
+    """Duck-typed requests.Session: serves 2-row pages, fails at page k."""
+
+    def __init__(self, fail_at: int, n_pages: int = 4):
+        self.fail_at = fail_at
+        self.n_pages = n_pages
+        self.rows = [{"event_id": i, "v": float(i)} for i in range(2 * n_pages)]
+
+    def post(self, url, json=None, headers=None, timeout=None):
+        page, size = json["pagina"], json["tamanho_pagina"]
+        if page == self.fail_at:
+            raise ConnectionError(f"boom at page {page}")
+
+        class R:
+            def raise_for_status(self):
+                pass
+
+            def json(_self):
+                return {
+                    "registros": self.rows[page * size : (page + 1) * size],
+                    "total_paginas": self.n_pages,
+                }
+
+        return R()
+
+
+def test_fetch_all_raises_naming_failed_page():
+    from poc_juma_etl_spark.sources import rest_api
+
+    tr = rest_api.HttpTransport(
+        "https://api.example.test/x", page_size=2, session=_FlakySession(fail_at=2)
+    )
+    with pytest.raises(RuntimeError, match="page 2"):
+        tr.fetch_all()  # no rows land: the exception propagates before return
+
+
+def test_fetch_all_partial_ok_matches_reference_salvage():
+    from poc_juma_etl_spark.sources import rest_api
+
+    tr = rest_api.HttpTransport(
+        "https://api.example.test/x",
+        page_size=2,
+        session=_FlakySession(fail_at=2),
+        partial_ok=True,
+    )
+    got = tr.fetch_all()
+    assert got.num_rows == 4  # pages 0-1 salvaged, like the reference
+    assert [r["event_id"] for r in got.to_pylist()] == [0, 1, 2, 3]
+
+
+def test_fetch_all_partial_ok_empty_on_first_page_failure():
+    from poc_juma_etl_spark.sources import rest_api
+
+    tr = rest_api.HttpTransport(
+        "https://api.example.test/x",
+        page_size=2,
+        session=_FlakySession(fail_at=0),
+        partial_ok=True,
+    )
+    assert tr.fetch_all().num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# spread() must be a strict small-input optimization: identity (not even a
+# new plan node) on inputs that already have enough splits, so it can never
+# become a gratuitous full shuffle on a real cluster's already-split scans.
+
+
+def test_spread_is_identity_on_multi_split_input(spark):
+    from poc_juma_etl_spark.catalog import load_table, spread
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(10_000).repartition(target)
+    assert spread(wide) is wide  # no-op, no plan change at all
+    wider = spark.range(10_000).repartition(target * 2)
+    assert spread(wider) is wider
+    # and the single-file fixture scan (1-2 splits) does get spread
+    narrow = load_table(spark, SF_ORACLE, "documents")
+    if narrow.rdd.getNumPartitions() < target:
+        out = spread(narrow)
+        assert out is not narrow
+        assert out.rdd.getNumPartitions() == target
