@@ -1,0 +1,97 @@
+"""Full-registry sf1 soak runner.
+
+Runs every registered query against the replicated sf1 fixture
+(tools/make_soak_data.py -> /tmp/soak_sf1) in ONE Spark session + ONE
+DuckDB connection, printing each query's verdict as it completes (the
+``python -m poc_juma_etl_spark.oracle`` CLI prints only at the end, which
+makes a multi-hour sweep a silent wait). Failures don't stop the sweep.
+
+Usage:
+    SPARK_GRAFT_DRIVER_MEM=64g python tools/soak_sf1.py [sf_dir] [start:stop]
+    python tools/soak_sf1.py /tmp/soak_sf1 q_a,q_b     # explicit subset
+
+Full-row hashing is skipped (aggregate parity was established in round 5,
+BENCHNOTES batch 5b) for the pair-explosive dedup outputs, whose rows
+square under the 10x-replicated fixture past spark.driver.maxResultSize;
+their bounded grouped twins run the normal gate instead.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import traceback
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+# verified by exact aggregate parity instead (BENCHNOTES r5 batch 5b): the
+# replicated fixture squares their pair output past driver maxResultSize
+PAIR_EXPLOSIVE = {"q_dedup_simhash", "q_dedup_embedding_cosine"}
+
+
+def main() -> None:
+    from poc_juma_etl_spark import all_queries
+    from poc_juma_etl_spark.oracle import compare, duckdb_connect
+    from poc_juma_etl_spark.plans.queries import release_caches
+    from poc_juma_etl_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/soak_sf1"
+    specs = all_queries()
+    names = list(specs)
+    if len(sys.argv) > 2:
+        arg = sys.argv[2]
+        if ":" in arg:  # slice of the registry order
+            lo, hi = arg.split(":")
+            names = names[int(lo or 0) : int(hi) if hi else None]
+        else:
+            names = arg.split(",")
+            if bad := [n for n in names if n not in specs]:
+                sys.exit(f"unknown queries: {bad}")
+
+    spark = get_spark("soak-sf1")
+    con = duckdb_connect(sf_dir)
+    n_ok = n_fail = n_skip = 0
+    for i, name in enumerate(names):
+        if name in PAIR_EXPLOSIVE:
+            print(f"SKIP {name}: pair-explosive at sf1 (aggregate-parity-verified r5)",
+                  flush=True)
+            n_skip += 1
+            continue
+        spec = specs[name]
+        t0 = time.perf_counter()
+        try:
+            if spec.oracle is None:
+                n = spec.fn(spark, sf_dir).count()
+                r: dict = {"match": None, "rows_only": n}
+            else:
+                oracle_pdf = con.execute(spec.oracle).fetchdf()
+                r = compare(spec.fn(spark, sf_dir), oracle_pdf)
+        except Exception as exc:  # keep sweeping; record the failure
+            r = {"match": False, "error": f"{type(exc).__name__}: {exc}"}
+            traceback.print_exc()
+        release_caches()
+        dt = time.perf_counter() - t0
+        status = {True: "OK  ", False: "FAIL", None: "rows"}[r.get("match")]
+        if r.get("match") is False:
+            n_fail += 1
+        else:
+            n_ok += 1
+        print(
+            f"{status} [{i + 1}/{len(names)}] {name} ({dt:.1f}s): "
+            + json.dumps({k: v for k, v in r.items() if k != "first_diffs"},
+                         default=str),
+            flush=True,
+        )
+        if r.get("first_diffs"):
+            for x, y in r["first_diffs"][:3]:
+                print(f"      spark={x}\n      duck ={y}", flush=True)
+    print(f"DONE ok={n_ok} fail={n_fail} skip={n_skip}", flush=True)
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
