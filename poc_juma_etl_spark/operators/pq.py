@@ -448,9 +448,17 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .dedup import SPARK_QNORM, SPARK_QVEC, spark_cosine_prequantized
 
+    from ..plans.queries import scoped_cache
+
     d = 64 // M
     e = spread(load_table(spark, sf_dir, "embeddings"))
-    vecs = e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
+    # cached: the quantized corpus is read by every training iteration, the
+    # seed collect, the final encode, and the query side — the standard
+    # cache-the-training-set Lloyd shape (what MLlib KMeans does); without
+    # it each iteration re-scans parquet and re-quantizes
+    vecs = scoped_cache(
+        e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
+    )
     first = vecs.orderBy("vec_id").limit(K).collect()
     # cb[m][k] = m-th quantized subvector of the k-th seed
     cb: list[list[list[int]]] = [
