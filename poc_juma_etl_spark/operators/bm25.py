@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..plans.queries import register
+from ..plans.queries import dec_to_double, register
 from .text import tokens
 
 K1 = 1.2
@@ -53,11 +53,11 @@ TOP_N = 25
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
     scored AS (
       SELECT tf.doc_id,
-             CAST(SUM(CAST(
+             CAST(CAST(SUM(CAST(
                ln(1.0 + (((CAST(s.n_docs AS DOUBLE) - df.df) + 0.5) / (df.df + 0.5)))
                * ((tf.tf * ({K1} + 1.0))
                   / (tf.tf + ({K1} * ((1.0 - {B}) + ({B} * (dl.dl / s.avgdl))))))
-             AS DECIMAL(25,9))) AS DOUBLE) AS score
+             AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS score
       FROM tf
       JOIN df ON df.term = tf.term
       JOIN doclen dl ON dl.doc_id = tf.doc_id
@@ -102,7 +102,7 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(doclen), "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.sum((idf * tf_part).cast("decimal(25,9)")).cast("double").alias("score"))
+        .agg(dec_to_double(F.sum((idf * tf_part).cast("decimal(25,9)"))).alias("score"))
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(TOP_N)
 
@@ -123,17 +123,17 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     norms AS (
       SELECT doc_id,
-             sqrt(CAST(SUM(CAST(wt * wt AS DECIMAL(25,9))) AS DOUBLE)) AS dnorm
+             sqrt(CAST(CAST(SUM(CAST(wt * wt AS DECIMAL(25,9))) AS STRING) AS DOUBLE)) AS dnorm
       FROM w GROUP BY doc_id
     ),
     qw AS (
       SELECT df.term, ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0 AS qwt
       FROM df CROSS JOIN n WHERE df.term IN {QUERY_TERMS!r}
     ),
-    qnorm AS (SELECT sqrt(CAST(SUM(CAST(qwt * qwt AS DECIMAL(25,9))) AS DOUBLE)) AS qn FROM qw),
+    qnorm AS (SELECT sqrt(CAST(CAST(SUM(CAST(qwt * qwt AS DECIMAL(25,9))) AS STRING) AS DOUBLE)) AS qn FROM qw),
     scored AS (
       SELECT w.doc_id,
-             CAST(SUM(CAST(w.wt * qw.qwt AS DECIMAL(25,9))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(w.wt * qw.qwt AS DECIMAL(25,9))) AS STRING) AS DOUBLE)
                / (norms.dnorm * qnorm.qn) AS score
       FROM w JOIN qw ON qw.term = w.term
       JOIN norms ON norms.doc_id = w.doc_id
@@ -172,7 +172,7 @@ def q_text_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", (F.col("tf") * idf).alias("wt"))
     )
     norms = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum((F.col("wt") * F.col("wt")).cast("decimal(25,9)")).cast("double")).alias(
+        F.sqrt(dec_to_double(F.sum((F.col("wt") * F.col("wt")).cast("decimal(25,9)")))).alias(
             "dnorm"
         )
     )
@@ -182,7 +182,7 @@ def q_text_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", idf.alias("qwt"))
     )
     qnorm = qw.agg(
-        F.sqrt(F.sum((F.col("qwt") * F.col("qwt")).cast("decimal(25,9)")).cast("double")).alias(
+        F.sqrt(dec_to_double(F.sum((F.col("qwt") * F.col("qwt")).cast("decimal(25,9)")))).alias(
             "qn"
         )
     )
@@ -193,7 +193,7 @@ def q_text_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dnorm", "qn")
         .agg(
             (
-                F.sum((F.col("wt") * F.col("qwt")).cast("decimal(25,9)")).cast("double")
+                dec_to_double(F.sum((F.col("wt") * F.col("qwt")).cast("decimal(25,9)")))
                 / (F.col("dnorm") * F.col("qn"))
             ).alias("score")
         )

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
-from ..plans.queries import register
+from ..plans.queries import dec_to_double, register
 
 # Whitespace tokenizer — the BPE-ish fallback for token *counting* is a
 # regex over word pieces; for the synthetic corpus whitespace is exact.
@@ -290,9 +290,9 @@ def _spark_pii_text() -> Column:
     tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_corpus FROM freq)
     SELECT tok.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(CAST(freq.cnt AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS mean_corpus_freq,
-           -(CAST(SUM(CAST(ln(CAST(freq.cnt AS DOUBLE) / CAST(tot.n_corpus AS DOUBLE))
-                           AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)) AS mean_neg_logprob
+           CAST(CAST(SUM(CAST(freq.cnt AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / COUNT(*) AS mean_corpus_freq,
+           -(CAST(CAST(SUM(CAST(ln(CAST(freq.cnt AS DOUBLE) / CAST(tot.n_corpus AS DOUBLE))
+                           AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / COUNT(*)) AS mean_neg_logprob
     FROM tok JOIN freq ON freq.t = tok.t CROSS JOIN tot
     GROUP BY tok.doc_id
     ORDER BY tok.doc_id
@@ -320,12 +320,12 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             (
-                F.sum(F.col("cnt").cast("decimal(25,6)")).cast("double")
+                dec_to_double(F.sum(F.col("cnt").cast("decimal(25,6)")))
                 / F.count(F.lit(1))
             ).alias("mean_corpus_freq"),
             (
                 -(
-                    F.sum(lp.cast("decimal(25,6)")).cast("double")
+                    dec_to_double(F.sum(lp.cast("decimal(25,6)")))
                     / F.count(F.lit(1))
                 )
             ).alias("mean_neg_logprob"),
@@ -851,10 +851,10 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(cnt_u) AS BIGINT) AS n_corpus FROM uni)
     SELECT bg.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           -(CAST(SUM(CAST(ln(
+           -(CAST(CAST(SUM(CAST(ln(
                  0.75 * (CAST(bgc.cnt_b AS DOUBLE) / CAST(ctx.cnt_ctx AS DOUBLE))
                + 0.25 * (CAST(uni.cnt_u AS DOUBLE) / CAST(tot.n_corpus AS DOUBLE))
-             ) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)) AS mean_neg_logprob
+             ) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / COUNT(*)) AS mean_neg_logprob
     FROM bg
     JOIN bgc ON bgc.w1 = bg.w1 AND bgc.w2 = bg.w2
     JOIN ctx ON ctx.w1 = bg.w1
@@ -951,8 +951,8 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(COUNT(*) AS BIGINT) AS n_unique
             FROM cnts GROUP BY doc_id)
     SELECT c.doc_id, MIN(t.n) AS n_tokens, MIN(t.n_unique) AS n_unique,
-           CAST(-SUM(CAST((CAST(cnt AS DOUBLE) / t.n) * ln(CAST(cnt AS DOUBLE) / t.n)
-                          AS DECIMAL(25,6))) AS DOUBLE) AS token_entropy
+           CAST(CAST(-SUM(CAST((CAST(cnt AS DOUBLE) / t.n) * ln(CAST(cnt AS DOUBLE) / t.n)
+                          AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS token_entropy
     FROM cnts c JOIN tot t ON t.doc_id = c.doc_id
     GROUP BY c.doc_id
     ORDER BY c.doc_id

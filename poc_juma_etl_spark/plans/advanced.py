@@ -151,7 +151,7 @@ def q_range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -256,7 +256,7 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
     FROM customer c
     WHERE c.c_acctbal > (
-      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(c2.c_acctbal)
+      SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / COUNT(c2.c_acctbal)
       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
     )
     ORDER BY c.c_custkey
@@ -273,7 +273,7 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
         FROM customer c
         WHERE c.c_acctbal > (
-          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(c2.c_acctbal)
+          SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / COUNT(c2.c_acctbal)
           FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
         )
         ORDER BY c.c_custkey

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .queries import dsum, register
+from .queries import dec_to_double, dsum, register
 
 FUNNEL_STEPS = ("view", "click", "purchase")
 
@@ -148,7 +148,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH stats AS (
       SELECT user_id,
              CAST(COUNT(*) AS BIGINT) AS freq,
-             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS money,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS money,
              MAX(CAST(ts AS DATE)) AS last_day
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ),
@@ -183,7 +183,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN money <= m50 THEN '2'
                 WHEN money <= m75 THEN '3' ELSE '4' END AS segment,
            CAST(COUNT(*) AS BIGINT) AS n_users,
-           CAST(SUM(CAST(money AS DECIMAL(25,6))) AS DOUBLE) AS total_money
+           CAST(CAST(SUM(CAST(money AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_money
     FROM rfm CROSS JOIN cuts
     GROUP BY 1
     ORDER BY segment
@@ -267,7 +267,7 @@ def rfm_segments(ev: DataFrame, exact: bool = False) -> DataFrame:
         .groupBy(seg.alias("segment"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_users"),
-            F.sum(F.col("money").cast("decimal(25,6)")).cast("double").alias("total_money"),
+            dec_to_double(F.sum(F.col("money").cast("decimal(25,6)"))).alias("total_money"),
         )
         .orderBy("segment")
     )
@@ -404,7 +404,7 @@ ATTR_WINDOW_S = 7 * 86400  # attribution lookback
     )
     SELECT touch, CAST(attr_day AS BIGINT) AS attr_day,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS attributed_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS attributed_value
     FROM attr
     GROUP BY touch, attr_day
     ORDER BY touch, attr_day

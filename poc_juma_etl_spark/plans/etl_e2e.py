@@ -26,10 +26,10 @@ from .queries import dsum, register
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS day,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(
+           CAST(CAST(SUM(CAST(
              CASE WHEN strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-14'
                   THEN value * 2 ELSE value END
-             AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+             AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value
     FROM events
     GROUP BY strftime(ts, '%Y-%m-%d')
     ORDER BY day
@@ -107,7 +107,7 @@ def etl_merge_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(ts, '%Y-%m-%d') AS event_date,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2, 3
     ORDER BY event_hour, event_type
@@ -150,7 +150,7 @@ def etl_gold_materialize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY strftime(o_orderdate, '%Y-%m')
     ORDER BY order_month
@@ -215,7 +215,7 @@ def etl_incremental_agg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS day,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value
     FROM events
     GROUP BY strftime(ts, '%Y-%m-%d')
     ORDER BY day
@@ -263,7 +263,7 @@ def etl_compact_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(ts, '%Y-%m-%d') AS day,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value
     FROM events
     WHERE user_id % 37 <> 0
     GROUP BY strftime(ts, '%Y-%m-%d')

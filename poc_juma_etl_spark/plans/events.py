@@ -21,7 +21,7 @@ from .queries import dsum, register, ts_str
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     ORDER BY window_start, event_type
@@ -213,7 +213,7 @@ def q_json_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value
     FROM events
     GROUP BY strftime(ts, '%Y-%m-%d'), event_type
     ORDER BY day, event_type
@@ -506,7 +506,7 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(CASE WHEN value < 0 THEN 1 END) AS BIGINT) AS n_negative,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value,
            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
     FROM events
     """,

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .queries import register
+from .queries import dec_to_double, register
 
 GAP_MIN_VALUE = 190  # sparsity filter: keeps ~20-25 of 30 days per series
 
@@ -25,7 +25,7 @@ GAP_MIN_VALUE = 190  # sparsity filter: keeps ~20-25 of 30 days per series
     oracle=f"""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS v
+             CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS v
       FROM events WHERE value > {GAP_MIN_VALUE} GROUP BY 1, 2
     ),
     bounds AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
@@ -73,7 +73,7 @@ def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("value") > GAP_MIN_VALUE)
     daily = (
         e.groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("v"))
+        .agg(dec_to_double(F.sum(F.col("value").cast("decimal(25,6)"))).alias("v"))
     )
     bounds = daily.groupBy("event_type").agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .queries import dsum, register
+from .queries import dec_to_double, dsum, register
 
 
 @register(
@@ -102,11 +102,11 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_zero_discount,
-           CAST(SUM(CAST(coalesce(nullif(l_discount, 0.0), 0.05) AS DECIMAL(25,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(coalesce(nullif(l_discount, 0.0), 0.05) AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
              AS sum_effective_discount,
-           CAST(SUM(CAST(least(l_quantity, 25.0) AS DECIMAL(25,6))) AS DOUBLE) AS sum_capped_qty,
-           CAST(SUM(CAST(greatest(l_extendedprice * (1 - l_discount), 1000.0)
-                         AS DECIMAL(25,6))) AS DOUBLE) AS sum_floored_revenue,
+           CAST(CAST(SUM(CAST(least(l_quantity, 25.0) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_capped_qty,
+           CAST(CAST(SUM(CAST(greatest(l_extendedprice * (1 - l_discount), 1000.0)
+                         AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_floored_revenue,
            CAST(SUM(CASE WHEN l_quantity > 30 THEN 2 WHEN l_quantity > 10 THEN 1 ELSE 0 END)
                 AS BIGINT) AS volume_score,
            CAST(SUM(CASE WHEN l_tax > l_discount THEN 1 ELSE 0 END) AS BIGINT) AS n_tax_gt_disc
@@ -132,14 +132,17 @@ def q_null_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.nullif(F.col("l_discount"), F.lit(0.0)).isNull(), 1).otherwise(0)
             ).cast("bigint").alias("n_zero_discount"),
-            F.sum(eff_disc.cast("decimal(25,6)")).cast("double").alias("sum_effective_discount"),
-            F.sum(F.least(F.col("l_quantity"), F.lit(25.0)).cast("decimal(25,6)"))
-            .cast("double").alias("sum_capped_qty"),
-            F.sum(
-                F.greatest(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")), F.lit(1000.0)
-                ).cast("decimal(25,6)")
-            ).cast("double").alias("sum_floored_revenue"),
+            dec_to_double(F.sum(eff_disc.cast("decimal(25,6)"))).alias("sum_effective_discount"),
+            dec_to_double(
+                F.sum(F.least(F.col("l_quantity"), F.lit(25.0)).cast("decimal(25,6)"))
+            ).alias("sum_capped_qty"),
+            dec_to_double(
+                F.sum(
+                    F.greatest(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), F.lit(1000.0)
+                    ).cast("decimal(25,6)")
+                )
+            ).alias("sum_floored_revenue"),
             F.sum(
                 F.when(F.col("l_quantity") > 30, 2).when(F.col("l_quantity") > 10, 1).otherwise(0)
             ).cast("bigint").alias("volume_score"),
@@ -249,10 +252,10 @@ RANGE_CUST_MOD = 100  # keep the gate output bounded: ~1% of customers
     SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
            CAST(o_orderkey AS BIGINT) AS o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS order_day,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate
                RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS trailing_30d_spend,
+           ) AS STRING) AS DOUBLE) AS trailing_30d_spend,
            CAST(COUNT(*) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate
                RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
@@ -287,7 +290,8 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
             F.expr(
-                f"CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER ({frame}) AS DOUBLE)"
+                f"CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER ({frame})"
+                f" * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0"
             ).alias("trailing_30d_spend"),
             F.expr(f"CAST(COUNT(*) OVER ({frame}) AS BIGINT)").alias("trailing_30d_orders"),
         )
@@ -313,7 +317,7 @@ HIST_BUCKETS = 16
     SELECT bucket,
            CAST(MIN(lo + bucket * ((hi - lo) / {HIST_BUCKETS})) AS DOUBLE) AS bucket_lo,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_price
     FROM bucketed
     GROUP BY bucket
     ORDER BY bucket
@@ -342,7 +346,7 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min(F.col("lo") + F.col("bucket") * width).cast("double").alias("bucket_lo"),
             F.count(F.lit(1)).cast("bigint").alias("n_parts"),
-            F.sum(F.col("p_retailprice").cast("decimal(25,6)")).cast("double").alias("sum_price"),
+            dec_to_double(F.sum(F.col("p_retailprice").cast("decimal(25,6)"))).alias("sum_price"),
         )
         .orderBy("bucket")
     )
@@ -357,9 +361,9 @@ Z_THRESH = 2.5
     WITH s AS (
       SELECT o_orderpriority,
              CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_p,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(19,6)) * CAST(o_totalprice AS DECIMAL(13,6)))
-                  AS DOUBLE) AS sum_sq
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_p,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,6)) * CAST(o_totalprice AS DECIMAL(13,6)))
+                  AS STRING) AS DOUBLE) AS sum_sq
       FROM orders GROUP BY o_orderpriority
     ),
     m AS (
@@ -393,15 +397,15 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     s = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("sum_p"),
+        dec_to_double(F.sum(F.col("o_totalprice").cast("decimal(25,6)"))).alias("sum_p"),
         # square in exact decimal, never cast the squared double: a double
         # past 2^53 re-rounds differently in DuckDB (README exactness notes)
-        F.sum(
-            F.col("o_totalprice").cast("decimal(19,6)")
-            * F.col("o_totalprice").cast("decimal(13,6)")
-        )
-        .cast("double")
-        .alias("sum_sq"),
+        dec_to_double(
+            F.sum(
+                F.col("o_totalprice").cast("decimal(19,6)")
+                * F.col("o_totalprice").cast("decimal(13,6)")
+            )
+        ).alias("sum_sq"),
     )
     m = s.select(
         "o_orderpriority",
@@ -443,8 +447,8 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                CROSS JOIN tot
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
-           CAST(SUM(CAST(((n - expected) * (n - expected)) / expected
-                         AS DECIMAL(25,9))) AS DOUBLE) AS chi2
+           CAST(CAST(SUM(CAST(((n - expected) * (n - expected)) / expected
+                         AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS chi2
     FROM cells
     """,
     doc="Chi-square independence test (market segment × order status): "
@@ -479,9 +483,9 @@ def q_chi_square_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = F.col("n") - F.col("expected")
     return cells.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
-        F.sum(((diff * diff) / F.col("expected")).cast("decimal(25,9)"))
-        .cast("double")
-        .alias("chi2"),
+        dec_to_double(
+            F.sum(((diff * diff) / F.col("expected")).cast("decimal(25,9)"))
+        ).alias("chi2"),
     )
 
 
@@ -558,8 +562,8 @@ RECON_TOL = 0.01  # header-vs-detail reconciliation tolerance (1%)
     oracle=f"""
     WITH l AS (
       SELECT l_orderkey,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                           AS DECIMAL(25,6))) AS DOUBLE) AS line_total
+             CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS line_total
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT o.o_orderpriority,
@@ -572,8 +576,8 @@ RECON_TOL = 0.01  # header-vs-detail reconciliation tolerance (1%)
            CAST(COUNT(CASE WHEN abs(o.o_totalprice - l.line_total)
                                 <= CAST({RECON_TOL} AS DOUBLE) * o.o_totalprice THEN 1 END)
                 AS BIGINT) AS n_reconciled,
-           round(CAST(SUM(CAST(abs(o.o_totalprice - l.line_total) / o.o_totalprice
-                               AS DECIMAL(25,6))) AS DOUBLE)
+           round(CAST(CAST(SUM(CAST(abs(o.o_totalprice - l.line_total) / o.o_totalprice
+                               AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
                  / COUNT(l.l_orderkey), 6) AS mean_rel_diff
     FROM orders o LEFT JOIN l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
@@ -595,12 +599,12 @@ def q_dq_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     l = li.groupBy("l_orderkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
-            .cast("decimal(25,6)")
-        )
-        .cast("double")
-        .alias("line_total")
+        dec_to_double(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+                .cast("decimal(25,6)")
+            )
+        ).alias("line_total")
     )
     rel = F.abs(F.col("o_totalprice") - F.col("line_total")) / F.col("o_totalprice")
     return (
@@ -613,7 +617,7 @@ def q_dq_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_reconciled"),
             F.round(
-                F.sum(rel.cast("decimal(25,6)")).cast("double") / F.count("l_orderkey"), 6
+                dec_to_double(F.sum(rel.cast("decimal(25,6)"))) / F.count("l_orderkey"), 6
             ).alias("mean_rel_diff"),
         )
         .orderBy("o_orderpriority")
@@ -732,7 +736,7 @@ def q_trend_fit_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(MIN(k) AS BIGINT) AS min_key, CAST(MAX(k) AS BIGINT) AS max_key,
-           CAST(SUM(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(price AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_price
     FROM d WHERE change_type IS NOT NULL
     GROUP BY change_type
     ORDER BY change_type

@@ -41,7 +41,7 @@ _CUT_QS = ", ".join(str(i / N_BUCKETS) for i in range(1, N_BUCKETS))
            CAST(COUNT(*) AS BIGINT) AS n_items,
            MIN(o_totalprice) AS lo_price,
            MAX(o_totalprice) AS hi_price,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price
     FROM b GROUP BY bucket ORDER BY bucket
     """,
     doc=f"Equi-depth histogram: {N_BUCKETS - 1} exact interpolated decile "
@@ -125,7 +125,7 @@ _ORDERS_ROLLUP_ORACLE = """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price,
            strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """
@@ -176,7 +176,7 @@ def etl_csv_roundtrip_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_balance,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_balance,
            MIN(c_name) AS first_name
     FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
@@ -353,8 +353,8 @@ def q_bloom_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(low) AS BIGINT) AS n_capped_low,
            CAST(SUM(high) AS BIGINT) AS n_capped_high,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_raw,
-           CAST(SUM(CAST(capped AS DECIMAL(25,6))) AS DOUBLE) AS total_winsorized
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_raw,
+           CAST(CAST(SUM(CAST(capped AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_winsorized
     FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     doc="Winsorization (outlier capping at p05/p95): the two exact "
@@ -458,7 +458,7 @@ def q_order_fulfilment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS revenue
       FROM orders GROUP BY 1
     )
     SELECT cur.month, cur.revenue,

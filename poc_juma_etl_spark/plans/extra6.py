@@ -157,7 +157,7 @@ def q_scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lkp.priority AS priority_at_ship,
            CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-           CAST(SUM(CAST(f.revenue AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(f.revenue AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS revenue
     FROM fact f JOIN lkp ON lkp.custkey = f.custkey AND lkp.l_shipdate = f.l_shipdate
     GROUP BY lkp.priority ORDER BY priority_at_ship
     """,

@@ -68,7 +68,7 @@ VIEW_SQL: dict[str, str] = {
         CREATE OR REPLACE TEMP VIEW vw_event_hourly AS
         SELECT date_trunc('hour', ts) AS event_hour, to_date(ts) AS event_date,
                event_type, count(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY date_trunc('hour', ts), to_date(ts), event_type
         """,

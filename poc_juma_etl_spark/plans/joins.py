@@ -17,14 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .queries import dsum, register, ts_str
+from .queries import dec_to_double, dsum, register, ts_str
 
 
 @register(
     "q3_top_unshipped_revenue",
     oracle="""
     SELECT o.o_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -66,7 +66,7 @@ def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_nation_revenue",
     oracle="""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -112,7 +112,7 @@ def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_broadcast_brand_volume",
     oracle="""
     SELECT p.p_brand,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty,
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_qty,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -183,7 +183,7 @@ def q_anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     SELECT c.c_custkey,
            COUNT(o.o_orderkey) AS n_orders,
-           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))), 0) AS DOUBLE) AS total_spent
+           CAST(CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))), 0) AS STRING) AS DOUBLE) AS total_spent
     FROM customer c
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey
@@ -201,11 +201,12 @@ def q_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(
-                F.sum(F.col("o_totalprice").cast("decimal(25,6)")), F.lit(0).cast("decimal(25,6)")
-            )
-            .cast("double")
-            .alias("total_spent"),
+            dec_to_double(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(25,6)")),
+                    F.lit(0).cast("decimal(25,6)"),
+                )
+            ).alias("total_spent"),
         )
         .orderBy("c_custkey")
     )
@@ -219,7 +220,7 @@ N_SALTS = 8  # fan-out factor for the salted-join skew mitigation
     oracle="""
     SELECT n.n_name,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value
     FROM events e
     JOIN nation n ON n.n_nationkey = e.user_id % 25
     GROUP BY n.n_name
@@ -362,7 +363,7 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COALESCE(c.c_mktsegment, 'ANONYMOUS') AS segment,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(ev.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(ev.value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value
     FROM ev LEFT JOIN customer c ON c.c_custkey = ev.cust_ref
     GROUP BY 1 ORDER BY segment
     """,

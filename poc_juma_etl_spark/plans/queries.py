@@ -94,21 +94,46 @@ def release_caches() -> None:
             pass  # session already stopped / block already evicted
 
 
+def dec_to_double(s: Column) -> Column:
+    """Exact-decimal → double through the decimal STRING: both engines
+    parse the exact decimal text with a correctly-rounded strtod (Java
+    Double.parseDouble / DuckDB fast_float), so they land on the identical
+    nearest double at ANY magnitude. A direct decimal→double cast diverges
+    once the unscaled value crosses 2^53 (|sum| > ~9.0e9 at scale 6):
+    Spark (BigDecimal.doubleValue) rounds the true rational correctly
+    while DuckDB divides unscaled/10^scale as two doubles — double-
+    rounding that differs in the last ulp (caught by the r6 sf1 soak on
+    TPC-H q1's sum_charge; certain at 100 TB money sums). An unscale-to-
+    BIGINT hop would overflow int64 past |sum| ~9.2e12; the string hop has
+    no magnitude limit and costs one tiny format/parse per GROUP, not per
+    row. Verified by experiment across 2^53-straddling and 10^16-scale
+    values (tests/test_round6_ops.py)."""
+    return s.cast("string").cast("double")
+
+
 def dsum(col: Column | str, alias: str) -> Column:
     """Order-independent double SUM: cast per-row value to DECIMAL(25,6),
-    sum exactly, cast the total back to double."""
+    sum exactly, convert the total via the shared unscale path."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(25,6)")).cast("double").alias(alias)
+    return dec_to_double(F.sum(c.cast("decimal(25,6)"))).alias(alias)
 
 
 def davg(col: Column | str, alias: str) -> Column:
-    """Order-independent double AVG = decimal-sum cast to double / count."""
+    """Order-independent double AVG = exact decimal sum (unscale-converted
+    to double) / count."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(c.cast("decimal(25,6)")).cast("double") / F.count(c)).alias(alias)
+    return (dec_to_double(F.sum(c.cast("decimal(25,6)"))) / F.count(c)).alias(alias)
 
 
-SQL_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) AS {alias}"
-SQL_DAVG = "CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr}) AS {alias}"
+# STRING (not VARCHAR) — the alias both engines' parsers accept
+SQL_DEC2DBL = "CAST(CAST({s} AS STRING) AS DOUBLE)"
+SQL_DSUM = (
+    SQL_DEC2DBL.format(s="SUM(CAST({expr} AS DECIMAL(25,6)))") + " AS {alias}"
+)
+SQL_DAVG = (
+    SQL_DEC2DBL.format(s="SUM(CAST({expr} AS DECIMAL(25,6)))")
+    + " / COUNT({expr}) AS {alias}"
+)
 
 
 def ts_str(col: Column | str, alias: str, frac: bool = False) -> Column:
@@ -141,13 +166,13 @@ SQL_TS_STR_FRAC = "strftime({expr}, '%Y-%m-%d %H:%M:%S.%f') AS {alias}"
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-      CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      CAST(CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -72,7 +72,7 @@ def q_except_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            COUNT(DISTINCT c_nationkey) AS n_nations,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_balance
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_balance
     FROM customer
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
@@ -99,7 +99,7 @@ def q_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -123,7 +123,7 @@ def q_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cube_order_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -174,7 +174,7 @@ def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_grouping_sets",
     oracle="""
     SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS bal
     FROM customer
     GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
     ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
@@ -190,7 +190,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS bal
         FROM customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST

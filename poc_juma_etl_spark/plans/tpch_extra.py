@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .queries import dsum, register, ts_str
+from .queries import dec_to_double, dsum, register, ts_str
 
 
 @register(
@@ -96,7 +96,7 @@ def q12_return_rate_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p.p_name LIKE 'red%'
                        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS DECIMAL(25,6)))
              AS DOUBLE)
-           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
              AS red_revenue_pct,
            COUNT(*) AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -124,8 +124,8 @@ def q14_red_parts_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(red_net.cast("decimal(25,6)")).cast("double")
-                / F.sum(net.cast("decimal(25,6)")).cast("double")
+                * dec_to_double(F.sum(red_net.cast("decimal(25,6)")))
+                / dec_to_double(F.sum(net.cast("decimal(25,6)")))
             ).alias("red_revenue_pct"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -136,7 +136,7 @@ def q14_red_parts_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicates",
     oracle="""
-    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
              AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -175,7 +175,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_top_returning_customers",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
              AS lost_revenue,
            n.n_name
     FROM customer c
@@ -213,12 +213,12 @@ def q10_top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey, o.o_custkey,
            strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o.o_totalprice,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_qty
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderkey IN (
       SELECT l_orderkey FROM lineitem
       GROUP BY l_orderkey
-      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 150
+      HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) > 150
     )
     GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice
     ORDER BY o.o_totalprice DESC, o.o_orderkey
@@ -260,7 +260,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value,
            COUNT(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY event_type
@@ -406,7 +406,7 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderstatus,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_balance
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_balance
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY o.o_orderstatus
     ORDER BY o.o_orderstatus
@@ -442,8 +442,7 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderstatus")
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                F.sum(F.col("c_acctbal").cast("decimal(25,6)"))
-                .cast("double")
+                dec_to_double(F.sum(F.col("c_acctbal").cast("decimal(25,6)")))
                 .alias("total_balance"),
             )
             .orderBy("o_orderstatus")
@@ -529,7 +528,7 @@ def q_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -556,7 +555,7 @@ def q_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
-            F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double").alias(
+            dec_to_double(F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))).alias(
                 "total_price"
             ),
         )

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .queries import davg, dsum, register
+from .queries import davg, dec_to_double, dsum, register
 
 _TS = "timestamp"
 
@@ -45,7 +45,7 @@ def _between(col: str, lo: str, hi: str):
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE)
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
              AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
@@ -78,7 +78,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n2.n_name AS supp_nation,
            n1.n_name AS cust_nation,
            strftime(l.l_shipdate, '%Y') AS l_year,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
              AS revenue
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey  = l.l_orderkey
@@ -133,11 +133,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT strftime(o.o_orderdate, '%Y') AS o_year,
-           CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_2'
+           CAST(CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_2'
                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
-                     AS DECIMAL(25,6))) AS DOUBLE)
-           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                     AS DECIMAL(25,6))) AS DOUBLE) AS mkt_share,
+                     AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS mkt_share,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN part p     ON p.p_partkey   = l.l_partkey
@@ -187,8 +187,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year"))
         .agg(
             (
-                F.sum(nation2_vol.cast("decimal(25,6)")).cast("double")
-                / F.sum(vol.cast("decimal(25,6)")).cast("double")
+                dec_to_double(F.sum(nation2_vol.cast("decimal(25,6)")))
+                / dec_to_double(F.sum(vol.cast("decimal(25,6)")))
             ).alias("mkt_share"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -201,9 +201,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            strftime(o.o_orderdate, '%Y') AS o_year,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
                          - 0.6 * p.p_retailprice * l.l_quantity
-                     AS DECIMAL(25,6))) AS DOUBLE) AS sum_profit
+                     AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey   = l.l_partkey
     JOIN supplier s ON s.s_suppkey   = l.l_suppkey
@@ -249,8 +249,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ps AS (
       SELECT l_partkey, l_suppkey,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
-             / CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS supply_cost
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS supply_cost
       FROM lineitem GROUP BY l_partkey, l_suppkey
     )
     SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
@@ -283,8 +283,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     ps = l.groupBy("l_partkey", "l_suppkey").agg(
         (
-            F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double")
-            / F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+            dec_to_double(F.sum(F.col("l_extendedprice").cast("decimal(25,6)")))
+            / dec_to_double(F.sum(F.col("l_quantity").cast("decimal(25,6)")))
         ).alias("supply_cost")
     )
     # correlated MIN decorrelated: min cost per part, re-joined on equality
@@ -311,11 +311,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n.n_name = 'NATION_3'
     )
     SELECT l_partkey,
-           CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) AS part_value
+           CAST(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS part_value
     FROM slice
     GROUP BY l_partkey
-    HAVING CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) >
-           0.002 * (SELECT CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) FROM slice)
+    HAVING CAST(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS STRING) AS DOUBLE) >
+           0.002 * (SELECT CAST(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS STRING) AS DOUBLE) FROM slice)
     ORDER BY part_value DESC, l_partkey
     """,
     doc="TPC-H Q11: important stock — parts whose traded value within one "
@@ -392,7 +392,7 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT l_suppkey,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -473,11 +473,11 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pavg AS (
       SELECT l_partkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
                / COUNT(l_quantity) AS avg_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / 7.0
              AS avg_yearly,
            COUNT(*) AS n_lines
     FROM lineitem l
@@ -506,7 +506,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy()
         .agg(
             (
-                F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double")
+                dec_to_double(F.sum(F.col("l_extendedprice").cast("decimal(25,6)")))
                 / 7.0
             ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -526,7 +526,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
       GROUP BY l.l_suppkey
-      HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 285.5
+      HAVING CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) > 285.5
     )
     ORDER BY s.s_name
     """,
@@ -629,10 +629,10 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(c.c_custkey % 7 AS VARCHAR) AS cntrycode,
            COUNT(*) AS numcust,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (
-        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(c_acctbal)
+        SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / COUNT(c_acctbal)
         FROM customer WHERE c_acctbal > 0
       )
       AND NOT EXISTS (

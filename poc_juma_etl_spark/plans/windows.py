@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .queries import register, ts_str
+from .queries import dec_to_double, register, ts_str
 
 
 @register(
@@ -22,10 +22,10 @@ from .queries import register, ts_str
     oracle="""
     SELECT p_brand, p_partkey, revenue, rk FROM (
       SELECT p.p_brand, p.p_partkey,
-             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+             CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS revenue,
              ROW_NUMBER() OVER (
                PARTITION BY p.p_brand
-               ORDER BY CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) DESC,
+               ORDER BY CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) DESC,
                         p.p_partkey
              ) AS rk
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -61,10 +61,10 @@ def q_window_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_spend
+           ) AS STRING) AS DOUBLE) AS running_spend
     FROM orders
     WHERE o_custkey <= 100
     ORDER BY o_custkey, o_orderdate, o_orderkey
@@ -84,7 +84,7 @@ def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn(
             "running_spend",
-            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double"),
+            dec_to_double(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w)),
         )
         .select(
             "o_custkey", "o_orderkey", ts_str("o_orderdate", "o_orderdate"), "running_spend"
@@ -122,7 +122,7 @@ def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_moving_avg",
     oracle="""
     SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) / COUNT(value) OVER w AS moving_avg
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS STRING) AS DOUBLE) / COUNT(value) OVER w AS moving_avg
     FROM events
     WHERE user_id <= 50
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
@@ -137,7 +137,7 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn(
             "moving_avg",
-            F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double")
+            dec_to_double(F.sum(F.col("value").cast("decimal(25,6)")).over(w))
             / F.count("value").over(w),
         )
         .select("user_id", "event_id", ts_str("ts", "ts", frac=True), "moving_avg")

@@ -196,7 +196,7 @@ if HAVE_WRITER_API:
     from pyspark.sql import functions as F
 
     from ..catalog import load_table
-    from ..plans.queries import register
+    from ..plans.queries import dec_to_double, register
 
     @register(
         "etl_python_sink_e2e",
@@ -204,7 +204,7 @@ if HAVE_WRITER_API:
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(user_id) AS BIGINT) AS user_id_sum,
-               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value
         FROM events GROUP BY event_type ORDER BY event_type
         """,
         doc="Custom Python DataSource SINK end to end: events write through "
@@ -242,8 +242,7 @@ if HAVE_WRITER_API:
                 .agg(
                     F.count(F.lit(1)).cast("bigint").alias("n_events"),
                     F.sum("user_id").cast("bigint").alias("user_id_sum"),
-                    F.sum(F.col("value").cast("decimal(25,6)"))
-                    .cast("double")
+                    dec_to_double(F.sum(F.col("value").cast("decimal(25,6)")))
                     .alias("total_value"),
                 )
                 .orderBy("event_type")

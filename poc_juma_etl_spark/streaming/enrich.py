@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import stream_table
-from ..plans.queries import register
+from ..plans.queries import dec_to_double, register
 from .events import _MEMSINK_LOCK, _SINK_SEQ
 
 
@@ -57,7 +57,7 @@ def stream_enriched_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = stream.join(F.broadcast(user_tier_dim(spark, sf_dir)), "user_id", "left")
     agg = enriched.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        dec_to_double(F.sum(F.col("value").cast("decimal(25,6)"))).alias("total_value"),
     )
     with _MEMSINK_LOCK:
         _SINK_SEQ[0] += 1
@@ -80,7 +80,7 @@ def stream_enriched_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN user_id % 3 = 0 THEN 'silver'
                 ELSE 'bronze' END AS tier,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1
     ORDER BY tier

@@ -62,7 +62,7 @@ def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     ORDER BY window_start, event_type
@@ -81,7 +81,7 @@ def q_stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_dedup",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -135,7 +135,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value
     FROM ev
     GROUP BY window_start, event_type
     ORDER BY window_start, event_type

@@ -356,3 +356,42 @@ def test_spread_is_identity_on_multi_split_input(spark):
         out = spread(narrow)
         assert out is not narrow
         assert out.rdd.getNumPartitions() == target
+
+
+# ---------------------------------------------------------------------------
+# dec_to_double string-hop: both engines must land on the identical,
+# correctly-rounded double at ANY magnitude — including unscaled values
+# past 2^53, where DuckDB's direct decimal->double cast double-rounds
+# (caught by the r6 sf1 soak on q1's sum_charge) and past ~9.2e12 where an
+# unscale-to-BIGINT hop would overflow int64.
+
+
+def test_dec_to_double_parity_across_magnitudes(spark):
+    from decimal import Decimal
+
+    import duckdb
+
+    from poc_juma_etl_spark.plans.queries import SQL_DEC2DBL, dec_to_double
+
+    vals = [
+        "27864155010.941590",      # the sf1 q1 sum_charge — direct cast diverges
+        "15234567890123456.789012",  # past the bigint-unscale overflow bound
+        "9007199254740993.000001",   # 2^53 + 1 straddle
+        "0.000001",
+        "-27864155010.941593",
+        "0.000000",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").selectExpr(
+        "CAST(s AS DECIMAL(38,6)) AS d", "s"
+    )
+    got = {
+        r.s: r.v
+        for r in df.select(dec_to_double(df.d).alias("v"), "s").collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        expr = SQL_DEC2DBL.format(s=f"CAST('{v}' AS DECIMAL(38,6))")
+        duck = con.execute(f"SELECT {expr}").fetchone()[0]
+        correct = float(Decimal(v))
+        assert got[v] == duck == correct, (v, got[v], duck, correct)
+    con.close()
