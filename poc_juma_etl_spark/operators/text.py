@@ -931,7 +931,7 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_in_doc").cast("bigint").alias("n_bigrams"),
             (
                 -(
-                    F.sum(F.col("logp") * F.col("n_in_doc")).cast("double")
+                    dec_to_double(F.sum(F.col("logp") * F.col("n_in_doc")))
                     / F.sum("n_in_doc")
                 )
             ).alias("mean_neg_logprob"),
@@ -985,7 +985,7 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("n").alias("n_tokens"),
             F.min("n_unique").alias("n_unique"),
-            (-F.sum(term)).cast("double").alias("token_entropy"),
+            dec_to_double(-F.sum(term)).alias("token_entropy"),
         )
         .orderBy("doc_id")
     )

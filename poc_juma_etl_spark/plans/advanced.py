@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
-from .queries import dsum, register
+from .queries import dec_to_double, dsum, register
 
 
 @register(
@@ -178,7 +178,7 @@ def q_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage1.groupBy("event_type")
         .agg(
             F.sum("pn").alias("n_events"),
-            F.sum("pv").cast("double").alias("total_value"),
+            dec_to_double(F.sum("pv")).alias("total_value"),
         )
         .orderBy("event_type")
     )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
-from .queries import dsum, register
+from .queries import dec_to_double, dsum, register
 
 
 @register(
@@ -200,7 +200,7 @@ def etl_incremental_agg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "order_month",
                 "n_orders",
-                F.col("sum_price").cast("double").alias("total_price"),
+                dec_to_double(F.col("sum_price")).alias("total_price"),
             )
             .orderBy("order_month")
         )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .queries import dsum, register, ts_str
+from .queries import dec_to_double, dsum, register, ts_str
 
 
 @register(
@@ -242,7 +242,7 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly.groupBy(F.date_format("hour", "yyyy-MM-dd").alias("day"), "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("value_partial").cast("double").alias("total_value"),
+            dec_to_double(F.sum("value_partial")).alias("total_value"),
         )
         .orderBy("day", "event_type")
     )
@@ -550,7 +550,12 @@ def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # empty source: AQE's empty-relation propagation eliminates the
         # whole subtree INCLUDING the CollectMetrics node, so the metrics
         # row never materializes (getOrEmpty returns a schema-less row that
-        # trips toPyRow). The exact empty-input answer is static.
+        # trips toPyRow). The exact empty-input answer is static — but ONLY
+        # for the empty case: if the same table just produced event types,
+        # obs.get failed for some other reason and fabricating zeros would
+        # be silently wrong output. Re-raise in that case.
+        if n_types:
+            raise
         m = {"n_rows": 0, "n_negative": 0, "tv": None, "n_vals": 0}
     return spark.createDataFrame(
         [

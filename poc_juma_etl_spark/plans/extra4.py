@@ -291,7 +291,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
             F.expr(
                 f"CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER ({frame})"
-                f" * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0"
+                f" AS STRING) AS DOUBLE)"
             ).alias("trailing_30d_spend"),
             F.expr(f"CAST(COUNT(*) OVER ({frame}) AS BIGINT)").alias("trailing_30d_orders"),
         )

@@ -93,9 +93,9 @@ def q12_return_rate_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_red_parts_revenue_share",
     oracle="""
-    SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p.p_name LIKE 'red%'
+    SELECT 100.0 * CAST(CAST(SUM(CAST(CASE WHEN p.p_name LIKE 'red%'
                        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS DECIMAL(25,6)))
-             AS DOUBLE)
+             AS STRING) AS DOUBLE)
            / CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
              AS red_revenue_pct,
            COUNT(*) AS n_lines
