@@ -14,11 +14,17 @@ Oracle-parity rules (see tests/test_oracle_parity.py):
   identical across engines.
 - Aggregation of doubles is order-dependent, and Spark's partial aggregates
   run in parallel — so every SUM first casts the per-row value to
-  DECIMAL(25,6) (exact, order-independent addition), then casts the total
-  back to DOUBLE. A double's binary expansion can never sit exactly on a
-  half-point of the 1e-6 grid, so round-to-nearest is unambiguous and both
-  engines produce the same decimal.
-- Averages are expressed as decimal-sum / count in DOUBLE division.
+  DECIMAL(25,6) (exact, order-independent addition). A double's binary
+  expansion can never sit exactly on a half-point of the 1e-6 grid, so
+  round-to-nearest is unambiguous and both engines hold the same decimal.
+- The exact decimal total converts to DOUBLE through its STRING form
+  (:func:`dec_to_double` / ``SQL_DEC2DBL``), never a direct cast: both
+  engines' string parsers are correctly rounded at any magnitude, while
+  DuckDB's direct decimal→double cast double-rounds once the unscaled
+  value crosses 2^53 (|sum| > ~9.0e9 at scale 6 — guaranteed at scale;
+  caught by the r6 sf1 soak on q1's sum_charge).
+- Averages are expressed as decimal-sum (string-hopped) / count in DOUBLE
+  division.
 - Every computed column is aliased identically in the DataFrame plan and the
   oracle SQL (the driver sorts columns by name before hashing).
 """
