@@ -70,6 +70,79 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_levenshtein_grouped",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       AND abs(length(a.p_name) - length(b.p_name)) <= {LEV_MAX}
+      WHERE levenshtein(a.p_name, b.p_name) <= {LEV_MAX}
+    ),
+    sym AS (
+      SELECT part_a AS p_partkey, part_b AS partner, edit_dist FROM pairs
+      UNION ALL
+      SELECT part_b AS p_partkey, part_a AS partner, edit_dist FROM pairs
+    )
+    SELECT p_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(bit_xor(partner) AS BIGINT) AS partner_xor,
+           CAST(SUM(partner) AS BIGINT) AS partner_sum,
+           CAST(SUM(edit_dist) AS BIGINT) AS dist_sum
+    FROM sym GROUP BY p_partkey ORDER BY p_partkey
+    """,
+    doc="Edit-distance near-dup, BOUNDED output: the q_dedup_levenshtein "
+    "pair set folded to one row per involved part — partner count, order-"
+    "independent bit_xor and sum checksums, edit-distance total — so the "
+    "full-row hash gate covers the family at every scale (the raw pair "
+    "form emits ~10^8 name-pair rows on the replicated sf1 fixture, past "
+    "any driver/oracle materialization budget; same recipe as the simhash "
+    "and cosine grouped twins).",
+    tags=("dedup", "levenshtein", "grouped"),
+)
+def q_dedup_levenshtein_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), LEV_MAX)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
+                <= LEV_MAX
+            ),
+        )
+        .filter(dist >= 0)
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )
+    sym = pairs.select(
+        F.col("part_a").alias("p_partkey"), F.col("part_b").alias("partner"), "edit_dist"
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("p_partkey"), F.col("part_a").alias("partner"), "edit_dist"
+        )
+    )
+    return (
+        sym.groupBy("p_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.expr("bit_xor(partner)").cast("bigint").alias("partner_xor"),
+            F.sum("partner").cast("bigint").alias("partner_sum"),
+            F.sum("edit_dist").cast("bigint").alias("dist_sum"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
     "q_lateral_top2_orders",
     oracle="""
     SELECT c.c_custkey, t.o_orderkey, t.o_totalprice

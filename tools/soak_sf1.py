@@ -28,9 +28,15 @@ REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-# verified by exact aggregate parity instead (BENCHNOTES r5 batch 5b): the
-# replicated fixture squares their pair output past driver maxResultSize
-PAIR_EXPLOSIVE = {"q_dedup_simhash", "q_dedup_embedding_cosine"}
+# verified by exact aggregate parity / their bounded grouped twins instead:
+# the replicated fixture squares their pair output past driver
+# maxResultSize (and past any sane fetchdf on the oracle side —
+# q_dedup_levenshtein emits ~10^8 name-pair rows at sf1)
+PAIR_EXPLOSIVE = {
+    "q_dedup_simhash",
+    "q_dedup_embedding_cosine",
+    "q_dedup_levenshtein",
+}
 
 
 def main() -> None:
