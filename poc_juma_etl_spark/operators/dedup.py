@@ -576,13 +576,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_simhash_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _simhash_pairs(spark, sf_dir)
+    # one pass over the pair join: in-row explode of both directions (a
+    # unionAll of two selects re-executes the block join per branch)
     sym = pairs.select(
-        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("partner"), "hamming"
-    ).unionAll(
-        pairs.select(
-            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("partner"), "hamming"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("partner"),
+                    F.col("hamming"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("doc_a").alias("partner"),
+                    F.col("hamming"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     return (
         sym.groupBy("doc_id")
         .agg(
@@ -784,13 +795,23 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embedding_cosine_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _cosine_pairs(spark, sf_dir)
+    # one pass over the bucket join: in-row explode of both directions
     sym = pairs.select(
-        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("partner"), "qdot"
-    ).unionAll(
-        pairs.select(
-            F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("partner"), "qdot"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("vec_id"),
+                    F.col("vec_b").alias("partner"),
+                    F.col("qdot"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias("vec_id"),
+                    F.col("vec_a").alias("partner"),
+                    F.col("qdot"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     return (
         sym.groupBy("vec_id")
         .agg(

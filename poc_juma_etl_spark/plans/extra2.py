@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, register_views
+from ..catalog import load_table, register_views, spread
 from .queries import register
 
 LEV_MAX = 4
@@ -43,7 +43,10 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise), so one evaluation serves both filter and output. The
     # length-band join predicate is evaluated before the DP and is sound
     # (distance is bounded below by the length difference).
-    p = load_table(spark, sf_dir, "part")
+    # spread(): the thresholded-DP probe is CPU-heavy per candidate pair; a
+    # small single-file scan yields 1-2 input splits and would run the whole
+    # quadratic block on two cores (observed at sf1 — no-op at real scale)
+    p = spread(load_table(spark, sf_dir, "part"))
     a = p.alias("a")
     b = p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), LEV_MAX)
@@ -102,7 +105,7 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "levenshtein", "grouped"),
 )
 def q_dedup_levenshtein_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load_table(spark, sf_dir, "part")
+    p = spread(load_table(spark, sf_dir, "part"))  # see q_dedup_levenshtein
     a = p.alias("a")
     b = p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), LEV_MAX)
@@ -123,13 +126,25 @@ def q_dedup_levenshtein_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("bigint").alias("edit_dist"),
         )
     )
+    # both directions emitted in ONE pass (in-row explode): a unionAll of
+    # two selects re-executes the quadratic pair join per branch (observed
+    # 2x at sf1 — two BroadcastHashJoins in the plan)
     sym = pairs.select(
-        F.col("part_a").alias("p_partkey"), F.col("part_b").alias("partner"), "edit_dist"
-    ).unionAll(
-        pairs.select(
-            F.col("part_b").alias("p_partkey"), F.col("part_a").alias("partner"), "edit_dist"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a").alias("p_partkey"),
+                    F.col("part_b").alias("partner"),
+                    F.col("edit_dist"),
+                ),
+                F.struct(
+                    F.col("part_b").alias("p_partkey"),
+                    F.col("part_a").alias("partner"),
+                    F.col("edit_dist"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     return (
         sym.groupBy("p_partkey")
         .agg(
