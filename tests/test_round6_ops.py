@@ -395,3 +395,18 @@ def test_dec_to_double_parity_across_magnitudes(spark):
         correct = float(Decimal(v))
         assert got[v] == duck == correct, (v, got[v], duck, correct)
     con.close()
+
+
+def test_levenshtein_grouped_matches_pair_output(spark):
+    from poc_juma_etl_spark import all_queries
+
+    specs = all_queries()
+    pairs = specs["q_dedup_levenshtein"].fn(spark, SF_ORACLE).collect()
+    want = _fold_pairs(pairs, "part_a", "part_b", "edit_dist")
+    got = {
+        r.p_partkey: (r.n_dups, r.partner_xor, r.partner_sum, r.dist_sum)
+        for r in specs["q_dedup_levenshtein_grouped"].fn(spark, SF_ORACLE).collect()
+    }
+    assert set(got) == set(want)
+    for k, acc in want.items():
+        assert got[k] == tuple(acc), k
