@@ -191,6 +191,7 @@ def all_queries():
         "poc_juma_etl_spark.plans.extra4",
         "poc_juma_etl_spark.plans.extra5",
         "poc_juma_etl_spark.plans.extra6",
+        "poc_juma_etl_spark.plans.extra7",
         "poc_juma_etl_spark.plans.behavior",
         "poc_juma_etl_spark.plans.tpch_extra",
         "poc_juma_etl_spark.plans.tpch_full",

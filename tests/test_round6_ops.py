@@ -410,3 +410,52 @@ def test_levenshtein_grouped_matches_pair_output(spark):
     assert set(got) == set(want)
     for k, acc in want.items():
         assert got[k] == tuple(acc), k
+
+
+# ---------------------------------------------------------------------------
+# round-6 extension operators (plans/extra7.py)
+
+
+def test_shard_assign_partitions_every_document(spark):
+    from poc_juma_etl_spark import all_queries
+    from poc_juma_etl_spark.catalog import load_table
+
+    out = all_queries()["q_shard_assign"].fn(spark, SF_ORACLE).collect()
+    n_docs = load_table(spark, SF_ORACLE, "documents").count()
+    assert sum(r.n_docs for r in out) == n_docs  # total partition, no loss
+    assert all(0 <= r.shard < 64 for r in out)
+    total = sum(r.shard_tokens for r in out)
+    for r in out:  # load_vs_mean is exactly tokens * N / total
+        assert r.load_vs_mean == r.shard_tokens * 64 / total
+
+
+def test_shard_assign_is_key_deterministic(spark):
+    # same doc_id -> same shard regardless of which table/row carries it:
+    # assignment must be a pure function of the key (reproducible exports)
+    from poc_juma_etl_spark.operators.text import md5_long
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = {r.doc_id: r.s for r in df.select("doc_id", (md5_long(F.col("doc_id").cast("string")) % 64).alias("s")).collect()}
+    b = {
+        r.doc_id: r.s
+        for r in df.repartition(7)
+        .select("doc_id", (md5_long(F.col("doc_id").cast("string")) % 64).alias("s"))
+        .collect()
+    }
+    assert a == b
+
+
+def test_ngram_novelty_bounds_and_first_doc(spark):
+    from poc_juma_etl_spark import all_queries
+
+    rows = all_queries()["q_text_ngram_novelty"].fn(spark, SF_ORACLE).collect()
+    assert rows, "novelty output empty"
+    by_id = {r.doc_id: r for r in rows}
+    first = by_id[min(by_id)]
+    # the earliest document's shingles cannot have appeared earlier
+    assert first.n_novel == first.n_shingles
+    assert first.novelty == 1.0
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert abs(r.novelty - r.n_novel / r.n_shingles) < 1e-15
