@@ -97,6 +97,8 @@ HEADLINE: list[str] = [
     "q_kmeans_lloyd_exact",
     # round-6 operator families
     "q_ann_pq_topk",
+    "q_shard_assign",
+    "q_text_ngram_novelty",
 ]
 
 
