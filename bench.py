@@ -99,6 +99,7 @@ HEADLINE: list[str] = [
     "q_ann_pq_topk",
     "q_shard_assign",
     "q_text_ngram_novelty",
+    "q_source_overlap",
 ]
 
 

@@ -165,3 +165,98 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_source_overlap",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+      FROM tok
+    ),
+    ds AS (
+      SELECT DISTINCT d.source, s.shingle
+      FROM sh s JOIN documents d USING (doc_id)
+    ),
+    per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ds GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b, s.n_shared,
+           pa.n AS n_a, pb.n AS n_b,
+           CAST(s.n_shared AS DOUBLE) / (pa.n + pb.n - s.n_shared) AS jaccard,
+           CAST(s.n_shared AS DOUBLE) / least(pa.n, pb.n) AS containment
+    FROM shared s
+    JOIN per pa ON pa.source = s.source_a
+    JOIN per pb ON pb.source = s.source_b
+    ORDER BY s.source_a, s.source_b
+    """,
+    doc="Cross-source overlap audit: shingle-level Jaccard and containment "
+    "between every pair of document sources — the data-governance matrix "
+    "that catches one crawl re-ingesting another (high containment, "
+    "asymmetric sizes) or template boilerplate shared corpus-wide before "
+    "any of it leaks into training mixes. Scale shape: source pairs are "
+    "generated per shingle from the (source, shingle) DISTINCT table via "
+    "an in-row sorted-combinations explode, so fan-out per shingle is "
+    "bounded by |sources|² — a catalog-sized constant — never by corpus "
+    "size; every shuffle hashes on the shingle or the ~|sources|² pair "
+    "key. No document pair join anywhere. Ratios are single int-to-double "
+    "divisions on exact counts (IEEE-identical across engines).",
+    tags=("dedup", "governance", "contamination"),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    ds = (
+        _shingles(d)
+        .join(F.broadcast(src), "doc_id")  # doc->source map: catalog-tiny
+        .select("source", "shingle")
+        .distinct()
+    )
+    per = ds.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # sorted in-row combinations: source_a < source_b by construction,
+    # fan-out per shingle bounded by |sources| choose 2
+    pairs = (
+        ds.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS source_a, y AS source_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.source_a", "p.source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+            (
+                F.col("n_shared").cast("double") / F.least("n_a", "n_b")
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )

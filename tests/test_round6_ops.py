@@ -459,3 +459,20 @@ def test_ngram_novelty_bounds_and_first_doc(spark):
     for r in rows:
         assert 0 <= r.n_novel <= r.n_shingles
         assert abs(r.novelty - r.n_novel / r.n_shingles) < 1e-15
+
+
+def test_source_overlap_symmetric_bounds(spark):
+    from poc_juma_etl_spark import all_queries
+    from poc_juma_etl_spark.catalog import load_table
+
+    rows = all_queries()["q_source_overlap"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    n_sources = (
+        load_table(spark, SF_ORACLE, "documents").select("source").distinct().count()
+    )
+    assert len(rows) <= n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r.source_a < r.source_b  # ordered pairs, no mirror rows
+        assert 0 < r.n_shared <= min(r.n_a, r.n_b)
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.jaccard <= r.containment <= 1.0
