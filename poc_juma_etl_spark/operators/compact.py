@@ -27,6 +27,8 @@ def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(conf)
     n, total = 0, 0
+    if not fs.exists(p):  # never-written table (S6 empty-guard upstream)
+        return 0, 0
     it = fs.listFiles(p, True)
     while it.hasNext():
         f = it.next()
@@ -43,6 +45,8 @@ def compact_table(
     """Rewrite ``path`` with ~target_bytes files; returns (files_before,
     files_after). Partitioned tables keep their partition layout."""
     before, total = table_file_stats(spark, path)
+    if before == 0:  # nothing on disk: compaction is a no-op, not a crash
+        return 0, 0
     df = spark.read.parquet(path)
     n_out = max(1, (total + target_bytes - 1) // target_bytes)
     partitioned = PARTITION_COL in df.columns

@@ -142,6 +142,9 @@ def kmeans_fit(
     leaves the cluster — only k centroids come back to the driver per
     iteration."""
     first = df.orderBy("vec_id").limit(k).select(vec_col).collect()
+    if not first:  # empty corpus: one zero centroid keeps every downstream
+        # literal/broadcast well-formed; no row ever evaluates against it
+        first = [([0.0],)]
     centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(first)]
     vecs = df.select("vec_id", F.col(vec_col).cast("array<double>").alias("v"))
     for _ in range(iters):
@@ -162,6 +165,23 @@ def kmeans_fit(
         # empty clusters keep their previous centroid
         centroids = [(cid, new.get(cid, c)) for cid, c in centroids]
     return centroids
+
+
+class _ZeroSeed:
+    """Stand-in quantized seed row for an empty corpus (see qv_seeds)."""
+
+    qv = [0] * 64
+
+
+def qv_seeds(vecs: DataFrame, n: int) -> list:
+    """The ``n`` lowest-vec_id quantized seed rows of ``vecs`` (columns
+    vec_id, qv), or ONE all-zero stand-in when the corpus is empty: the
+    centroid LITERALS built from these rows must be non-empty for the plan
+    to analyze (``array_min(array())`` is an AnalysisException), while with
+    zero corpus rows nothing ever evaluates against the stand-in — the
+    query returns its natural same-schema empty result."""
+    rows = vecs.orderBy("vec_id").limit(n).collect()
+    return rows if rows else [_ZeroSeed()]
 
 
 def seed_cell_struct_array(rows) -> str:
@@ -246,7 +266,7 @@ def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would serialize onto one core (no-op once the scan has real splits)
     e = spread(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
-    first = vecs.orderBy("vec_id").limit(K).collect()
+    first = qv_seeds(vecs, K)
     best = F.expr(f"array_min({seed_cell_struct_array(first)})")
     return (
         vecs.select(
@@ -313,7 +333,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = e.select(
         "vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv")
     ).withColumn("qnorm", F.expr(SPARK_QNORM.format(qa="qv")))
-    first = vecs.orderBy("vec_id").limit(K).collect()
+    first = qv_seeds(vecs, K)
     darr = seed_cell_struct_array(first)
     # routed corpus, reused by the query side and the candidate side
     assigned = scoped_cache(
@@ -461,9 +481,7 @@ def q_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import SPARK_QVEC
 
     vecs = e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
-    cents: list[list[int]] = [
-        [int(x) for x in r.qv] for r in vecs.orderBy("vec_id").limit(K).collect()
-    ]
+    cents: list[list[int]] = [[int(x) for x in r.qv] for r in qv_seeds(vecs, K)]
     for _ in range(LLOYD_ITERS):
         best = F.expr(f"array_min({_int_cell_struct_array(cents)})")
         assigned = vecs.withColumn("cell", best["cid"])
@@ -484,7 +502,7 @@ def q_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             by_cell.setdefault(r.cell, {})[r.pos0] = -m if s < 0 else m
         cents = [
             [by_cell[c][p] for p in range(len(cents[c]))] if c in by_cell else cents[c]
-            for c in range(K)
+            for c in range(len(cents))
         ]
     best = F.expr(f"array_min({_int_cell_struct_array(cents)})")
     return (

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
 from ..plans.queries import register
+from .kmeans import qv_seeds
 
 M = 4  # subspaces
 K = 16  # centroids per subspace (4-bit codes)
@@ -101,6 +102,9 @@ def pq_fit(
     iteration total; only M×K×(dim/m) centroid floats reach the driver."""
     d = dim // m
     first = df.orderBy("vec_id").limit(k).select(vec_col).collect()
+    if not first:  # empty corpus: one zero codeword per sub-quantizer keeps
+        # the centroid literals analyzable; nothing evaluates against them
+        first = [([0.0] * dim,)]
     centroids: Centroids = [
         [[float(x) for x in r[0][mi * d : (mi + 1) * d]] for r in first]
         for mi in range(m)
@@ -246,7 +250,7 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file scan would run the whole corpus on one core (no-op at scale)
     e = spread(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
-    first = vecs.orderBy("vec_id").limit(K).collect()
+    first = qv_seeds(vecs, K)
     # codebook[m][k] = m-th quantized subvector of the k-th seed
     cb = [[[int(x) for x in r.qv[mi * d : (mi + 1) * d]] for r in first] for mi in range(M)]
 
@@ -270,14 +274,14 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_min(array("
         + ",".join(
             f"named_struct('d', {sq_dist(sv(mi), cb[mi][k])}, 'cid', {k})"
-            for k in range(K)
+            for k in range(len(cb[mi]))
         )
         + ")).cid"
         for mi in range(M)
     ) + ")"
     coded = vecs.select(F.col("vec_id").alias("neighbor_id"), F.expr(codes).alias("codes"))
     luts = "array(" + ",".join(
-        "array(" + ",".join(sq_dist(sv(mi), cb[mi][k]) for k in range(K)) + ")"
+        "array(" + ",".join(sq_dist(sv(mi), cb[mi][k]) for k in range(len(cb[mi]))) + ")"
         for mi in range(M)
     ) + ")"
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
@@ -461,7 +465,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = scoped_cache(
         e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
     )
-    first = vecs.orderBy("vec_id").limit(K).collect()
+    first = qv_seeds(vecs, K)
     # cb[m][k] = m-th quantized subvector of the k-th seed
     cb: list[list[list[int]]] = [
         [[int(x) for x in r.qv[mi * d : (mi + 1) * d]] for r in first]
@@ -483,7 +487,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for mi in range(M):
             structs = ",".join(
                 f"named_struct('d', {_sq_dist_sql('sv', cents[mi][k])}, 'cid', {k})"
-                for k in range(K)
+                for k in range(len(cb[mi]))
             )
             per_m.append(f"array({structs})")
         return f"array_min(element_at(array({','.join(per_m)}), m + 1)).cid"
@@ -506,7 +510,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb = [
             [
                 [new[(mi, k)][p] for p in range(d)] if (mi, k) in new else cb[mi][k]
-                for k in range(K)
+                for k in range(len(cb[mi]))
             ]
             for mi in range(M)
         ]
@@ -518,7 +522,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_min(array("
         + ",".join(
             f"named_struct('d', {_sq_dist_sql(f'slice(qv, {mi * d + 1}, {d})', cb[mi][k])}, 'cid', {k})"
-            for k in range(K)
+            for k in range(len(cb[mi]))
         )
         + ")).cid"
         for mi in range(M)
@@ -533,7 +537,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array("
         + ",".join(
             _sq_dist_sql(f"slice(qv, {mi * d + 1}, {d})", cb[mi][k])
-            for k in range(K)
+            for k in range(len(cb[mi]))
         )
         + ")"
         for mi in range(M)
@@ -680,7 +684,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = 64 // M
     e = spread(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
-    first = vecs.orderBy("vec_id").limit(max(K, NCELLS)).collect()
+    first = qv_seeds(vecs, max(K, NCELLS))
     coarse = [[int(x) for x in r.qv] for r in first[:NCELLS]]
     cb = [[[int(x) for x in r.qv[mi * d : (mi + 1) * d]] for r in first[:K]] for mi in range(M)]
 
@@ -703,7 +707,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array("
         + ",".join(
             f"named_struct('d', {sq_dist('qv', coarse[cid])}, 'cid', {cid})"
-            for cid in range(NCELLS)
+            for cid in range(len(coarse))
         )
         + ")"
     )
@@ -712,7 +716,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_min(array("
         + ",".join(
             f"named_struct('d', {sq_dist(sv(mi), cb[mi][k])}, 'cid', {k})"
-            for k in range(K)
+            for k in range(len(cb[mi]))
         )
         + ")).cid"
         for mi in range(M)
@@ -723,7 +727,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(codes).alias("codes"),
     )
     luts = "array(" + ",".join(
-        "array(" + ",".join(sq_dist(sv(mi), cb[mi][k]) for k in range(K)) + ")"
+        "array(" + ",".join(sq_dist(sv(mi), cb[mi][k]) for k in range(len(cb[mi]))) + ")"
         for mi in range(M)
     ) + ")"
     probes = (
@@ -869,7 +873,7 @@ def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = 64 // M
     e = spread(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
-    first = vecs.orderBy("vec_id").limit(max(K, NCELLS)).collect()
+    first = qv_seeds(vecs, max(K, NCELLS))
     coarse = [[int(x) for x in r.qv] for r in first[:NCELLS]]
 
     def arr(vals: list[int]) -> str:
@@ -885,7 +889,7 @@ def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array("
         + ",".join(
             f"named_struct('d', {sq_dist_lit('qv', coarse[cid])}, 'cid', {cid})"
-            for cid in range(NCELLS)
+            for cid in range(len(coarse))
         )
         + ")"
     )
@@ -894,7 +898,7 @@ def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # K collected seed rows (codebook-sized, same as pq_fit's seeding)
     def own_cell(qv: list[int]) -> int:
         best = min(
-            range(NCELLS),
+            range(len(coarse)),
             key=lambda c: (sum((a - b) ** 2 for a, b in zip(qv, coarse[c])), c),
         )
         return best
@@ -920,7 +924,7 @@ def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_min(array("
         + ",".join(
             f"named_struct('d', {sq_dist_lit(sv(mi), cb[mi][k])}, 'cid', {k})"
-            for k in range(K)
+            for k in range(len(cb[mi]))
         )
         + ")).cid"
         for mi in range(M)
@@ -933,7 +937,7 @@ def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query side: one row per (query, probed cell) with that cell's LUTs
     csorted = f"array_sort({cstructs})"
     luts = "array(" + ",".join(
-        "array(" + ",".join(sq_dist_lit(sv(mi), cb[mi][k]) for k in range(K)) + ")"
+        "array(" + ",".join(sq_dist_lit(sv(mi), cb[mi][k]) for k in range(len(cb[mi]))) + ")"
         for mi in range(M)
     ) + ")"
     probes = (

@@ -195,11 +195,21 @@ def refresh_recent(
     return (start, today)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, path: str, like: DataFrame | None = None
+) -> DataFrame:
     """Read a warehouse table written by this module or the streaming sink
     (drops the derived partition/epoch columns so round-trips are
-    schema-stable)."""
-    df = spark.read.parquet(path)
+    schema-stable). With ``like``, a missing/never-written table (the S6
+    empty-guard skips the write entirely on empty input) reads back as an
+    empty frame with ``like``'s schema instead of PATH_NOT_FOUND — so
+    empty-source pipelines produce empty results, not crashes."""
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        if like is None:
+            raise
+        return spark.createDataFrame([], like.schema)
     for derived in (PARTITION_COL, "_epoch"):
         if derived in df.columns:
             df = df.drop(derived)
@@ -219,7 +229,9 @@ def delete_keys(spark: SparkSession, path: str, key: str, keys: DataFrame) -> No
     full rewrite per erasure *batch* — which is why erasure requests are
     batched, exactly as the reference batches its range reloads."""
     keyset = keys.select(key).distinct()
-    retained = (
-        spark.read.parquet(path).join(F.broadcast(keyset), key, "left_anti").localCheckpoint()
-    )
+    try:
+        existing = spark.read.parquet(path)
+    except AnalysisException:
+        return  # never-written table (S6 empty-guard): nothing to delete
+    retained = existing.join(F.broadcast(keyset), key, "left_anti").localCheckpoint()
     retained.write.mode("overwrite").option("partitionOverwriteMode", "static").parquet(path)

@@ -108,9 +108,9 @@ def _seed_cell_expr(vecs: DataFrame) -> str:
     (operators/kmeans.seed_cell_struct_array) so the quantization and
     ties-to-lower-cell encoding can never drift between q_ann_ivf_assign,
     q_ann_ivf_topk and q_semantic_dedup."""
-    from .kmeans import seed_cell_struct_array
+    from .kmeans import qv_seeds, seed_cell_struct_array
 
-    return seed_cell_struct_array(vecs.orderBy("vec_id").limit(K).collect())
+    return seed_cell_struct_array(qv_seeds(vecs, K))
 
 
 @register(

@@ -294,7 +294,19 @@ if HAVE_DATASOURCE_API:
 
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            schema = pq.read_schema(self.options["path"])
+            path = self.options["path"]
+            # a parquet "table" may be a single file (the fixtures) or a
+            # Spark-written directory of part files — resolve to one footer
+            import os
+
+            if os.path.isdir(path):
+                import glob
+
+                parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+                if not parts:
+                    raise FileNotFoundError(f"no parquet part files under {path}")
+                path = parts[0]
+            schema = pq.read_schema(path)
             # nanosecond timestamps are not Spark-readable; the transport
             # casts to microseconds, declare accordingly
             import pyarrow as pa

@@ -88,6 +88,7 @@ def _sentinel_events_dir(spark: SparkSession, sf_dir: str) -> str:
     unioned in from a control topic) instead — the watermark mechanics
     are identical."""
     import glob
+    import os
     import shutil
     import tempfile
 
@@ -95,8 +96,19 @@ def _sentinel_events_dir(spark: SparkSession, sf_dir: str) -> str:
 
     d = tempfile.mkdtemp(prefix="stream_outer_")
     src = table_path(sf_dir, "events")
-    shutil.copy(src, f"{d}/events.parquet")
+    if os.path.isdir(src):
+        # directory-shaped table (Spark-written warehouse): stage each part
+        # file; names keep their sort order below the zz_ sentinel
+        for i, part in enumerate(sorted(glob.glob(f"{src}/*.parquet"))):
+            shutil.copy(part, f"{d}/events_{i:05d}.parquet")
+    else:
+        shutil.copy(src, f"{d}/events.parquet")
     max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+    if max_ts is None:  # empty source: any fixed anchor works — no real
+        # event exists for the watermark to evict
+        import datetime as dt
+
+        max_ts = dt.datetime(2024, 1, 1)
     stage = tempfile.mkdtemp(prefix="stream_outer_stage_")
     (
         spark.read.parquet(src)
@@ -133,7 +145,7 @@ def stream_close_event_pairs_outer(spark: SparkSession, sf_dir: str) -> DataFram
     import shutil
 
     d = _sentinel_events_dir(spark, sf_dir)
-    physical = spark.read.parquet(f"{d}/events.parquet").schema
+    physical = spark.read.parquet(d).schema  # staged dir: fixture copy + sentinel
 
     def side(alias: str) -> DataFrame:
         raw = (
