@@ -1046,3 +1046,163 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_dedup_minhash_calibration",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    hashed AS (SELECT doc_id, {_SQL_BASE_HASH} AS h FROM sh),
+    sig AS (
+      SELECT doc_id, i,
+             MIN(((2*i + 1) * h + 7919 * i) % {MOD_P}) AS mh
+      FROM hashed, range(0, {MH_K}) r(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {MH_ROWS} AS band,
+             md5(array_to_string(list(mh ORDER BY i), ',')) AS band_key
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(s2.shingle) AS n_shared
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.doc_a
+      LEFT JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT e.n_match,
+             CAST(v.n_shared AS BIGINT) AS n_shared,
+             CAST(sa.n + sb.n - v.n_shared AS BIGINT) AS n_union,
+             CAST(v.n_shared AS DOUBLE) / (sa.n + sb.n - v.n_shared) AS j
+      FROM est e
+      JOIN verified v ON v.doc_a = e.doc_a AND v.doc_b = e.doc_b
+      JOIN sizes sa ON sa.doc_id = e.doc_a
+      JOIN sizes sb ON sb.doc_id = e.doc_b
+    )
+    SELECT n_match,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(n_shared) AS BIGINT) AS sum_shared,
+           CAST(SUM(n_union) AS BIGINT) AS sum_union,
+           MIN(j) AS min_jaccard,
+           MAX(j) AS max_jaccard
+    FROM pairs GROUP BY n_match ORDER BY n_match
+    """,
+    doc=f"MinHash estimator calibration: over the SAME sub-quadratic LSH "
+    f"candidate set as q_dedup_minhash_lsh, count matching signature "
+    f"permutations per pair (the estimator: E[n_match/{MH_K}] = Jaccard) "
+    "and fold against the EXACT shingle Jaccard into one row per "
+    f"agreement level (≤ {MH_K + 1} rows at any corpus size). The tuning "
+    "table a dedup operator reads before picking band/row/threshold "
+    "parameters: micro-averaged exact Jaccard per level falls out of the "
+    "exact integer sums (sum_shared / sum_union), and the min/max spread "
+    "shows the estimator's tail. All aggregates are exact bigints or "
+    "single int-to-double divisions (cross-engine portable); the only "
+    "additional cost over the LSH query is one signature self-join on the "
+    "bounded candidate set.",
+    tags=("dedup", "minhash", "calibration", "tuning"),
+)
+def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sh = scoped_cache(_shingles(d))
+    hashed = sh.select("doc_id", (md5_long(F.col("shingle")) % MOD_P).alias("h"))
+    sig = scoped_cache(
+        hashed.groupBy("doc_id").agg(
+            *[
+                F.min(((2 * i + 1) * F.col("h") + 7919 * i) % MOD_P).alias(f"mh{i}")
+                for i in range(MH_K)
+            ]
+        )
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * MH_ROWS + r}") for r in range(MH_ROWS)]
+                )
+            ).alias("band_key"),
+        )
+        for b in range(MH_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # estimator: in-row comparison of the two wide signatures — MH_K integer
+    # equality checks in codegen per candidate pair, no explode
+    siga = sig.alias("siga")
+    sigb = sig.alias("sigb")
+    n_match = sum(
+        (F.col(f"siga.mh{i}") == F.col(f"sigb.mh{i}")).cast("int") for i in range(MH_K)
+    ).cast("bigint")
+    est = (
+        cand.join(siga, F.col("doc_a") == F.col("siga.doc_id"))
+        .join(sigb, F.col("doc_b") == F.col("sigb.doc_id"))
+        .select("doc_a", "doc_b", n_match.alias("n_match"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    inter = (
+        cand.join(s1, F.col("doc_a") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("doc_b") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+            "left",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.col("s2.shingle")).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    n_union = (F.col("sa.n") + F.col("sb.n") - F.col("n_shared")).cast("bigint")
+    pairs = (
+        est.join(inter, ["doc_a", "doc_b"])
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "n_match",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            n_union.alias("n_union"),
+            (F.col("n_shared").cast("double") / n_union).alias("j"),
+        )
+    )
+    return (
+        pairs.groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("n_shared").cast("bigint").alias("sum_shared"),
+            F.sum("n_union").cast("bigint").alias("sum_union"),
+            F.min("j").alias("min_jaccard"),
+            F.max("j").alias("max_jaccard"),
+        )
+        .orderBy("n_match")
+    )

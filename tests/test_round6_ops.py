@@ -476,3 +476,22 @@ def test_source_overlap_symmetric_bounds(spark):
         assert 0 < r.n_shared <= min(r.n_a, r.n_b)
         assert 0.0 < r.jaccard <= 1.0
         assert r.jaccard <= r.containment <= 1.0
+
+
+def test_minhash_calibration_monotone_and_exact(spark):
+    # the estimator (n_match/32) must track exact Jaccard: micro-averaged
+    # exact Jaccard should be non-decreasing in the agreement level over
+    # well-populated buckets, and every bucket's spread must stay in [0,1]
+    from poc_juma_etl_spark import all_queries
+
+    rows = all_queries()["q_dedup_minhash_calibration"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    prev = -1.0
+    for r in sorted(rows, key=lambda r: r.n_match):
+        assert 0 <= r.n_match <= 32
+        assert 0.0 <= r.min_jaccard <= r.max_jaccard <= 1.0
+        micro = r.sum_shared / r.sum_union
+        assert 0.0 <= micro <= 1.0
+        if r.n_pairs >= 20:  # sparse buckets are noisy by construction
+            assert micro >= prev - 0.10, (r.n_match, micro, prev)
+            prev = micro
