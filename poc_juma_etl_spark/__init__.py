@@ -137,6 +137,10 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_observed_metrics",
     "q_kmeans_lloyd_exact",
     "q_text_chunk_overlap",
+    # -- round 6 --
+    "q_graph_bfs_hops",
+    "q_compaction_plan",
+    "etl_dpp_prune_e2e",
 )
 
 
@@ -192,6 +196,7 @@ def all_queries():
         "poc_juma_etl_spark.plans.extra5",
         "poc_juma_etl_spark.plans.extra6",
         "poc_juma_etl_spark.plans.extra7",
+        "poc_juma_etl_spark.plans.extra8",
         "poc_juma_etl_spark.plans.behavior",
         "poc_juma_etl_spark.plans.tpch_extra",
         "poc_juma_etl_spark.plans.tpch_full",
