@@ -100,6 +100,12 @@ HEADLINE: list[str] = [
     "q_shard_assign",
     "q_text_ngram_novelty",
     "q_source_overlap",
+    "q_graph_bfs_hops",
+    "q_compaction_plan",
+    "etl_dpp_prune_e2e",
+    "q_eval_auc",
+    "q_target_encoding",
+    "q_feature_hashing",
 ]
 
 

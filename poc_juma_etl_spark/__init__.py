@@ -141,6 +141,9 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_graph_bfs_hops",
     "q_compaction_plan",
     "etl_dpp_prune_e2e",
+    "q_eval_auc",
+    "q_target_encoding",
+    "q_feature_hashing",
 )
 
 
@@ -197,6 +200,7 @@ def all_queries():
         "poc_juma_etl_spark.plans.extra6",
         "poc_juma_etl_spark.plans.extra7",
         "poc_juma_etl_spark.plans.extra8",
+        "poc_juma_etl_spark.plans.mleval",
         "poc_juma_etl_spark.plans.behavior",
         "poc_juma_etl_spark.plans.tpch_extra",
         "poc_juma_etl_spark.plans.tpch_full",

@@ -131,32 +131,34 @@ def bfs_hops(pairs: DataFrame, n_seeds: int, max_hops: int) -> DataFrame:
     never node or edge data."""
     # One materialization of the symmetric edge list: it feeds every round,
     # and without it each frontier join would re-execute the basket
-    # pair-generation lineage — O(rounds) corpus passes at 100 TB.
-    sym = (
-        pairs.select(F.col("u"), F.col("v"))
-        .union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .select(F.col("u").cast("bigint").alias("u"), F.col("v").cast("bigint").alias("v"))
-    ).localCheckpoint()
+    # pair-generation lineage — O(rounds) corpus passes at 100 TB. The
+    # mirrored halves can't collide (pairs hold u < v), so the union needs
+    # no distinct — that'd be a full extra shuffle of the edge list.
+    dd = pairs.select(
+        F.col("u").cast("bigint").alias("u"), F.col("v").cast("bigint").alias("v")
+    ).distinct()
+    sym = dd.union(dd.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint()
     seeds = (
         sym.select(F.col("u").alias("node")).distinct().orderBy("node").limit(n_seeds)
     )
     dist = seeds.withColumn("hops", F.lit(0).cast("int")).localCheckpoint()
     frontier = dist.select("node")
     for h in range(1, max_hops + 1):
-        if frontier.isEmpty():
-            break
+        # the new frontier IS the round's output: checkpoint it once, reuse
+        # it as next round's probe side, and grow the settled set as a
+        # shallow union of per-round checkpoints — never re-materialize the
+        # whole settled set each round (that's O(rounds * nodes) writes)
         nxt = (
             frontier.join(sym, frontier.node == sym.u)
             .select(F.col("v").alias("node"))
             .distinct()
             .join(dist, "node", "left_anti")
             .withColumn("hops", F.lit(h).cast("int"))
-        )
-        # settled set is node-sized; checkpoint so the next round's
-        # anti-join and frontier read it, not the whole lineage
-        dist = dist.union(nxt).localCheckpoint()
-        frontier = dist.filter(F.col("hops") == h).select("node")
+        ).localCheckpoint()
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt)
+        frontier = nxt.select("node")
     return dist.orderBy("node")
 
 

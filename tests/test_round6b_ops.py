@@ -143,3 +143,78 @@ def test_bfs_smoke_small_fixture(spark):
     hops = sorted({r["hops"] for r in out})
     assert hops == list(range(len(hops)))  # no gaps in hop levels
     assert sum(1 for r in out if r["hops"] == 0) <= 3
+
+
+def _write_docs(spark, tmpdir, rows):
+    # minimal documents fixture matching the catalog schema
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+
+
+def test_auc_known_values_with_ties_and_degenerate_slice(spark):
+    from poc_juma_etl_spark.plans.mleval import q_eval_auc
+
+    tmp = tempfile.mkdtemp(prefix="auc_")
+    try:
+        # slice A: pos scores {3, 2}, neg {1, 2} -> pairs: (3>1)=1 (3>2)=1
+        # (2>1)=1 (2~2)=0.5  => U = 3.5, AUC = 3.5/4 = 0.875, u2 = 7
+        # slice B: all positive -> auc NULL
+        rows = [
+            (1, "t", "en", "A", 3),
+            (2, "t", "en", "A", 2),
+            (3, "t", "xx", "A", 1),
+            (4, "t", "yy", "A", 2),
+            (5, "t", "en", "B", 9),
+            (6, "t", "en", "B", 1),
+        ]
+        _write_docs(spark, tmp, rows)
+        got = {r["source"]: r for r in q_eval_auc(spark, tmp).collect()}
+        assert got["A"]["u2"] == 7
+        assert got["A"]["auc"] == 7 / 8
+        assert got["B"]["auc"] is None and got["B"]["n_neg"] == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_target_encoding_leave_one_out_property(spark):
+    from poc_juma_etl_spark.plans.mleval import TE_SMOOTH, q_target_encoding
+
+    tmp = tempfile.mkdtemp(prefix="te_")
+    try:
+        # category S: labels [1, 1, 0]; global: 3 pos of 5
+        rows = [
+            (1, "t", "en", "S", 10),
+            (2, "t", "en", "S", 10),
+            (3, "t", "xx", "S", 10),
+            (4, "t", "en", "T", 10),
+            (5, "t", "xx", "T", 10),
+        ]
+        _write_docs(spark, tmp, rows)
+        got = {r["doc_id"]: r for r in q_target_encoding(spark, tmp).collect()}
+        gp, gn = 3, 5
+        # row 1 (y=1 in S): LOO sum = 1, n-1 = 2
+        assert got[1]["enc_num"] == gn * 1 + TE_SMOOTH * gp
+        assert got[1]["enc_den"] == gn * (2 + TE_SMOOTH)
+        # row 3 (y=0 in S): LOO sum = 2
+        assert got[3]["enc_num"] == gn * 2 + TE_SMOOTH * gp
+        # same category, same label -> identical encoding (rows 1, 2)
+        assert got[1]["enc"] == got[2]["enc"]
+        # excluding own label: pos row encodes LOWER than neg row in same cat
+        assert got[1]["enc"] < got[3]["enc"]
+        assert all(abs(r["enc"] - r["enc_num"] / r["enc_den"]) == 0.0 for r in got.values())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_feature_hashing_buckets_and_signs_deterministic(spark):
+    from poc_juma_etl_spark.plans.mleval import FH_BUCKETS, q_feature_hashing
+
+    out1 = {r["bucket"]: r for r in q_feature_hashing(spark, SF_SMOKE).collect()}
+    out2 = {r["bucket"]: r for r in q_feature_hashing(spark, SF_SMOKE).collect()}
+    assert out1.keys() == out2.keys()
+    for b, r in out1.items():
+        assert 0 <= b < FH_BUCKETS
+        assert r["signed_count"] == out2[b]["signed_count"]
+        # signed sum can never exceed term count
+        assert abs(r["signed_count"]) <= r["n_terms"]
