@@ -119,7 +119,9 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .select("p.u", "p.v")
-        .distinct()
+        # no distinct here: bfs_hops dedups once after the bigint cast —
+        # a second pass would shuffle the multi-million pre-distinct pair
+        # stream twice for nothing
     )
     return bfs_hops(pairs, n_seeds=BFS_SEEDS, max_hops=BFS_MAX_HOPS)
 
