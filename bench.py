@@ -106,6 +106,11 @@ HEADLINE: list[str] = [
     "q_eval_auc",
     "q_target_encoding",
     "q_feature_hashing",
+    # round-6c operator families
+    "q_hybrid_rank_fusion",
+    "q_embedding_gram_stats",
+    "q_multimodal_phash_dedup",
+    "q_eval_calibration",
 ]
 
 

@@ -144,6 +144,10 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_eval_auc",
     "q_target_encoding",
     "q_feature_hashing",
+    "q_eval_calibration",
+    "q_embedding_gram_stats",
+    "q_hybrid_rank_fusion",
+    "q_multimodal_phash_dedup",
 )
 
 

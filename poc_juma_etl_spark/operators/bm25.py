@@ -200,3 +200,246 @@ def q_text_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score")
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(TOP_N)
+
+
+# --- hybrid retrieval: BM25 + vector ranks fused by RRF ---------------------
+
+RRF_QUERY_DOCS = (3, 7, 11, 19)  # query-by-example document ids
+RRF_DF_MIN = 2  # term must match something beyond the query doc itself
+RRF_DF_PCT = 90  # relative stopword cut: keep terms in <= 90% of docs
+# (an absolute df cap would empty or flood the band as the corpus grows;
+# the percentage survives any scale factor)
+RRF_N_TERMS = 8  # rarest terms kept per query doc
+RRF_TOP_N = 20  # per-modality candidate depth
+RRF_K = 60  # the standard RRF dampening constant
+RRF_SCALE = 1 << 40  # integer-scaled 1/(k+rank): exact, float-free fusion
+RRF_FUSE_K = 10
+
+
+def _rrf_sql() -> str:
+    from .dedup import SQL_QDOT, SQL_QNORM, SQL_QVEC
+
+    qd = ", ".join(str(i) for i in RRF_QUERY_DOCS)
+    qv = SQL_QVEC.format(a="embedding")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    doclen AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tok),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM doclen
+    ),
+    qcand AS (
+      SELECT doc_id AS qid, unnest(list_distinct(ts)) AS term
+      FROM tok WHERE doc_id IN ({qd})
+    ),
+    postings AS (
+      SELECT p.doc_id, p.term
+      FROM (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM tok) p
+      WHERE p.term IN (SELECT DISTINCT term FROM qcand)
+    ),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term),
+    qterms AS (
+      SELECT qid, term, df FROM (
+        SELECT q.qid, q.term, d.df,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY d.df, q.term) AS rn
+        FROM qcand q JOIN dfq d USING (term)
+        CROSS JOIN stats s
+        WHERE d.df >= {RRF_DF_MIN} AND d.df * 100 <= s.n_docs * {RRF_DF_PCT}
+      ) WHERE rn <= {RRF_N_TERMS}
+    ),
+    tf AS (
+      SELECT t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(ts) AS term FROM tok) t
+      WHERE t.term IN (SELECT DISTINCT term FROM qterms)
+      GROUP BY t.doc_id, t.term
+    ),
+    scored_t AS (
+      SELECT qt.qid, tf.doc_id,
+             CAST(CAST(SUM(CAST(
+               ln(1.0 + (((CAST(s.n_docs AS DOUBLE) - qt.df) + 0.5) / (qt.df + 0.5)))
+               * ((tf.tf * ({K1} + 1.0))
+                  / (tf.tf + ({K1} * ((1.0 - {B}) + ({B} * (dl.dl / s.avgdl))))))
+             AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS score
+      FROM tf
+      JOIN qterms qt ON qt.term = tf.term AND tf.doc_id <> qt.qid
+      JOIN doclen dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY qt.qid, tf.doc_id
+    ),
+    ttop AS (
+      SELECT qid, doc_id, CAST(rn AS INTEGER) AS rank_text FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        FROM scored_t
+      ) WHERE rn <= {RRF_TOP_N}
+    ),
+    embn AS (
+      SELECT vec_id, qv, {SQL_QNORM.format(qa="qv")} AS nrm
+      FROM (SELECT vec_id, {qv} AS qv FROM embeddings)
+    ),
+    vpairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+             CAST({SQL_QDOT.format(qa="q.qv", qb="c.qv")} AS DOUBLE)
+               / (q.nrm * c.nrm) AS cosine
+      FROM (SELECT * FROM embn WHERE vec_id IN ({qd})) q
+      JOIN embn c ON c.vec_id <> q.vec_id
+    ),
+    vtop AS (
+      SELECT qid, doc_id, CAST(rn AS INTEGER) AS rank_vec FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rn
+        FROM vpairs
+      ) WHERE rn <= {RRF_TOP_N}
+    ),
+    fused AS (
+      SELECT COALESCE(t.qid, v.qid) AS query_id,
+             COALESCE(t.doc_id, v.doc_id) AS doc_id,
+             t.rank_text, v.rank_vec,
+             COALESCE({RRF_SCALE} // ({RRF_K} + t.rank_text), 0)
+               + COALESCE({RRF_SCALE} // ({RRF_K} + v.rank_vec), 0) AS rrf
+      FROM ttop t FULL OUTER JOIN vtop v
+        ON v.qid = t.qid AND v.doc_id = t.doc_id
+    )
+    SELECT query_id, doc_id, rank_text, rank_vec,
+           CAST(rrf AS BIGINT) AS rrf_score, CAST(rn AS INTEGER) AS fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= {RRF_FUSE_K}
+    ORDER BY query_id, fused_rank
+    """
+
+
+@register(
+    "q_hybrid_rank_fusion",
+    oracle=_rrf_sql(),
+    doc=f"Hybrid retrieval by reciprocal-rank fusion — the RAG pipeline's "
+    f"retrieval core: for {len(RRF_QUERY_DOCS)} query-by-example documents, "
+    f"a lexical candidate list (BM25 over the query doc's {RRF_N_TERMS} "
+    f"rarest informative terms, 2 <= df <= {RRF_DF_PCT}% of docs — a "
+    f"RELATIVE stopword cut, scale-stable where an absolute cap is not) and a "
+    f"semantic list (quantized-cosine over embeddings) each rank top-"
+    f"{RRF_TOP_N}, then fuse: RRF(d) = Σ 1/({RRF_K}+rank), carried as the "
+    f"exact integer floor(2^40/({RRF_K}+rank)) so fusion is float-free and "
+    "engine-exact; absent-from-one-list candidates contribute 0 (union "
+    "semantics via full outer join on coalesced keys). 100 TB shape: "
+    "query terms and query vectors are broadcast (both bounded by the "
+    "query batch, not the corpus); the corpus token scan is filtered "
+    "map-side by the broadcast term set, so df/tf shuffles carry only "
+    "posting-list rows for ~Q×8 terms; the vector side is one map-only "
+    "broadcast pass; per-query rank windows partition on query_id. BM25 "
+    "per-doc sums ride the DECIMAL(25,9) string-hop (bm25 precedent), so "
+    "candidate order — hence every rank — is bit-identical cross-engine.",
+    tags=("text", "vectors", "retrieval", "rrf", "hybrid"),
+)
+def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .dedup import SPARK_QNORM, SPARK_QVEC, spark_cosine_prequantized
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens("text").alias("ts"))
+    doclen = tok.select("doc_id", F.size("ts").cast("bigint").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qids = list(RRF_QUERY_DOCS)
+    qcand = tok.filter(F.col("doc_id").isin(qids)).select(
+        F.col("doc_id").alias("qid"),
+        F.explode(F.array_distinct("ts")).alias("term"),
+    )
+    postings = tok.select(
+        "doc_id", F.explode(F.array_distinct("ts")).alias("term")
+    ).join(F.broadcast(qcand.select("term").distinct()), "term")
+    dfq = postings.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    wq = Window.partitionBy("qid").orderBy("df", "term")
+    qterms = (
+        qcand.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .filter(
+            (F.col("df") >= RRF_DF_MIN)
+            & (F.col("df") * 100 <= F.col("n_docs") * RRF_DF_PCT)
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= RRF_N_TERMS)
+        .select("qid", "term", "df")
+    )
+    tf = (
+        tok.select("doc_id", F.explode("ts").alias("term"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    idf = F.log(
+        1.0 + (((F.col("n_docs").cast("double") - F.col("df")) + 0.5) / (F.col("df") + 0.5))
+    )
+    tf_part = (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + (K1 * ((1.0 - B) + (B * (F.col("dl") / F.col("avgdl")))))
+    )
+    scored_t = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(F.broadcast(doclen), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(dec_to_double(F.sum((idf * tf_part).cast("decimal(25,9)"))).alias("score"))
+    )
+    wt = Window.partitionBy("qid").orderBy(F.desc("score"), "doc_id")
+    ttop = (
+        scored_t.withColumn("rank_text", F.row_number().over(wt))
+        .filter(F.col("rank_text") <= RRF_TOP_N)
+        .select("qid", "doc_id", F.col("rank_text").cast("int").alias("rank_text"))
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    embn = e.select(
+        "vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv")
+    ).withColumn("nrm", F.expr(SPARK_QNORM.format(qa="qv")))
+    qe = embn.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qv").alias("qqv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    vpairs = (
+        embn.crossJoin(F.broadcast(qe))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            F.expr(
+                spark_cosine_prequantized("qqv", "qv", "qnrm", "nrm")
+            ).alias("cosine"),
+        )
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("cosine"), "doc_id")
+    vtop = (
+        vpairs.withColumn("rank_vec", F.row_number().over(wv))
+        .filter(F.col("rank_vec") <= RRF_TOP_N)
+        .select("qid", "doc_id", F.col("rank_vec").cast("int").alias("rank_vec"))
+    )
+    fused = ttop.join(vtop, ["qid", "doc_id"], "full_outer").withColumn(
+        "rrf",
+        F.coalesce(
+            F.expr(f"CAST({RRF_SCALE} AS BIGINT) div ({RRF_K} + rank_text)"), F.lit(0)
+        )
+        + F.coalesce(
+            F.expr(f"CAST({RRF_SCALE} AS BIGINT) div ({RRF_K} + rank_vec)"), F.lit(0)
+        ),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= RRF_FUSE_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            "doc_id",
+            "rank_text",
+            "rank_vec",
+            F.col("rrf").cast("bigint").alias("rrf_score"),
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+        .orderBy("query_id", "fused_rank")
+    )

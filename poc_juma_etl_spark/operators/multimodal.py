@@ -406,10 +406,12 @@ def encode_png_gray(rows: list[bytes]) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> dict:
+def decode_png_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
     """Pure-stdlib PNG decode for 8-bit grayscale (color type 0): walk
     the chunk stream, inflate the concatenated IDATs, reverse the per-
-    scanline filter (all five types), return real pixel statistics."""
+    scanline filter (all five types), return (width, height, scanlines)
+    of real pixel bytes — the shared core of decode_png's statistics
+    path and the perceptual-hash operator below."""
     import struct
     import zlib
 
@@ -445,7 +447,7 @@ def decode_png(payload: bytes) -> dict:
     if len(raw) != stride * height:
         raise ValueError("inflated size mismatch")
     prev = bytes(width)
-    pixel_sum = 0
+    lines: list[bytes] = []
     for y in range(height):
         ft = raw[y * stride]
         line = raw[y * stride + 1 : (y + 1) * stride]
@@ -467,15 +469,21 @@ def decode_png(payload: bytes) -> dict:
             else:
                 raise ValueError(f"bad filter type {ft}")
             cur[i] = v & 0xFF
-        pixel_sum += sum(cur)
         prev = bytes(cur)
+        lines.append(prev)
+    return width, height, lines
+
+
+def decode_png(payload: bytes) -> dict:
+    """decode_png_pixels reduced to the DECODE_SCHEMA statistics row."""
+    width, height, lines = decode_png_pixels(payload)
     return {
         "media_kind": "png",
         "width": width,
         "height": height,
         "sample_rate": None,
         "n_units": width * height,
-        "pixel_sum": pixel_sum,
+        "pixel_sum": sum(sum(ln) for ln in lines),
         "sample_sq_sum": None,
     }
 
@@ -716,3 +724,146 @@ def etl_binaryfile_decode_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- perceptual-hash image dedup --------------------------------------------
+
+PH_GROUPS = 40  # distinct underlying images in the synthetic corpus
+PH_BRIGHT = 17  # per-variant uniform brightness offset (aHash-invariant)
+
+
+def synth_phash_media(doc_id: int) -> bytes:
+    """Grayscale PNG whose CONTENT depends only on g = doc_id % PH_GROUPS,
+    plus a uniform brightness offset b·17 with b = (doc_id // 40) % 3 —
+    the classic near-duplicate: same image, different exposure. Pattern
+    pixel(x,y) = ((x·8//w)·7 + (y·8//h)·13 + g·5 + ((x+y)%2)·3) % 150
+    + b·17 stays in [0, 200] so the brightness shift never clips (clipping
+    would break the shift-invariance the hash is meant to demonstrate).
+    Width varies by group (16/24/32 × 16) — aHash normalizes dims away."""
+    g = doc_id % PH_GROUPS
+    b = (doc_id // PH_GROUPS) % 3
+    w = 16 + (g % 3) * 8
+    h = 16
+    rows = [
+        bytes(
+            ((x * 8 // w) * 7 + (y * 8 // h) * 13 + g * 5 + ((x + y) % 2) * 3) % 150
+            + b * PH_BRIGHT
+            for x in range(w)
+        )
+        for y in range(h)
+    ]
+    return encode_png_gray(rows)
+
+
+def ahash_bits(width: int, height: int, lines: list[bytes]) -> str:
+    """Average-hash over decoded pixels: 8×8 block sums (bx = x·8//w), one
+    bit per block by the EXACT cross-multiplied mean comparison
+    s_blk·n_total > s_total·n_blk — integer-only, so the hash is invariant
+    to uniform brightness shifts and bit-identical across engines. The
+    64-bit signature is emitted as a '0'/'1' string: portable (no signed-
+    bit-63 overflow) and directly comparable in SQL."""
+    s = [[0] * 8 for _ in range(8)]
+    n = [[0] * 8 for _ in range(8)]
+    for y, line in enumerate(lines):
+        by = y * 8 // height
+        for x, v in enumerate(line):
+            bx = x * 8 // width
+            s[by][bx] += v
+            n[by][bx] += 1
+    s_tot = sum(map(sum, s))
+    n_tot = width * height
+    return "".join(
+        "1" if s[by][bx] * n_tot > s_tot * n[by][bx] else "0"
+        for by in range(8)
+        for bx in range(8)
+    )
+
+
+def phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow kernel: synthesize the group-patterned PNG, decode it FOR REAL
+    (stdlib inflate + unfilter — the kernel never sees the generator's
+    group structure, only pixels), and emit the aHash signature."""
+    for pdf in batches:
+        recs = []
+        for doc_id in pdf["doc_id"]:
+            payload = synth_phash_media(int(doc_id))
+            width, height, lines = decode_png_pixels(payload)
+            recs.append(
+                {"doc_id": int(doc_id), "ahash": ahash_bits(width, height, lines)}
+            )
+        yield pd.DataFrame.from_records(
+            recs, columns=["doc_id", "ahash"]
+        ).astype({"doc_id": "int64", "ahash": "str"})
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """(doc_id, payload→decoded) → (doc_id, ahash). Narrow Arrow map:
+    decode parallelism = partition count, the 100 TB shape; the hash
+    column then joins the relational dedup operators like any key."""
+    return df.mapInPandas(phash_kernel, schema="doc_id long, ahash string")
+
+
+@register(
+    "q_multimodal_phash_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, doc_id % {PH_GROUPS} AS g FROM documents),
+    dims AS (
+      SELECT doc_id, g, 16 + (g % 3) * 8 AS w, 16 AS h,
+             ((doc_id // {PH_GROUPS}) % 3) * {PH_BRIGHT} AS boff
+      FROM d
+    ),
+    pe1 AS (SELECT doc_id, g, w, h, boff, unnest(range(0, w)) AS xx FROM dims),
+    px AS (
+      SELECT doc_id, w, h, (xx * 8) // w AS bx, (yy * 8) // h AS by,
+             ((xx * 8 // w) * 7 + (yy * 8 // h) * 13 + g * 5 + ((xx + yy) % 2) * 3)
+               % 150 + boff AS v
+      FROM (SELECT doc_id, g, w, h, boff, xx, unnest(range(0, h)) AS yy FROM pe1)
+    ),
+    blk AS (
+      SELECT doc_id, by, bx, SUM(v) AS s, COUNT(*) AS n, MAX(w * h) AS nt
+      FROM px GROUP BY doc_id, by, bx
+    ),
+    tot AS (SELECT doc_id, SUM(s) AS st, MAX(nt) AS nt FROM blk GROUP BY doc_id),
+    bits AS (
+      SELECT b.doc_id, b.by, b.bx,
+             CASE WHEN b.s * t.nt > t.st * b.n THEN '1' ELSE '0' END AS bit
+      FROM blk b JOIN tot t USING (doc_id)
+    ),
+    hashes AS (
+      SELECT doc_id, string_agg(bit, '' ORDER BY by, bx) AS ahash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM hashes GROUP BY ahash ORDER BY keeper_doc_id
+    """,
+    doc="Image near-duplicate collapse by perceptual hash: every document "
+    "gets a REAL spec-valid PNG (group-patterned content + a uniform "
+    "brightness variant), which an Arrow kernel decodes for real (stdlib "
+    "inflate + five-filter unfilter — the decoder knows nothing of the "
+    "generator) and reduces to a 64-bit average-hash over 8×8 block "
+    "means, computed with EXACT cross-multiplied integer comparisons so "
+    "brightness-shifted re-encodes of the same image hash identically "
+    "(the near-dup property) with zero float drift. Clusters then fall "
+    "out of one groupBy on the hash string — image dedup at 100 TB is "
+    "a narrow decode map + one dictionary-sized shuffle, the exact-dedup "
+    "shape with a perceptual key. The oracle recomputes pixels from the "
+    "generator's closed form, so any flipped bit in encode, inflate, "
+    "unfilter, blocking, or the comparison hash-fails. Hash emitted as a "
+    "64-char bit string: portable across engines (no signed bit-63 "
+    "trap), SQL-joinable, and Hamming-comparable via per-char ops.",
+    tags=("multimodal", "dedup", "phash", "pandas-udf"),
+)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = image_ahash(d)
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("keeper_doc_id")
+    )

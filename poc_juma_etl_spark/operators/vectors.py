@@ -475,3 +475,94 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+@register(
+    "q_embedding_gram_stats",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_SQL_QV} AS qv FROM embeddings),
+    px AS (
+      SELECT vec_id, u.pos - 1 AS i, u.val AS x, qv FROM (
+        SELECT vec_id, qv,
+               unnest(list_transform(range(1, {DIM} + 1),
+                                     i -> struct_pack(pos := i, val := qv[i]))) AS u
+        FROM q
+      )
+    ),
+    pairs AS (
+      SELECT i, i + v.pos - 1 AS j, x * v.val AS prod FROM (
+        SELECT i, x,
+               unnest(list_transform(range(1, {DIM} - i + 1),
+                                     k -> struct_pack(pos := k, val := qv[i + k]))) AS v
+        FROM px
+      )
+    ),
+    gram AS (
+      SELECT i, j, CAST(SUM(prod) AS BIGINT) AS gram FROM pairs GROUP BY i, j
+    ),
+    dims AS (
+      SELECT i, CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM px GROUP BY i
+    )
+    SELECT CAST(g.i AS INTEGER) AS i, CAST(g.j AS INTEGER) AS j,
+           di.n AS n_vecs, g.gram, di.s AS sum_i, dj.s AS sum_j,
+           (CAST(g.gram AS DOUBLE) / di.n)
+             - ((CAST(di.s AS DOUBLE) / di.n) * (CAST(dj.s AS DOUBLE) / dj.n)) AS cov
+    FROM gram g JOIN dims di ON di.i = g.i JOIN dims dj ON dj.i = g.j
+    ORDER BY i, j
+    """,
+    doc=f"Exact Gram-matrix / covariance sufficient statistics over the "
+    f"corpus embeddings — the front half of PCA, whitening, and linear "
+    f"probes: for every dimension pair i <= j of the {DIM}-dim quantized "
+    "integer vectors, the exact int64 inner product Σ x_i·x_j plus the "
+    "per-dimension sums, from which covariance follows by one pinned IEEE "
+    "sequence (gram/n − mean_i·mean_j). Plan shape: two in-row explodes "
+    f"(dim, then the j >= i tail slice) fan each vector to D(D+3)/2 rows "
+    "that partial-aggregate map-side down to the {DIM}×{DIM} upper "
+    "triangle BEFORE the one dictionary-sized shuffle — the classic "
+    "distributed outer-product: shuffle volume is O(D² × partitions), "
+    "independent of corpus size, and partials merge associatively, so the "
+    "same plan covers 100 TB. No join touches the fact side (dim sums "
+    "broadcast onto the 2080-row triangle). int64 headroom: |x| <= 2^22 "
+    "caps Σ x_i·x_j at 2^44·N — exact to N ~ 2^19 vectors; beyond that "
+    "the sums switch to DECIMAL(38,0) partials (the decimal-cast rule).",
+    tags=("vectors", "gram", "pca", "stats"),
+)
+def q_embedding_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
+    px = q.select(
+        "qv", F.posexplode("qv").alias("i0", "x")
+    ).select((F.col("i0")).alias("i"), "x", "qv")
+    # j >= i tail of the same row's vector: a second in-row explode, no join
+    pairs = px.select(
+        "i",
+        "x",
+        F.posexplode(F.expr(f"slice(qv, i + 1, {DIM} - i)")).alias("k", "xj"),
+    ).select("i", (F.col("i") + F.col("k")).alias("j"), (F.col("x") * F.col("xj")).alias("prod"))
+    gram = pairs.groupBy("i", "j").agg(F.sum("prod").cast("bigint").alias("gram"))
+    dims = px.groupBy("i").agg(
+        F.sum("x").cast("bigint").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    di = dims.select(F.col("i"), F.col("s").alias("sum_i"), F.col("n").alias("n_vecs"))
+    dj = dims.select(F.col("i").alias("j"), F.col("s").alias("sum_j"), F.col("n").alias("nj"))
+    return (
+        gram.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            "n_vecs",
+            "gram",
+            "sum_i",
+            "sum_j",
+            (
+                (F.col("gram").cast("double") / F.col("n_vecs"))
+                - (
+                    (F.col("sum_i").cast("double") / F.col("n_vecs"))
+                    * (F.col("sum_j").cast("double") / F.col("nj"))
+                )
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )

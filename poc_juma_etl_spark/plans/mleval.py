@@ -32,6 +32,16 @@ integer arithmetic so Spark and DuckDB agree bit-for-bit:
   next hash bit). No vocabulary state, no fit step, mergeable counts: the
   embedding of a 100 TB corpus is one groupBy on the bucket id.
 
+- **Calibration audit** (``q_eval_calibration``): the reliability-diagram
+  companion to AUC — AUC measures ranking, calibration measures whether
+  the score's implied probability matches observed frequency. Scores are
+  normalized against the global max into equal-width bins (a broadcast
+  scalar + map-side integer division — never a global ntile window);
+  per bin the mean predicted probability, observed positive rate, and the
+  Brier contribution are all carried as exact integer numerators over the
+  common denominator, so each emitted double is one exact int64/int64
+  division both engines round identically.
+
 The reference (fe-malveira-87/poc-juma-etl) has no ML surface at all —
 these extend the engine along SURVEY.md §2.5's extension axis.
 """
@@ -254,4 +264,98 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "signed_count",
         )
         .orderBy("bucket")
+    )
+
+
+CAL_BINS = 10
+
+
+@register(
+    "q_eval_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    s AS (SELECT MAX(score) AS smax FROM scored),
+    binned AS (
+      SELECT (sc.score * {CAL_BINS}) // (s.smax + 1) AS bin,
+             sc.score, sc.y, s.smax
+      FROM scored sc CROSS JOIN s
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(SUM(score) AS BIGINT) AS sum_score,
+           CAST(SUM(score * score)
+                - 2 * MAX(smax) * SUM(score * y)
+                + MAX(smax) * MAX(smax) * SUM(y) AS BIGINT) AS brier_num,
+           CAST(SUM(score) AS DOUBLE)
+             / CAST(COUNT(*) * MAX(smax) AS DOUBLE) AS mean_p,
+           CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos,
+           CAST(SUM(score * score)
+                - 2 * MAX(smax) * SUM(score * y)
+                + MAX(smax) * MAX(smax) * SUM(y) AS DOUBLE)
+             / CAST(COUNT(*) * MAX(smax) * MAX(smax) AS DOUBLE) AS brier
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    doc=f"Score-calibration audit (reliability diagram + Brier score) of "
+    "the n_chars-ranks-English score: scores normalize to p = score/max "
+    f"and land in {CAL_BINS} equal-width bins via exact integer division "
+    "against a broadcast global max — NEVER a global ntile window (the "
+    "no-partition-less-window rule). Per bin: mean predicted probability, "
+    "observed positive rate, and the Brier sum Σ(p−y)², expanded so its "
+    "numerator Σs² − 2S·Σsy + S²·Σy stays int64-exact (S = max score); "
+    "every emitted double is ONE division of two exact int64s, which "
+    "Spark and DuckDB round identically. The 100 TB shape: one scalar "
+    "broadcast, map-side binning, a {CAL_BINS}-row groupBy — mergeable "
+    "partials, no window, no sort until the 10-row output.",
+    tags=("eval", "calibration", "brier"),
+)
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    smax = scored.agg(F.max("score").alias("smax"))
+    binned = scored.crossJoin(F.broadcast(smax)).withColumn(
+        "bin", F.expr(f"(score * {CAL_BINS}) div (smax + 1)")
+    )
+    brier_num = (
+        F.sum(F.col("score") * F.col("score"))
+        - 2 * F.max("smax") * F.sum(F.col("score") * F.col("y"))
+        + F.max("smax") * F.max("smax") * F.sum("y")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("sum_y"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+            brier_num.cast("bigint").alias("brier_num"),
+            (
+                F.sum("score").cast("double")
+                / (F.count(F.lit(1)) * F.max("smax")).cast("double")
+            ).alias("mean_p"),
+            (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "frac_pos"
+            ),
+            (
+                brier_num.cast("double")
+                / (F.count(F.lit(1)) * F.max("smax") * F.max("smax")).cast("double")
+            ).alias("brier"),
+        )
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n",
+            "sum_y",
+            "sum_score",
+            "brier_num",
+            "mean_p",
+            "frac_pos",
+            "brier",
+        )
+        .orderBy("bin")
     )

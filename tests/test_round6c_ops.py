@@ -1,0 +1,155 @@
+"""Round-6c operators: hybrid RRF retrieval, Gram-matrix stats, perceptual-
+hash image dedup, calibration audit. Oracle parity for all four is covered
+by the registry-wide sweep in test_oracle_parity.py; these tests pin the
+algorithmic invariants the hash gate cannot see (aHash brightness
+invariance, Gram-vs-numpy ground truth, RRF arithmetic, Brier identity)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from poc_juma_etl_spark.operators.bm25 import (
+    RRF_FUSE_K,
+    RRF_K,
+    RRF_QUERY_DOCS,
+    RRF_SCALE,
+    RRF_TOP_N,
+    q_hybrid_rank_fusion,
+)
+from poc_juma_etl_spark.operators.multimodal import (
+    PH_GROUPS,
+    ahash_bits,
+    decode_png_pixels,
+    q_multimodal_phash_dedup,
+    synth_phash_media,
+)
+from poc_juma_etl_spark.operators.vectors import q_embedding_gram_stats
+from poc_juma_etl_spark.plans.mleval import CAL_BINS, q_eval_calibration
+
+from .conftest import SF_ORACLE, SF_SMOKE
+
+
+# --- perceptual hash ---------------------------------------------------------
+
+
+def test_ahash_brightness_invariance_across_variants():
+    # doc_ids g, g+40, g+80 share an image up to a uniform brightness shift;
+    # the cross-multiplied aHash must be IDENTICAL for all three
+    for g in (0, 7, 23, 39):
+        hashes = set()
+        for b in range(3):
+            payload = synth_phash_media(g + b * PH_GROUPS)
+            hashes.add(ahash_bits(*decode_png_pixels(payload)))
+        assert len(hashes) == 1, f"group {g}: brightness variant changed the hash"
+
+
+def test_ahash_exact_mean_comparison_tiny_image():
+    # 16x16, left half 0s / right half 100s: left blocks below mean -> 0,
+    # right blocks above -> 1, row-major (by, bx) emission order
+    lines = [bytes([0] * 8 + [100] * 8) for _ in range(16)]
+    assert ahash_bits(16, 16, lines) == ("0000" + "1111") * 8
+
+
+def test_phash_dedup_collapses_variants(spark):
+    rows = q_multimodal_phash_dedup(spark, SF_SMOKE).collect()
+    # 500 docs, content keyed by doc_id % 40: every cluster size is a
+    # multiple of one group's 12-13 members and all docs are accounted for
+    assert sum(r["n_docs"] for r in rows) == 500
+    assert all(r["n_docs"] >= 12 for r in rows)
+    assert all(len(r["ahash"]) == 64 and set(r["ahash"]) <= {"0", "1"} for r in rows)
+    # keeper is the cluster minimum, checksum consistent with grouped ids
+    assert all(r["keeper_doc_id"] <= r["id_checksum"] / r["n_docs"] for r in rows)
+
+
+# --- Gram-matrix stats -------------------------------------------------------
+
+
+def test_gram_stats_match_numpy(spark):
+    out = {
+        (r["i"], r["j"]): r
+        for r in q_embedding_gram_stats(spark, SF_SMOKE).collect()
+    }
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    y = emb * 4194304
+    # Spark/DuckDB round() is half-away-from-zero; np.round is half-even
+    q = np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)).astype(np.int64)
+    n = q.shape[0]
+    # full upper triangle present
+    assert len(out) == 64 * 65 // 2
+    for i, j in [(0, 0), (0, 63), (17, 42), (63, 63)]:
+        r = out[(i, j)]
+        assert r["gram"] == int(q[:, i] @ q[:, j])
+        assert r["sum_i"] == int(q[:, i].sum())
+        assert r["sum_j"] == int(q[:, j].sum())
+        assert r["n_vecs"] == n
+
+
+# --- hybrid RRF --------------------------------------------------------------
+
+
+def test_rrf_rank_consistency(spark):
+    rows = q_hybrid_rank_fusion(spark, SF_ORACLE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(RRF_QUERY_DOCS)
+    for qid, rs in by_q.items():
+        # fused ranks are dense 1..k, ordered by (rrf desc, doc_id)
+        assert [r["fused_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= RRF_FUSE_K
+        for r in rs:
+            # integer RRF recomputed from the per-modality ranks
+            expect = 0
+            if r["rank_text"] is not None:
+                assert 1 <= r["rank_text"] <= RRF_TOP_N
+                expect += RRF_SCALE // (RRF_K + r["rank_text"])
+            if r["rank_vec"] is not None:
+                assert 1 <= r["rank_vec"] <= RRF_TOP_N
+                expect += RRF_SCALE // (RRF_K + r["rank_vec"])
+            assert r["rrf_score"] == expect
+            assert r["rank_text"] is not None or r["rank_vec"] is not None
+            assert r["doc_id"] != qid  # self excluded from both modalities
+        scores = [r["rrf_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_both_modalities_contribute(spark):
+    rows = q_hybrid_rank_fusion(spark, SF_ORACLE).collect()
+    # a doc ranked by BOTH lists must outrank one ranked by a single list
+    # at similar depth — at minimum, both modalities appear in the output
+    assert any(r["rank_text"] is not None for r in rows)
+    assert any(r["rank_vec"] is not None for r in rows)
+    assert any(
+        r["rank_text"] is not None and r["rank_vec"] is not None for r in rows
+    )
+
+
+# --- calibration -------------------------------------------------------------
+
+
+def test_calibration_partition_and_brier_identity(spark):
+    rows = q_eval_calibration(spark, SF_ORACLE).collect()
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").collect()
+    smax = max(r["n_chars"] for r in docs)
+    assert sum(r["n"] for r in rows) == len(docs)
+    assert all(0 <= r["bin"] < CAL_BINS for r in rows)
+    assert all(r["brier_num"] >= 0 for r in rows)
+    # recompute one bin's Brier numerator from first principles
+    target = rows[0]["bin"]
+    num = sum(
+        (r["n_chars"] - (smax if r["lang"] == "en" else 0)) ** 2
+        for r in docs
+        if (r["n_chars"] * CAL_BINS) // (smax + 1) == target
+    )
+    assert rows[0]["brier_num"] == num
+    # frac_pos and mean_p are exact divisions of the emitted integers
+    for r in rows:
+        assert r["frac_pos"] == r["sum_y"] / r["n"]
+        assert r["mean_p"] == r["sum_score"] / (r["n"] * smax)
