@@ -111,6 +111,9 @@ HEADLINE: list[str] = [
     "q_embedding_gram_stats",
     "q_multimodal_phash_dedup",
     "q_eval_calibration",
+    "q_text_span_dedup",
+    "q_text_pmi_collocations",
+    "q_weighted_median",
 ]
 
 

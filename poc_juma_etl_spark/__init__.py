@@ -148,6 +148,9 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_embedding_gram_stats",
     "q_hybrid_rank_fusion",
     "q_multimodal_phash_dedup",
+    "q_text_span_dedup",
+    "q_text_pmi_collocations",
+    "q_weighted_median",
 )
 
 
@@ -204,6 +207,7 @@ def all_queries():
         "poc_juma_etl_spark.plans.extra6",
         "poc_juma_etl_spark.plans.extra7",
         "poc_juma_etl_spark.plans.extra8",
+        "poc_juma_etl_spark.plans.extra9",
         "poc_juma_etl_spark.plans.mleval",
         "poc_juma_etl_spark.plans.behavior",
         "poc_juma_etl_spark.plans.tpch_extra",

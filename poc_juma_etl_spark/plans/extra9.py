@@ -1,0 +1,329 @@
+"""Round-6c additions: exact repeated-span dedup, PMI collocations, and
+grouped weighted medians.
+
+- **Span-level exact dedup** (``q_text_span_dedup``): the ExactSubstr pass
+  of Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+  Better") re-expressed relationally: instead of a suffix array, slide a
+  k-token shingle window, keep shingles that occur more than once in the
+  corpus, and merge each document's overlapping duplicated shingles into
+  MAXIMAL spans (gaps-and-islands per document). Differs from
+  q_dedup_passage (fixed non-overlapping chunks — misses shifted copies)
+  and q_dedup_winnow_overlap (sampled fingerprints — misses short spans):
+  sliding windows catch every duplicated run of >= k tokens exactly.
+
+- **PMI collocations** (``q_text_pmi_collocations``): pointwise mutual
+  information over adjacent token pairs, ranked by the exact integer
+  proxy (c_xy * N * 2^14) div (c_x * c_y) — the ln() is deliberately
+  absent (transcendental results are not bit-portable, the repo's
+  exactness rule) and monotonicity is preserved, so the ranking is
+  engine-exact. The standard collocation/phrase-mining primitive for
+  tokenizer curricula and stopword discovery.
+
+- **Grouped weighted median** (``q_weighted_median``): smallest value v
+  per group with 2*cumweight(v) >= totalweight, computed over per-value
+  aggregated weights (one groupBy collapses ties BEFORE the window, so
+  the cumulative window runs over distinct values only) — the exact
+  robust-center statistic percentile_approx replaces at scale, kept
+  exact here.
+
+Reference scope: the reference (fe-malveira-87/poc-juma-etl) delegates all
+analytics to BigQuery and has no text/statistics surface; these belong to
+the beyond-reference training-data extension (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..operators.text import SQL_MD5_LONG, md5_long, tokens
+from .queries import register
+
+SPAN_K = 8  # duplicated-run granularity: report runs of >= 8 shared tokens
+PMI_SCALE = 1 << 14
+PMI_MIN_COUNT = 5
+PMI_TOP = 30
+
+
+@register(
+    "q_text_span_dedup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             {SQL_MD5_LONG.format(
+                 x=f"array_to_string(list_slice(ts, i + 1, i + {SPAN_K}), ' ')"
+             )} AS h
+      FROM (
+        SELECT doc_id, ts, unnest(range(0, len(ts) - {SPAN_K} + 1)) AS i
+        FROM tok WHERE len(ts) >= {SPAN_K}
+      )
+    ),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+    hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > {SPAN_K} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM (
+        SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits
+      )
+    ),
+    spans AS (
+      SELECT doc_id, island, COUNT(*) AS n_sh,
+             MAX(pos) - MIN(pos) + {SPAN_K} AS span_tokens
+      FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(n_sh) AS BIGINT) AS n_dup_shingles,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+             CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT p.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           p.n_dup_shingles, p.n_spans, p.dup_tokens, p.max_span_tokens,
+           CAST(p.dup_tokens AS DOUBLE) / len(t.ts) AS dup_ratio
+    FROM per_doc p JOIN tok t USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+    doc=f"Exact duplicated-SPAN detection (the ExactSubstr pass of Lee et "
+    f"al. 2022, suffix-array-free): every sliding {SPAN_K}-token shingle "
+    "that occurs >= 2 times corpus-wide marks its positions; per document "
+    "the marked positions merge into MAXIMAL duplicated spans by gaps-and-"
+    f"islands (break when the gap exceeds {SPAN_K}, i.e. spans no longer "
+    "overlap or touch), reported as span count, covered tokens, longest "
+    "span, and the duplicated-token ratio — the per-doc signal a span-"
+    "level cleaner cuts on. Catches SHIFTED copies that fixed-chunk "
+    "passage dedup misses and short exact runs winnowing samples away. "
+    "Scale shape: shuffles hash on the 60-bit shingle hash (collisions "
+    "~2^-60, deterministic in both engines); the dup-shingle set joins "
+    "back by hash (posting-list size, never n²); island windows partition "
+    "per doc_id over dup positions only — at 100 TB every stage is "
+    "linear in shingle volume, the same envelope as exact dedup.",
+    tags=("text", "dedup", "spans"),
+)
+def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens("text").alias("ts"))
+    sh = (
+        tok.filter(F.size("ts") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(ts) - {SPAN_K}), "
+                    f"i -> concat_ws(' ', slice(ts, i + 1, {SPAN_K})))"
+                )
+            ).alias("pos", "shingle"),
+        )
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), md5_long(F.col("shingle")).alias("h"))
+    )
+    dup = sh.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
+    hits = sh.join(dup.select("h"), "h").select("doc_id", "pos")
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    wcum = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = hits.withColumn("prev", F.lag("pos").over(wl)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > SPAN_K), 1
+            ).otherwise(0)
+        ).over(wcum),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        (F.max("pos") - F.min("pos") + SPAN_K).alias("span_tokens"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("n_sh").cast("bigint").alias("n_dup_shingles"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
+        F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+    )
+    doclen = tok.select("doc_id", F.size("ts").cast("bigint").alias("n_tokens"))
+    return (
+        per_doc.join(doclen, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_shingles",
+            "n_spans",
+            "dup_tokens",
+            "max_span_tokens",
+            (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_text_pmi_collocations",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    uni AS (
+      SELECT u.w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(ts) AS w FROM tok) u GROUP BY u.w
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+    bi AS (
+      SELECT b.w1, b.w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM (
+        SELECT unnest(list_transform(range(1, len(ts)),
+                 i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS b
+        FROM tok WHERE len(ts) >= 2
+      )
+      GROUP BY b.w1, b.w2
+      HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    ),
+    scored AS (
+      SELECT bi.w1, bi.w2, bi.c_xy, u1.c AS c_x, u2.c AS c_y, n.n_tokens,
+             (bi.c_xy * n.n_tokens * {PMI_SCALE}) // (u1.c * u2.c) AS pmi_scaled,
+             CAST(bi.c_xy * n.n_tokens AS DOUBLE)
+               / CAST(u1.c * u2.c AS DOUBLE) AS lift
+      FROM bi JOIN uni u1 ON u1.w = bi.w1
+              JOIN uni u2 ON u2.w = bi.w2
+              CROSS JOIN n
+    )
+    SELECT w1, w2, c_xy, c_x, c_y, n_tokens,
+           CAST(pmi_scaled AS BIGINT) AS pmi_scaled, lift
+    FROM scored
+    ORDER BY pmi_scaled DESC, w1, w2
+    LIMIT {PMI_TOP}
+    """,
+    doc=f"PMI collocation mining over adjacent token pairs (phrase "
+    f"discovery for tokenizer curricula): pairs seen >= {PMI_MIN_COUNT} "
+    f"times rank by the exact integer proxy (c_xy·N·2^14) div (c_x·c_y) — "
+    "monotone in PMI with ln() deliberately absent (transcendental libm "
+    "results are not bit-portable, the repo's exactness rule); the lift "
+    "double divides two exact int64 products, one IEEE op. int64 "
+    "headroom: c_xy·N·2^14 < 2^63 holds to N ~ 2.4e7 tokens even in the "
+    "degenerate one-bigram corpus; real corpora (c_xy ≪ N) clear it far "
+    "beyond — switch the proxy to DECIMAL(38,0) past that. Scale shape: "
+    "unigram and bigram counts are map-side-combinable dictionary "
+    "aggregates; the two count joins are vocabulary-sized, never corpus-"
+    "sized; top-30 is a TakeOrdered, no global sort.",
+    tags=("text", "pmi", "collocations"),
+)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens("text").alias("ts"))
+    uni = (
+        tok.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n = uni.agg(F.sum("c").cast("bigint").alias("n_tokens"))
+    bi = (
+        tok.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2), "
+                    "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    scored = (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            "n_tokens",
+            F.expr(
+                f"(c_xy * n_tokens * {PMI_SCALE}) div (c_x * c_y)"
+            ).cast("bigint").alias("pmi_scaled"),
+            (
+                (F.col("c_xy") * F.col("n_tokens")).cast("double")
+                / (F.col("c_x") * F.col("c_y")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_scaled"), "w1", "w2").limit(PMI_TOP)
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+    WITH per_val AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS val,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT grp, val, w,
+             SUM(w) OVER (PARTITION BY grp ORDER BY val
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY grp) AS tw
+      FROM per_val
+    )
+    SELECT grp, val AS weighted_median, CAST(cw AS BIGINT) AS cum_weight,
+           CAST(tw AS BIGINT) AS total_weight
+    FROM (
+      SELECT grp, val, cw, tw,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY val) AS rn
+      FROM cum WHERE 2 * cw >= tw
+    ) WHERE rn = 1
+    ORDER BY grp
+    """,
+    doc="Grouped weighted median — the exact robust center: smallest "
+    "l_extendedprice per return flag whose cumulative l_quantity weight "
+    "reaches half the group total. Weights aggregate per distinct value "
+    "FIRST (ties collapse before any window), so the cumulative window "
+    "walks distinct values only — at 100 TB that is a groupBy down to "
+    "the value domain plus a per-group window, never a raw-row sort; a "
+    "single-group variant would swap in the range-partitioned prefix sum "
+    "(token-budget exemplar). Quantities are integral by TPC-H "
+    "construction and summed as exact BIGINTs; the median value itself "
+    "is selected, not computed, so no float arithmetic exists anywhere.",
+    tags=("stats", "median", "window"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_val = li.groupBy(
+        F.col("l_returnflag").alias("grp"), F.col("l_extendedprice").alias("val")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("grp")
+    cum = per_val.withColumn("cw", F.sum("w").over(wcum)).withColumn(
+        "tw", F.sum("w").over(wtot)
+    )
+    wrn = Window.partitionBy("grp").orderBy("val")
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(wrn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "grp",
+            F.col("val").alias("weighted_median"),
+            F.col("cw").cast("bigint").alias("cum_weight"),
+            F.col("tw").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("grp")
+    )

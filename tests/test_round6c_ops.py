@@ -153,3 +153,128 @@ def test_calibration_partition_and_brier_identity(spark):
     for r in rows:
         assert r["frac_pos"] == r["sum_y"] / r["n"]
         assert r["mean_p"] == r["sum_score"] / (r["n"] * smax)
+
+
+# --- span dedup / PMI / weighted median (round-6c batch 2) --------------------
+
+
+def _py_tokens(text):
+    import re
+
+    return re.split(r"\s+", text.strip())
+
+
+def test_span_dedup_matches_pure_python(spark):
+    from poc_juma_etl_spark.plans.extra9 import SPAN_K, q_text_span_dedup
+
+    docs = {
+        r["doc_id"]: _py_tokens(r["text"])
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    # corpus-wide shingle occurrence counts (string-exact; the operator's
+    # 60-bit hash is collision-free at this scale by construction)
+    from collections import Counter
+
+    occ = Counter()
+    positions = {}
+    for did, ts in docs.items():
+        pos = []
+        for i in range(len(ts) - SPAN_K + 1):
+            s = " ".join(ts[i : i + SPAN_K])
+            occ[s] += 1
+            pos.append((i, s))
+        positions[did] = pos
+    expect = {}
+    for did, pos in positions.items():
+        dup = sorted(i for i, s in pos if occ[s] >= 2)
+        if not dup:
+            continue
+        spans = []
+        start = prev = dup[0]
+        for p in dup[1:]:
+            if p - prev > SPAN_K:
+                spans.append((start, prev))
+                start = p
+            prev = p
+        spans.append((start, prev))
+        expect[did] = {
+            "n_spans": len(spans),
+            "dup_tokens": sum(e - s + SPAN_K for s, e in spans),
+            "max_span": max(e - s + SPAN_K for s, e in spans),
+            "n_dup_shingles": len(dup),
+        }
+    rows = {r["doc_id"]: r for r in q_text_span_dedup(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(expect)
+    for did, e in expect.items():
+        r = rows[did]
+        assert r["n_spans"] == e["n_spans"]
+        assert r["dup_tokens"] == e["dup_tokens"]
+        assert r["max_span_tokens"] == e["max_span"]
+        assert r["n_dup_shingles"] == e["n_dup_shingles"]
+
+
+def test_pmi_top1_matches_pure_python(spark):
+    from collections import Counter
+
+    from poc_juma_etl_spark.plans.extra9 import (
+        PMI_MIN_COUNT,
+        PMI_SCALE,
+        q_text_pmi_collocations,
+    )
+
+    uni, bi = Counter(), Counter()
+    for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect():
+        ts = _py_tokens(r["text"])
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+    n = sum(uni.values())
+    scored = sorted(
+        (
+            ((c * n * PMI_SCALE) // (uni[w1] * uni[w2]), w1, w2, c)
+            for (w1, w2), c in bi.items()
+            if c >= PMI_MIN_COUNT
+        ),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )
+    rows = q_text_pmi_collocations(spark, SF_SMOKE).collect()
+    assert len(rows) == 30
+    top = rows[0]
+    assert (top["pmi_scaled"], top["w1"], top["w2"], top["c_xy"]) == scored[0]
+    # ranking proxy is monotone with the emitted lift within the output
+    lifts = [(r["pmi_scaled"], r["lift"]) for r in rows]
+    assert all(
+        a_l >= b_l or a_s != b_s
+        for (a_s, a_l), (b_s, b_l) in zip(lifts, lifts[1:])
+    )
+
+
+def test_weighted_median_matches_pure_python(spark):
+    from poc_juma_etl_spark.plans.extra9 import q_weighted_median
+
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    groups = {}
+    for r in li:
+        groups.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], int(r["l_quantity"]))
+        )
+    rows = {r["grp"]: r for r in q_weighted_median(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(groups)
+    for g, vals in groups.items():
+        from collections import defaultdict
+
+        per_val = defaultdict(int)
+        for v, w in vals:
+            per_val[v] += w
+        tot = sum(per_val.values())
+        cum = 0
+        for v in sorted(per_val):
+            cum += per_val[v]
+            if 2 * cum >= tot:
+                assert rows[g]["weighted_median"] == v
+                assert rows[g]["cum_weight"] == cum
+                assert rows[g]["total_weight"] == tot
+                break
