@@ -151,6 +151,10 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_text_span_dedup",
     "q_text_pmi_collocations",
     "q_weighted_median",
+    "q_skew_key_stats",
+    "q_dq_freshness_sla",
+    "q_zonemap_skip_stats",
+    "q_eval_langid_confusion",
 )
 
 

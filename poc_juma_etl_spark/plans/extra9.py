@@ -327,3 +327,372 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+SKEW_TOP = 10
+PPM = 1_000_000
+FRESH_SLA_S = 3 * 86400
+ZM_FILES = 64
+
+
+@register(
+    "q_skew_key_stats",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    totals AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM per_key
+    )
+    SELECT CAST(rn AS INTEGER) AS rank, user_id, cnt,
+           total_rows, n_keys,
+           CAST((cnt * {PPM}) // total_rows AS BIGINT) AS share_ppm,
+           CAST((max_cnt * 100 * n_keys) // total_rows AS BIGINT)
+             AS max_over_mean_x100
+    FROM (
+      SELECT p.user_id, p.cnt, g.total_rows, g.n_keys, g.max_cnt,
+             ROW_NUMBER() OVER (ORDER BY p.cnt DESC, p.user_id) AS rn
+      FROM per_key p CROSS JOIN totals g
+    ) WHERE rn <= {SKEW_TOP}
+    ORDER BY rank
+    """,
+    doc=f"Join-key skew audit — the diagnostic you run BEFORE a 100 TB "
+    "join melts one executor: per-key row counts for events.user_id, the "
+    f"top-{SKEW_TOP} heaviest keys with exact parts-per-million share, "
+    "and the max/mean hot-key ratio (×100, exact integer division) that "
+    "decides between a plain shuffle join, AQE skew splitting, or the "
+    "salting operators (q_salted_skew_join). Plan shape: one map-side-"
+    "combinable groupBy down to the key domain, a TakeOrdered top-k, a "
+    "1-row global aggregate broadcast back — and NO window anywhere: "
+    "rank over the k-row result is a broadcast self-join count, so not "
+    "even a bounded input smuggles a partition-less windowspec into the "
+    "registry (the plan sweep bans the construct outright).",
+    tags=("dq", "skew", "ops"),
+)
+def q_skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    glob = per_key.agg(
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    # top-k FIRST (TakeOrdered — no global window over the key domain);
+    # rank over the k-row result comes from a broadcast self-join count
+    # (rank = 1 + #rows strictly ahead), not a partition-less window —
+    # the registry-wide sweep bans those even over bounded inputs
+    topk = per_key.orderBy(F.desc("cnt"), "user_id").limit(SKEW_TOP)
+    other = topk.select(F.col("user_id").alias("o_uid"), F.col("cnt").alias("o_cnt"))
+    ahead = (F.col("o_cnt") > F.col("cnt")) | (
+        (F.col("o_cnt") == F.col("cnt")) & (F.col("o_uid") < F.col("user_id"))
+    )
+    ranked = (
+        topk.crossJoin(F.broadcast(other))
+        .groupBy("user_id", "cnt")
+        .agg((F.sum(ahead.cast("long")) + 1).cast("int").alias("rank"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(glob))
+        .select(
+            "rank",
+            "user_id",
+            "cnt",
+            "total_rows",
+            "n_keys",
+            F.expr(f"(cnt * {PPM}) div total_rows").cast("bigint").alias("share_ppm"),
+            F.expr("(max_cnt * 100 * n_keys) div total_rows")
+            .cast("bigint")
+            .alias("max_over_mean_x100"),
+        )
+        .orderBy("rank")
+    )
+
+
+@register(
+    "q_dq_freshness_sla",
+    oracle=f"""
+    WITH per_type AS (
+      SELECT event_type, MAX(ts) AS last_ts,
+             CAST(MAX(epoch_us(ts) // 1000000) AS BIGINT) AS last_s
+      FROM events GROUP BY event_type
+    ),
+    totals AS (SELECT MAX(last_s) AS global_s FROM per_type)
+    SELECT p.event_type, p.last_ts,
+           CAST(g.global_s - p.last_s AS BIGINT) AS lag_s,
+           (g.global_s - p.last_s) <= {FRESH_SLA_S} AS within_sla
+    FROM per_type p CROSS JOIN totals g
+    ORDER BY p.event_type
+    """,
+    doc=f"Per-source freshness SLA audit — the pipeline-health staple: each "
+    "event type's last-seen timestamp, its lag behind the freshest source "
+    f"in exact integer seconds, and a {FRESH_SLA_S // 86400}-day SLA "
+    "verdict. A stalled upstream shows up as one red row while the table "
+    "keeps growing from other sources — total-row monitoring alone never "
+    "sees it. Shape: one groupBy to the type domain, a 1-row broadcast, "
+    "map-side arithmetic; the same query over a partitioned warehouse "
+    "table prunes to the newest partitions only.",
+    tags=("dq", "freshness", "ops"),
+)
+def q_dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.max(F.col("ts").cast("long")).cast("bigint").alias("last_s"),
+    )
+    glob = per_type.agg(F.max("last_s").alias("global_s"))
+    return (
+        per_type.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            "last_ts",
+            (F.col("global_s") - F.col("last_s")).cast("bigint").alias("lag_s"),
+            ((F.col("global_s") - F.col("last_s")) <= FRESH_SLA_S).alias("within_sla"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_zonemap_skip_stats",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+      FROM events
+    ),
+    bounds AS (
+      SELECT MIN(sec) AS lo, MAX(sec) AS hi,
+             CAST(MIN(sec) + (MAX(sec) - MIN(sec)) // 3 AS BIGINT) AS q_lo,
+             CAST(MIN(sec) + (MAX(sec) - MIN(sec)) // 3
+                  + (MAX(sec) - MIN(sec)) // 10 AS BIGINT) AS q_hi
+      FROM ev
+    ),
+    placed AS (
+      SELECT e.sec, b.q_lo, b.q_hi,
+             CAST(((e.sec - b.lo) * {ZM_FILES}) // (b.hi - b.lo + 1) AS BIGINT)
+               AS f_sorted,
+             CAST({SQL_MD5_LONG.format(x="CAST(e.event_id AS VARCHAR)")}
+                  % {ZM_FILES} AS BIGINT) AS f_hash
+      FROM ev e CROSS JOIN bounds b
+    ),
+    layouts AS (
+      SELECT 'ts_sorted' AS layout, f_sorted AS file_id, sec, q_lo, q_hi FROM placed
+      UNION ALL
+      SELECT 'insertion_hash', f_hash, sec, q_lo, q_hi FROM placed
+    ),
+    files AS (
+      SELECT layout, file_id, MIN(sec) AS f_min, MAX(sec) AS f_max,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MAX(q_lo) AS q_lo, MAX(q_hi) AS q_hi
+      FROM layouts GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN f_max < q_lo OR f_min > q_hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS files_skipped,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN f_max < q_lo OR f_min > q_hi THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_skipped,
+           CAST(SUM(CASE WHEN f_max < q_lo OR f_min > q_hi THEN n_rows ELSE 0 END)
+                AS DOUBLE) / SUM(n_rows) AS skip_ratio
+    FROM files GROUP BY layout ORDER BY layout
+    """,
+    doc=f"Zone-map (min/max data-skipping) effectiveness, simulated "
+    "relationally: the events table is virtually laid out into "
+    f"{ZM_FILES} files two ways — range-binned by timestamp (what the "
+    "compaction planner + gold materializer produce) vs md5-hash "
+    "placement (insertion order) — and a time-range predicate covering "
+    "~10% of the table's span is tested against each file's min/max "
+    "footer stats. The ts-sorted "
+    "layout skips nearly every file; the hash layout skips ~none: THE "
+    "quantified argument for layout-aware writes at 100 TB, where a "
+    "skipped file is a file never read. All arithmetic is exact integer "
+    "seconds (epoch-truncated); binning is map-side against one broadcast "
+    "bounds row; per-file footers are one groupBy per layout — the "
+    "simulation costs two dictionary-sized shuffles regardless of table "
+    "size. Companion to etl_dpp_prune_e2e (real partition pruning) and "
+    "q_compaction_plan (real layout planning).",
+    tags=("ops", "layout", "zonemap", "skipping"),
+)
+def q_zonemap_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("long").alias("sec")
+    )
+    bounds = ev.agg(
+        F.min("sec").alias("lo"),
+        F.max("sec").alias("hi"),
+        (F.min("sec") + F.expr("(max(sec) - min(sec)) div 3")).alias("q_lo"),
+        (
+            F.min("sec")
+            + F.expr("(max(sec) - min(sec)) div 3")
+            + F.expr("(max(sec) - min(sec)) div 10")
+        ).alias("q_hi"),
+    )
+    placed = ev.crossJoin(F.broadcast(bounds)).select(
+        "sec",
+        "q_lo",
+        "q_hi",
+        F.expr(f"((sec - lo) * {ZM_FILES}) div (hi - lo + 1)")
+        .cast("bigint")
+        .alias("f_sorted"),
+        (md5_long(F.col("event_id").cast("string")) % ZM_FILES)
+        .cast("bigint")
+        .alias("f_hash"),
+    )
+    layouts = placed.select(
+        F.lit("ts_sorted").alias("layout"),
+        F.col("f_sorted").alias("file_id"),
+        "sec",
+        "q_lo",
+        "q_hi",
+    ).unionAll(
+        placed.select(
+            F.lit("insertion_hash").alias("layout"),
+            F.col("f_hash").alias("file_id"),
+            "sec",
+            "q_lo",
+            "q_hi",
+        )
+    )
+    files = layouts.groupBy("layout", "file_id").agg(
+        F.min("sec").alias("f_min"),
+        F.max("sec").alias("f_max"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max("q_lo").alias("q_lo"),
+        F.max("q_hi").alias("q_hi"),
+    )
+    skipped = (F.col("f_max") < F.col("q_lo")) | (F.col("f_min") > F.col("q_hi"))
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(skipped.cast("long")).cast("bigint").alias("files_skipped"),
+            F.sum("n_rows").cast("bigint").alias("rows_total"),
+            F.sum(F.when(skipped, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_skipped"),
+            (
+                F.sum(F.when(skipped, F.col("n_rows")).otherwise(0)).cast("double")
+                / F.sum("n_rows")
+            ).alias("skip_ratio"),
+        )
+        .orderBy("layout")
+    )
+
+
+def _langid_pred_sql() -> str:
+    from ..operators.text import LANG_MARKERS, _lang_score_sql
+
+    scores = ",\n             ".join(
+        f"{_lang_score_sql(lg)} AS score_{lg}" for lg in LANG_MARKERS
+    )
+    return f"""
+    tok AS (
+      SELECT doc_id, lang AS labeled_lang,
+             string_split_regex(trim(text), '\\s+') AS ts
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, labeled_lang,
+             {scores}
+      FROM tok
+    ),
+    pred AS (
+      SELECT doc_id, labeled_lang,
+             CASE greatest(score_en, score_es, score_fr, score_de, score_zh)
+               WHEN score_en THEN 'en' WHEN score_es THEN 'es'
+               WHEN score_fr THEN 'fr' WHEN score_de THEN 'de'
+               ELSE 'zh' END AS predicted_lang
+      FROM scores
+    )"""
+
+
+@register(
+    "q_eval_langid_confusion",
+    oracle=f"""
+    WITH {_langid_pred_sql()},
+    gold AS (
+      SELECT labeled_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_gold
+      FROM pred GROUP BY 1
+    ),
+    predm AS (
+      SELECT predicted_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_pred
+      FROM pred GROUP BY 1
+    ),
+    tp AS (
+      SELECT labeled_lang AS lang, CAST(COUNT(*) AS BIGINT) AS tp
+      FROM pred WHERE labeled_lang = predicted_lang GROUP BY 1
+    )
+    SELECT COALESCE(g.lang, p.lang) AS lang,
+           COALESCE(g.n_gold, 0) AS n_gold,
+           COALESCE(p.n_pred, 0) AS n_pred,
+           COALESCE(t.tp, 0) AS tp,
+           CAST(COALESCE(t.tp, 0) AS DOUBLE)
+             / NULLIF(CAST(COALESCE(p.n_pred, 0) AS DOUBLE), 0) AS precision_,
+           CAST(COALESCE(t.tp, 0) AS DOUBLE)
+             / NULLIF(CAST(COALESCE(g.n_gold, 0) AS DOUBLE), 0) AS recall_,
+           CAST(2 * COALESCE(t.tp, 0) AS DOUBLE)
+             / NULLIF(CAST(COALESCE(g.n_gold, 0) + COALESCE(p.n_pred, 0) AS DOUBLE), 0)
+             AS f1
+    FROM gold g
+    FULL OUTER JOIN predm p ON p.lang = g.lang
+    LEFT JOIN tp t ON t.lang = COALESCE(g.lang, p.lang)
+    ORDER BY lang
+    """,
+    doc="Classifier-quality audit of the marker-lexicon language ID "
+    "(q_text_langid) against the gold lang column: per-language support, "
+    "prediction count, true positives, and precision/recall/F1 — each a "
+    "SINGLE division of exact int64 counts (F1 via the 2·TP/(gold+pred) "
+    "identity, so no compound float expression exists), degenerate "
+    "classes NULL not fabricated. The eval loop every heuristic filter "
+    "in a curation pipeline needs before it gates data; at 100 TB the "
+    "whole audit reduces to three class-domain-sized count aggregates "
+    "over one prediction scan.",
+    tags=("eval", "langid", "confusion"),
+)
+def q_eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import q_text_langid
+
+    pred = q_text_langid(spark, sf_dir).select("labeled_lang", "predicted_lang")
+    gold = pred.groupBy(F.col("labeled_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gold")
+    )
+    predm = pred.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred")
+    )
+    tp = (
+        pred.filter(F.col("labeled_lang") == F.col("predicted_lang"))
+        .groupBy(F.col("labeled_lang").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tp"))
+    )
+    joined = (
+        gold.join(predm, "lang", "full_outer")
+        .join(tp, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_gold", F.lit(0)).cast("bigint").alias("n_gold"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    return joined.select(
+        "lang",
+        "n_gold",
+        "n_pred",
+        "tp",
+        (
+            F.col("tp").cast("double")
+            / F.nullif(F.col("n_pred").cast("double"), F.lit(0.0))
+        ).alias("precision_"),
+        (
+            F.col("tp").cast("double")
+            / F.nullif(F.col("n_gold").cast("double"), F.lit(0.0))
+        ).alias("recall_"),
+        (
+            (2 * F.col("tp")).cast("double")
+            / F.nullif((F.col("n_gold") + F.col("n_pred")).cast("double"), F.lit(0.0))
+        ).alias("f1"),
+    ).orderBy("lang")

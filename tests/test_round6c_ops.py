@@ -278,3 +278,55 @@ def test_weighted_median_matches_pure_python(spark):
                 assert rows[g]["cum_weight"] == cum
                 assert rows[g]["total_weight"] == tot
                 break
+
+
+# --- ops diagnostics (round-6c batch 3) ---------------------------------------
+
+
+def test_skew_key_stats_matches_pure_python(spark):
+    from collections import Counter
+
+    from poc_juma_etl_spark.plans.extra9 import PPM, SKEW_TOP, q_skew_key_stats
+
+    cnt = Counter(
+        r["user_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id")
+        .collect()
+    )
+    total = sum(cnt.values())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:SKEW_TOP]
+    rows = q_skew_key_stats(spark, SF_SMOKE).collect()
+    assert [(r["user_id"], r["cnt"]) for r in rows] == top
+    mx = max(cnt.values())
+    for r in rows:
+        assert r["share_ppm"] == (r["cnt"] * PPM) // total
+        assert r["n_keys"] == len(cnt)
+        assert r["total_rows"] == total
+        assert r["max_over_mean_x100"] == (mx * 100 * len(cnt)) // total
+
+
+def test_freshness_sla_lags(spark):
+    from poc_juma_etl_spark.plans.extra9 import FRESH_SLA_S, q_dq_freshness_sla
+
+    rows = q_dq_freshness_sla(spark, SF_SMOKE).collect()
+    assert rows, "events fixture has types"
+    assert any(r["lag_s"] == 0 for r in rows)  # the freshest source
+    for r in rows:
+        assert r["lag_s"] >= 0
+        assert r["within_sla"] == (r["lag_s"] <= FRESH_SLA_S)
+
+
+def test_zonemap_sorted_layout_skips_hash_layout_does_not(spark):
+    from poc_juma_etl_spark.plans.extra9 import ZM_FILES, q_zonemap_skip_stats
+
+    rows = {r["layout"]: r for r in q_zonemap_skip_stats(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"ts_sorted", "insertion_hash"}
+    srt, hsh = rows["ts_sorted"], rows["insertion_hash"]
+    assert srt["rows_total"] == hsh["rows_total"]
+    assert srt["n_files"] <= ZM_FILES and hsh["n_files"] <= ZM_FILES
+    # range-binned layout skips most files for a ~10%-of-range predicate;
+    # hash placement gives every file full time spread
+    assert srt["skip_ratio"] > 0.8
+    assert hsh["files_skipped"] == 0
+    assert srt["files_skipped"] >= ZM_FILES // 2
