@@ -116,6 +116,8 @@ HEADLINE: list[str] = [
     "q_weighted_median",
     "q_skew_key_stats",
     "q_zonemap_skip_stats",
+    "q_dq_referential_integrity",
+    "q_event_trigram_paths",
 ]
 
 

@@ -155,6 +155,8 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_dq_freshness_sla",
     "q_zonemap_skip_stats",
     "q_eval_langid_confusion",
+    "q_dq_referential_integrity",
+    "q_event_trigram_paths",
 )
 
 

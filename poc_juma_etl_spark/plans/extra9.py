@@ -696,3 +696,147 @@ def q_eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif((F.col("n_gold") + F.col("n_pred")).cast("double"), F.lit(0.0))
         ).alias("f1"),
     ).orderBy("lang")
+
+
+_RI_RELS = (
+    # (name, child table, child key, parent table, parent key)
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _ri_sql(name: str, ct: str, ck: str, pt: str, pk: str) -> str:
+    return f"""
+      SELECT '{name}' AS relationship,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct}) AS child_rows,
+             (SELECT CAST(COUNT(DISTINCT {ck}) AS BIGINT) FROM {ct}) AS child_keys,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct}
+               WHERE {ck} IS NOT NULL
+                 AND {ck} NOT IN (SELECT {pk} FROM {pt} WHERE {pk} IS NOT NULL))
+               AS orphan_rows,
+             (SELECT CAST(COUNT(DISTINCT {ck}) AS BIGINT) FROM {ct}
+               WHERE {ck} IS NOT NULL
+                 AND {ck} NOT IN (SELECT {pk} FROM {pt} WHERE {pk} IS NOT NULL))
+               AS orphan_keys,
+             (SELECT COUNT(*) FROM {ct}
+               WHERE {ck} IS NOT NULL
+                 AND {ck} NOT IN (SELECT {pk} FROM {pt} WHERE {pk} IS NOT NULL)) = 0
+               AS ok"""
+
+
+@register(
+    "q_dq_referential_integrity",
+    oracle=" UNION ALL ".join(_ri_sql(*rel) for rel in _RI_RELS)
+    + "\n    ORDER BY relationship",
+    doc="Warehouse-wide referential-integrity audit: every declared "
+    f"foreign-key relationship ({len(_RI_RELS)} across the star schema + "
+    "events) checked in one query — child row/key totals, orphan rows and "
+    "orphan keys via LEFT ANTI join against the parent key set, and an "
+    "ok verdict per edge. The load-time DQ gate a warehouse runs after "
+    "every batch: one red row names the broken edge AND its blast radius "
+    "(rows vs keys separates one corrupt key from a systemic miss). "
+    "Scale shape: each check is an anti join that broadcasts the parent "
+    "key set when small (dims here) and hash-shuffles on the key "
+    "otherwise; the eight checks are independent Spark jobs over "
+    "column-pruned scans (key columns only reach the parquet reader), "
+    "so wall-clock is the widest single child scan.",
+    tags=("dq", "integrity", "ops"),
+)
+def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, ct, ck, pt, pk in _RI_RELS:
+        child = load_table(spark, sf_dir, ct).select(F.col(ck).alias("k"))
+        parent = load_table(spark, sf_dir, pt).select(F.col(pk).alias("k")).distinct()
+        tot = child.agg(
+            F.count(F.lit(1)).cast("bigint").alias("child_rows"),
+            F.countDistinct("k").cast("bigint").alias("child_keys"),
+        )
+        orph = (
+            child.filter(F.col("k").isNotNull())
+            .join(parent, "k", "left_anti")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("orphan_rows"),
+                F.countDistinct("k").cast("bigint").alias("orphan_keys"),
+            )
+        )
+        row = (
+            tot.crossJoin(F.broadcast(orph))
+            .select(
+                F.lit(name).alias("relationship"),
+                "child_rows",
+                "child_keys",
+                "orphan_rows",
+                "orphan_keys",
+                (F.col("orphan_rows") == 0).alias("ok"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relationship")
+
+
+PATH_TOP = 20
+
+
+@register(
+    "q_event_trigram_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+      SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE e3 IS NOT NULL GROUP BY e1, e2, e3
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tri)
+    SELECT e1, e2, e3, cnt, total,
+           CAST((cnt * 1000000) // total AS BIGINT) AS share_ppm
+    FROM tri CROSS JOIN tot
+    ORDER BY cnt DESC, e1, e2, e3
+    LIMIT {PATH_TOP}
+    """,
+    doc=f"Top user journeys: per-user event TRIGRAMS (two LEADs over the "
+    "user-partitioned time order, ties broken by event_id) counted "
+    f"corpus-wide, top-{PATH_TOP} with exact ppm share — the three-step "
+    "extension of the Markov transition matrix (q_event_transitions), "
+    "where funnel designers actually look (A->B->A loops, dead-end "
+    "pairs). Shape: the window partitions on user_id (session-sized "
+    "state), trigram counts are map-side combinable, top-k is a "
+    "TakeOrdered — no global sort, no pair joins, linear at any event "
+    "volume.",
+    tags=("events", "paths", "behavior"),
+)
+def q_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    tri = seq.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = tri.agg(F.sum("cnt").cast("bigint").alias("total"))
+    return (
+        tri.crossJoin(F.broadcast(tot))
+        .select(
+            "e1",
+            "e2",
+            "e3",
+            "cnt",
+            "total",
+            F.expr("(cnt * 1000000) div total").cast("bigint").alias("share_ppm"),
+        )
+        .orderBy(F.desc("cnt"), "e1", "e2", "e3")
+        .limit(PATH_TOP)
+    )

@@ -330,3 +330,43 @@ def test_zonemap_sorted_layout_skips_hash_layout_does_not(spark):
     assert srt["skip_ratio"] > 0.8
     assert hsh["files_skipped"] == 0
     assert srt["files_skipped"] >= ZM_FILES // 2
+
+
+def test_referential_integrity_all_edges(spark):
+    from poc_juma_etl_spark.plans.extra9 import _RI_RELS, q_dq_referential_integrity
+
+    rows = {r["relationship"]: r for r in q_dq_referential_integrity(spark, SF_SMOKE).collect()}
+    assert set(rows) == {r[0] for r in _RI_RELS}
+    for r in rows.values():
+        assert r["ok"] == (r["orphan_rows"] == 0)
+        assert r["orphan_keys"] <= r["orphan_rows"]
+        assert r["child_keys"] <= r["child_rows"]
+    # the TPC-H star edges are constructed consistent in the fixture
+    assert rows["lineitem.l_orderkey->orders"]["ok"]
+    assert rows["nation.n_regionkey->region"]["ok"]
+
+
+def test_trigram_paths_match_pure_python(spark):
+    from collections import Counter
+
+    from poc_juma_etl_spark.plans.extra9 import PATH_TOP, q_event_trigram_paths
+
+    ev = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    tri = Counter()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r["event_type"])
+    for seq in by_user.values():
+        tri.update(zip(seq, seq[1:], seq[2:]))
+    total = sum(tri.values())
+    expect = sorted(tri.items(), key=lambda kv: (-kv[1], kv[0]))[:PATH_TOP]
+    rows = q_event_trigram_paths(spark, SF_SMOKE).collect()
+    assert [((r["e1"], r["e2"], r["e3"]), r["cnt"]) for r in rows] == expect
+    for r in rows:
+        assert r["total"] == total
+        assert r["share_ppm"] == (r["cnt"] * 1_000_000) // total
