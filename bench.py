@@ -118,6 +118,7 @@ HEADLINE: list[str] = [
     "q_zonemap_skip_stats",
     "q_dq_referential_integrity",
     "q_event_trigram_paths",
+    "q_graph_kcore",
 ]
 
 

@@ -157,6 +157,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_eval_langid_confusion",
     "q_dq_referential_integrity",
     "q_event_trigram_paths",
+    "q_graph_kcore",
 )
 
 

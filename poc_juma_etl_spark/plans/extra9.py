@@ -840,3 +840,141 @@ def q_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "e1", "e2", "e3")
         .limit(PATH_TOP)
     )
+
+
+KCORE_K = 130
+KCORE_ROUNDS = 8
+
+
+def _kcore_sql() -> str:
+    parts = [
+        """e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )""",
+        "s0 AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)",
+        "n0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM s0)",
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f"""n{r} AS MATERIALIZED (
+      SELECT u AS node FROM s{p} GROUP BY u HAVING COUNT(*) >= {KCORE_K}
+    )"""
+        )
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+      SELECT s.u, s.v FROM s{p} s
+      JOIN n{r} a ON a.node = s.u JOIN n{r} b ON b.node = s.v
+    )"""
+        )
+    stats = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, (SELECT COUNT(*) FROM n{r - 1}) - "
+        f"(SELECT COUNT(*) FROM n{r}) AS n_removed, "
+        f"(SELECT COUNT(*) FROM n{r}) AS n_remaining"
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    last = f"n{KCORE_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    , rounds AS ({stats})
+    SELECT CAST(round AS INTEGER) AS round,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(n_remaining AS BIGINT) AS n_remaining,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {last}) AS core_size,
+           (SELECT CAST(COALESCE(SUM(node), 0) AS BIGINT) FROM {last})
+             AS core_id_sum,
+           (SELECT COUNT(*) FROM n{KCORE_ROUNDS - 1}) =
+             (SELECT COUNT(*) FROM {last}) AS converged
+    FROM rounds ORDER BY round"""
+    )
+
+
+@register(
+    "q_graph_kcore",
+    oracle=_kcore_sql(),
+    doc=f"k-core decomposition by iterative peeling over the part "
+    f"co-purchase graph: {KCORE_ROUNDS} rounds of 'drop nodes with degree "
+    f"< {KCORE_K}, keep only edges between survivors', reporting per-round "
+    "removals, the surviving core size, an id-sum content check, and a "
+    "converged verdict (last round removed nothing). Defining the output "
+    "as exactly R peels (rather than 'until fixpoint') keeps it well-"
+    "defined at ANY scale and lets the oracle replay the same R rounds as "
+    "a MATERIALIZED CTE chain — the iterative-oracle recipe of PageRank/"
+    "BPE/Lloyd applied to graph peeling. Spark shape per round: one "
+    "degree groupBy + two semi joins filtering the edge list, each "
+    "hash-partitioned on node id; the edge list shrinks monotonically, "
+    "and an early exit fires when a round removes nothing (the remaining "
+    "no-op rounds are free in both engines by definition). The dense-core "
+    "mining primitive for community seeds and spam-cluster detection.",
+    tags=("graph", "kcore", "iterative"),
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+    )
+    sym = pairs.union(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    prev_n = sym.select("u").distinct().count()
+    rounds = []
+    core = None
+    for r in range(1, KCORE_ROUNDS + 1):
+        surv = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select(F.col("u").alias("node"))
+        )
+        sym = (
+            sym.join(surv.select(F.col("node").alias("u")), "u")
+            .join(surv.select(F.col("node").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        core = surv
+        n_now = sym.select("u").distinct().count() if r < KCORE_ROUNDS else None
+        # the survivor set IS the next round's node universe; count it from
+        # the peeled edges (isolated survivors cannot exist: degree >= k > 0
+        # means every survivor keeps at least one peer until edges drop it
+        # next round) — count survivors directly to include edge-loss cases
+        n_surv = core.count()
+        rounds.append((r, prev_n - n_surv, n_surv))
+        if prev_n == n_surv:
+            # converged: the remaining rounds are no-ops BY DEFINITION —
+            # fill them in without running more Spark jobs
+            for rr in range(r + 1, KCORE_ROUNDS + 1):
+                rounds.append((rr, 0, n_surv))
+            break
+        prev_n = n_surv
+    core_rows = core.agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_size"),
+        F.coalesce(F.sum("node"), F.lit(0)).cast("bigint").alias("core_id_sum"),
+    ).collect()[0]
+    converged = rounds[-1][1] == 0
+    out = spark.createDataFrame(
+        [
+            (r, rem, left, int(core_rows["core_size"]), int(core_rows["core_id_sum"]), converged)
+            for r, rem, left in rounds
+        ],
+        "round int, n_removed bigint, n_remaining bigint, "
+        "core_size bigint, core_id_sum bigint, converged boolean",
+    )
+    return out.orderBy("round")

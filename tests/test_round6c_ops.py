@@ -370,3 +370,44 @@ def test_trigram_paths_match_pure_python(spark):
     for r in rows:
         assert r["total"] == total
         assert r["share_ppm"] == (r["cnt"] * 1_000_000) // total
+
+
+def test_kcore_peeling_invariants(spark):
+    from poc_juma_etl_spark.plans.extra9 import KCORE_K, KCORE_ROUNDS, q_graph_kcore
+
+    rows = q_graph_kcore(spark, SF_SMOKE).collect()
+    assert [r["round"] for r in rows] == list(range(1, KCORE_ROUNDS + 1))
+    rem = [r["n_remaining"] for r in rows]
+    assert rem == sorted(rem, reverse=True)  # node count never grows
+    assert all(r["n_removed"] >= 0 for r in rows)
+    assert rows[-1]["n_remaining"] == rows[0]["core_size"] == rows[-1]["core_size"]
+    if rows[-1]["converged"]:
+        assert rows[-1]["n_removed"] == 0
+    # every survivor of the final round has degree >= k inside the core:
+    # re-derive the core edge set in pure python from the fixture
+    import itertools
+    from collections import defaultdict
+
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in baskets.values():
+        edges.update(itertools.combinations(sorted(parts), 2))
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    nodes = set(adj)
+    for _ in range(KCORE_ROUNDS):
+        keep = {n for n in nodes if sum(1 for p in adj[n] if p in nodes) >= KCORE_K}
+        if keep == nodes:
+            break
+        nodes = keep
+    assert rows[-1]["core_size"] == len(nodes)
+    assert rows[-1]["core_id_sum"] == sum(nodes)
