@@ -119,6 +119,7 @@ HEADLINE: list[str] = [
     "q_dq_referential_integrity",
     "q_event_trigram_paths",
     "q_graph_kcore",
+    "q_corpus_export_manifest",
 ]
 
 

@@ -158,6 +158,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_dq_referential_integrity",
     "q_event_trigram_paths",
     "q_graph_kcore",
+    "q_corpus_export_manifest",
 )
 
 

@@ -151,9 +151,13 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_pipeline_keep",
-    oracle=f"""
+# Shared oracle prelude: the full curation pipeline up to the per-component
+# quality ranking (near-dup edges -> recursive-CTE components -> quality
+# scores). q_dedup_pipeline_keep selects the winners from it;
+# q_corpus_export_manifest (plans/extra9.py) continues it through token-
+# budget selection and shard manifests. ONE definition so the pipeline
+# semantics can never drift between the two gates.
+SQL_PIPELINE_RANKED = f"""
     WITH RECURSIVE
     tok AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
@@ -210,6 +214,13 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
       FROM scored
     )
+"""
+
+
+@register(
+    "q_dedup_pipeline_keep",
+    oracle=SQL_PIPELINE_RANKED
+    + """
     SELECT component, doc_id AS kept_doc_id, quality_score AS kept_quality, n_members
     FROM ranked WHERE rk = 1
     ORDER BY component

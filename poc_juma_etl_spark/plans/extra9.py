@@ -978,3 +978,89 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "core_size bigint, core_id_sum bigint, converged boolean",
     )
     return out.orderBy("round")
+
+
+EXPORT_BUDGET = 20_000  # token budget: partial selection at every fixture SF
+EXPORT_SHARDS = 16
+
+
+def _export_manifest_sql() -> str:
+    from ..operators.components import SQL_PIPELINE_RANKED
+
+    return (
+        SQL_PIPELINE_RANKED
+        + f""",
+    kept2 AS (
+      SELECT doc_id, quality_score AS quality FROM ranked WHERE rk = 1
+    ),
+    ntok AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM tok),
+    sel AS (
+      SELECT k.doc_id, n.n_tokens,
+             SUM(n.n_tokens) OVER (
+               ORDER BY k.quality DESC, k.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM kept2 k JOIN ntok n USING (doc_id)
+    ),
+    chosen AS (
+      SELECT doc_id, n_tokens, cum_tokens FROM sel
+      WHERE cum_tokens <= {EXPORT_BUDGET}
+    )
+    SELECT CAST({SQL_MD5_LONG.format(x="CAST(doc_id AS VARCHAR)")}
+                % {EXPORT_SHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(MAX(cum_tokens) AS BIGINT) AS max_cum_tokens
+    FROM chosen GROUP BY 1 ORDER BY shard"""
+    )
+
+
+@register(
+    "q_corpus_export_manifest",
+    oracle=_export_manifest_sql(),
+    doc=f"The curation pipeline's LAST MILE, end-to-end in one declarative "
+    "plan: near-dup edges → connected components → keep-best-quality per "
+    f"cluster (q_dedup_pipeline_keep, reused as a DataFrame) → {EXPORT_BUDGET}"
+    "-token budget selection via the range-partitioned global prefix sum "
+    f"(operators/sampling.budget_select, reused) → deterministic "
+    f"{EXPORT_SHARDS}-way md5 sharding → the per-shard manifest a training "
+    "job consumes (doc counts, token sums, id checksums, coverage bounds). "
+    "Every stage is an already-gated operator COMPOSED at the DataFrame "
+    "level — the demonstration that the engine's pieces snap together into "
+    "a real export run; the oracle replays the entire chain (recursive-CTE "
+    "components included) off one shared SQL prelude, so pipeline "
+    "semantics cannot drift between the stage gates and this composition. "
+    "Scale shape is inherited stage-wise: shingle-hash shuffles, label "
+    "propagation, the no-global-window prefix sum, one manifest groupBy.",
+    tags=("export", "pipeline", "manifest", "composition"),
+)
+def q_corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import q_dedup_pipeline_keep
+    from ..operators.sampling import budget_select
+
+    keep = q_dedup_pipeline_keep(spark, sf_dir).select(
+        F.col("kept_doc_id").alias("doc_id"), F.col("kept_quality").alias("quality")
+    )
+    ntok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    scored = keep.join(ntok, "doc_id")
+    sel = budget_select(spark, scored, EXPORT_BUDGET)
+    return (
+        sel.withColumn(
+            "shard",
+            (md5_long(F.col("doc_id").cast("string")) % EXPORT_SHARDS).cast("bigint"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+            F.max("cum_tokens").cast("bigint").alias("max_cum_tokens"),
+        )
+        .orderBy("shard")
+    )

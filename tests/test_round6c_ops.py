@@ -411,3 +411,39 @@ def test_kcore_peeling_invariants(spark):
         nodes = keep
     assert rows[-1]["core_size"] == len(nodes)
     assert rows[-1]["core_id_sum"] == sum(nodes)
+
+
+def test_export_manifest_composition_consistency(spark):
+    from poc_juma_etl_spark.operators.components import q_dedup_pipeline_keep
+    from poc_juma_etl_spark.operators.sampling import budget_select
+    from poc_juma_etl_spark.plans.extra9 import (
+        EXPORT_BUDGET,
+        EXPORT_SHARDS,
+        q_corpus_export_manifest,
+    )
+
+    rows = q_corpus_export_manifest(spark, SF_SMOKE).collect()
+    assert 1 <= len(rows) <= EXPORT_SHARDS
+    total_tokens = sum(r["shard_tokens"] for r in rows)
+    assert total_tokens <= EXPORT_BUDGET
+    assert max(r["max_cum_tokens"] for r in rows) <= EXPORT_BUDGET
+    # the manifest must cover EXACTLY the budget_select of the keep set —
+    # recompute the selection through the same public operators
+    keep = q_dedup_pipeline_keep(spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    import re
+
+    ntok = {r["doc_id"]: len(re.split(r"\s+", r["text"].strip())) for r in docs}
+    kept = sorted(
+        ((r["kept_quality"], r["kept_doc_id"]) for r in keep.collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    # budget_select keeps the ordered prefix with inclusive cum <= budget
+    # (cum is monotone, so the first overflow ends the prefix for good)
+    cum, prefix = 0, []
+    for q, did in kept:
+        cum += ntok[did]
+        if cum <= EXPORT_BUDGET:
+            prefix.append(did)
+    assert sum(r["n_docs"] for r in rows) == len(prefix)
+    assert sum(r["id_checksum"] for r in rows) == sum(prefix)
