@@ -159,6 +159,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_event_trigram_paths",
     "q_graph_kcore",
     "q_corpus_export_manifest",
+    "etl_wap_publish_e2e",
 )
 
 

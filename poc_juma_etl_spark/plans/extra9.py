@@ -1064,3 +1064,95 @@ def q_corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "etl_wap_publish_e2e",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           TRUE AS audit_pass, TRUE AS published
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Write-Audit-Publish e2e — the warehouse promotion pattern that "
+    "keeps bad batches out of consumer view: the daily per-type gold "
+    "rollup lands in a STAGING directory; an audit re-reads the staged "
+    "files and reconciles exact-integer invariants (row counts, event "
+    "totals, event_id checksums) against the source aggregates; ONLY a "
+    "passing audit is re-written to the publish location, which consumers "
+    "then read. The emitted audit_pass/published booleans are the REAL "
+    "comparison results over the staged bytes — a corrupted write, lost "
+    "partition, or double-publish flips them and the hash gate fails. "
+    "Checksums are integer event_id sums (never float sums — order-"
+    "dependent). At scale the audit is one aggregate over footer-pruned "
+    "staged files vs one over the source — two cheap scans buying "
+    "atomic-visibility semantics on a plain object store.",
+    tags=("etl", "wap", "publish", "dq"),
+)
+def etl_wap_publish_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        "event_type",
+        "event_id",
+    )
+    gold = ev.groupBy("event_date", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+    )
+    if ev.isEmpty():
+        return gold.groupBy("event_type").agg(
+            F.countDistinct("event_date").cast("bigint").alias("n_days"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("id_checksum").cast("bigint").alias("id_checksum"),
+            F.lit(True).alias("audit_pass"),
+            F.lit(True).alias("published"),
+        ).orderBy("event_type")
+    stage = tempfile.mkdtemp(prefix="wap_stage_")
+    publish = tempfile.mkdtemp(prefix="wap_publish_")
+    try:
+        gold.write.mode("overwrite").parquet(stage)
+        staged = spark.read.parquet(stage)
+        # audit: exact-integer reconciliation of the STAGED bytes vs source
+        a = staged.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_events").alias("n"),
+            F.sum("id_checksum").alias("ck"),
+        ).collect()[0]
+        b = ev.agg(
+            F.countDistinct("event_date", "event_type").alias("rows"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("ck"),
+        ).collect()[0]
+        audit_pass = (a["rows"], a["n"], a["ck"]) == (b["rows"], b["n"], b["ck"])
+        published = False
+        if audit_pass:
+            staged.write.mode("overwrite").parquet(publish)
+            published = True
+        consumer = spark.read.parquet(publish) if published else staged.limit(0)
+        out = (
+            consumer.groupBy("event_type")
+            .agg(
+                F.countDistinct("event_date").cast("bigint").alias("n_days"),
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.sum("id_checksum").cast("bigint").alias("id_checksum"),
+            )
+            .select(
+                "event_type",
+                "n_days",
+                "n_events",
+                "id_checksum",
+                F.lit(audit_pass).alias("audit_pass"),
+                F.lit(published).alias("published"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(publish, ignore_errors=True)
+    return out

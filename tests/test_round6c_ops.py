@@ -447,3 +447,23 @@ def test_export_manifest_composition_consistency(spark):
             prefix.append(did)
     assert sum(r["n_docs"] for r in rows) == len(prefix)
     assert sum(r["id_checksum"] for r in rows) == sum(prefix)
+
+
+def test_wap_publish_audit_and_totals(spark):
+    from poc_juma_etl_spark.plans.extra9 import etl_wap_publish_e2e
+
+    rows = etl_wap_publish_e2e(spark, SF_SMOKE).collect()
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_type", "event_id")
+        .collect()
+    )
+    assert all(r["audit_pass"] and r["published"] for r in rows)
+    from collections import defaultdict
+
+    n, ck = defaultdict(int), defaultdict(int)
+    for r in ev:
+        n[r["event_type"]] += 1
+        ck[r["event_type"]] += r["event_id"]
+    assert {r["event_type"]: r["n_events"] for r in rows} == dict(n)
+    assert {r["event_type"]: r["id_checksum"] for r in rows} == dict(ck)
