@@ -120,6 +120,8 @@ HEADLINE: list[str] = [
     "q_event_trigram_paths",
     "q_graph_kcore",
     "q_corpus_export_manifest",
+    "etl_wap_publish_e2e",
+    "q_event_seasonality_profile",
 ]
 
 

@@ -160,6 +160,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_graph_kcore",
     "q_corpus_export_manifest",
     "etl_wap_publish_e2e",
+    "q_event_seasonality_profile",
 )
 
 

@@ -1156,3 +1156,57 @@ def etl_wap_publish_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(publish, ignore_errors=True)
     return out
+
+
+@register(
+    "q_event_seasonality_profile",
+    oracle="""
+    WITH hr AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
+               AS value_sum
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS type_total FROM hr GROUP BY 1
+    )
+    SELECT h.event_type, h.hour, h.n, t.type_total, h.value_sum,
+           CAST((h.n * 24 * 100) // t.type_total AS BIGINT) AS index_x100
+    FROM hr h JOIN tot t USING (event_type)
+    ORDER BY h.event_type, h.hour
+    """,
+    doc="Hour-of-day seasonality profile per event type: activity counts, "
+    "decimal-summed value totals (the string-hop conversion — float sums "
+    "are order-dependent, decimal partials are not), and the seasonal "
+    "index n·24·100 div type_total (100 = flat; exact integer division) — "
+    "the load-shaping/capacity primitive behind cron placement and "
+    "anomaly baselines (a 3 a.m. spike is invisible against a daily "
+    "total, obvious against its hourly index). Shape: one (type, hour) "
+    "groupBy — 24×|types| rows — plus a type-domain broadcast; trivially "
+    "partition-prunable when events is date-partitioned.",
+    tags=("events", "seasonality", "timeseries"),
+)
+def q_event_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import dec_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dec_to_double(F.sum(F.col("value").cast("decimal(25,6)"))).alias("value_sum"),
+    )
+    tot = hr.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("type_total"))
+    return (
+        hr.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            "type_total",
+            "value_sum",
+            F.expr("(n * 24 * 100) div type_total").cast("bigint").alias("index_x100"),
+        )
+        .orderBy("event_type", "hour")
+    )

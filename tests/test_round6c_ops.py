@@ -467,3 +467,20 @@ def test_wap_publish_audit_and_totals(spark):
         ck[r["event_type"]] += r["event_id"]
     assert {r["event_type"]: r["n_events"] for r in rows} == dict(n)
     assert {r["event_type"]: r["id_checksum"] for r in rows} == dict(ck)
+
+
+def test_seasonality_profile_indices(spark):
+    from poc_juma_etl_spark.plans.extra9 import q_event_seasonality_profile
+
+    rows = q_event_seasonality_profile(spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        total = rs[0]["type_total"]
+        assert sum(r["n"] for r in rs) == total
+        assert all(0 <= r["hour"] <= 23 for r in rs)
+        for r in rs:
+            assert r["index_x100"] == (r["n"] * 24 * 100) // total
+        # indices average ~100 by construction (integer division undershoots)
+        assert sum(r["index_x100"] for r in rs) / len(rs) <= 100 * 24 / len(rs) * 1.05
