@@ -161,6 +161,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_corpus_export_manifest",
     "etl_wap_publish_e2e",
     "q_event_seasonality_profile",
+    "q_stream_rest_source_scan",
 )
 
 
@@ -254,6 +255,7 @@ def all_queries():
         "poc_juma_etl_spark.streaming.stateful",
         "poc_juma_etl_spark.streaming.sink",
         "poc_juma_etl_spark.sources.rest_api",
+        "poc_juma_etl_spark.sources.rest_stream",
         "poc_juma_etl_spark.sources.rest_sink",
     ):
         import importlib

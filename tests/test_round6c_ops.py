@@ -484,3 +484,31 @@ def test_seasonality_profile_indices(spark):
             assert r["index_x100"] == (r["n"] * 24 * 100) // total
         # indices average ~100 by construction (integer division undershoots)
         assert sum(r["index_x100"] for r in rs) / len(rs) <= 100 * 24 / len(rs) * 1.05
+
+
+def test_rest_stream_reader_offset_contract():
+    from poc_juma_etl_spark.sources.rest_stream import (
+        STREAM_PAGE_SIZE,
+        RestStreamReader,
+    )
+
+    r = RestStreamReader({"path": f"{SF_SMOKE}/events.parquet"})
+    n = r.transport.n_pages()
+    off = r.initialOffset()
+    assert off == {"page": 0}
+    seen = 0
+    while True:
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if nxt == off:
+            assert rows == []  # exhausted source reports no progress
+            break
+        assert nxt["page"] > off["page"]
+        # replay contract: readBetweenOffsets returns the SAME rows
+        assert list(r.readBetweenOffsets(off, nxt)) == rows
+        seen += len(rows)
+        off = nxt
+    assert off["page"] == n
+    import pyarrow.parquet as pq
+
+    assert seen == pq.read_metadata(f"{SF_SMOKE}/events.parquet").num_rows
