@@ -21,6 +21,7 @@ tests/test_empty_inputs.py pins the previously-crashing families; this
 sweep is the full-registry version (~6 min), run per-round like the sf1
 soak.
 """
+import shutil
 import sys
 import tempfile
 
@@ -63,6 +64,9 @@ def main() -> None:
             )
         release_caches()
     print("FAILS:", fails, flush=True)
+    # the fixture's job ends with the sweep — don't accumulate one per run
+    # in /tmp (the r5/r6 ADVICE hygiene class)
+    shutil.rmtree(d, ignore_errors=True)
     sys.exit(1 if fails else 0)
 
 
