@@ -203,8 +203,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # full-resolution record for local analysis (tools/bench_diff.py) — the
-    # emitted line below is width-limited by the consumer's capture window
-    Path("bench_full.json").write_text(
+    # emitted line below is width-limited by the consumer's capture window.
+    # Written to a RUN-SCOPED path (env-overridable, /tmp default), never the
+    # repo root: the pytest smoke run used to clobber the committed
+    # full-headline map with a 1-query artifact. Copy into the repo
+    # deliberately after a real full run.
+    Path(os.environ.get("SPARK_GRAFT_BENCH_FULL_OUT", "/tmp/bench_full.json")).write_text(
         json.dumps(
             {**payload, "queries": {k: round(v, 4) for k, v in timings.items()}},
             indent=1,

@@ -196,6 +196,37 @@ def _verified_counts() -> dict[str, float]:
     return counts
 
 
+def _latest_sample_rounds() -> dict[str, int]:
+    """The most recent driver round that SAMPLED each query (appeared in a
+    CORRECTNESS_r*.json at all, green or not). Used as the staleness tiebreak
+    in :func:`all_queries`: among equally-verified queries, the one whose
+    evidence is oldest re-enters the window first, so the rotation actively
+    retires its stale tail instead of replaying registration order (round-6
+    audit: 30 r01-sampled names sat outside the window behind
+    later-registered names with identical verified counts). Never-sampled
+    queries get 0 and therefore still sort first."""
+    import json
+    import re
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    root = Path(__file__).resolve().parent.parent
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)", f.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def all_queries():
     """Import every module that registers queries and return the full
     registry {name: QuerySpec}, ordered so the driver's 50-query correctness
@@ -265,12 +296,14 @@ def all_queries():
             importlib.import_module(mod)
 
     verified = _verified_counts()
+    latest = _latest_sample_rounds()
     prio = {n: i for i, n in enumerate(DRIVER_WINDOW_PRIORITY)}
     reg = {n: i for i, n in enumerate(_q.QUERIES)}
     names = sorted(
         _q.QUERIES,
         key=lambda n: (
             verified.get(n, 0) + (0.5 if n in LATE_ADDITIONS else 0),
+            latest.get(n, 0),  # staleness: oldest evidence re-enters first
             prio.get(n, len(prio)),
             reg[n],
         ),

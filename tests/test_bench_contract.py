@@ -9,12 +9,17 @@ import subprocess
 import sys
 
 
-def test_bench_emits_one_json_line():
+def test_bench_emits_one_json_line(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    committed = os.path.join(repo, "bench_full.json")
+    before = open(committed, "rb").read() if os.path.exists(committed) else None
+    full_out = tmp_path / "bench_full.json"
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_BENCH_FULL_OUT=str(full_out),
     )
     out = subprocess.run(
         [sys.executable, "bench.py", "q1_pricing_summary"],
@@ -22,9 +27,18 @@ def test_bench_emits_one_json_line():
         text=True,
         timeout=300,
         env=env,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        cwd=repo,
     )
     assert out.returncode == 0, out.stderr[-2000:]
+    # side-effect contract: the run writes its full map ONLY to the
+    # run-scoped path; the committed repo-root artifact is untouched
+    # (round-6 postmortem: the smoke run silently clobbered the committed
+    # 89-query map with this 1-query artifact)
+    assert full_out.exists()
+    full = json.loads(full_out.read_text())
+    assert set(full["queries"]) == {"q1_pricing_summary"}
+    after = open(committed, "rb").read() if os.path.exists(committed) else None
+    assert before == after, "bench run modified the committed bench_full.json"
     lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
     assert len(lines) == 1, f"expected exactly one stdout line, got {lines}"
     payload = json.loads(lines[0])

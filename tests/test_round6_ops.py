@@ -205,15 +205,39 @@ def test_rows_only_evidence_is_weaker_than_hash_green(tmp_path, monkeypatch):
     assert counts["q_rows_only"] == 0.25
 
 
-def test_newly_oracled_sketch_queries_lead_r06_window():
-    """The concrete r06 requirement: both r5-oracled sketch queries and the
-    pq top-k must occupy window slots (first 50 of all_queries())."""
-    from poc_juma_etl_spark import all_queries
+def test_rotation_orders_by_evidence_then_staleness():
+    """The rotation INVARIANT (not any round's concrete membership — the r06
+    version of this test asserted specific names in the window and
+    self-invalidated the moment the driver's next evidence file landed):
 
-    window = list(all_queries())[:50]
-    assert "q_approx_sketches" in window
-    assert "q_hll_rollup_merge" in window
-    assert "q_ann_pq_topk" in window
+    1. effective verified score (count + LATE_ADDITIONS half-step) is
+       non-decreasing along the registry order, so never-verified names
+       always sort first and the 50-slot window covers the least-verified;
+    2. among equal scores, the latest driver sample round is non-decreasing,
+       so the stalest evidence re-enters the window first.
+    """
+    import poc_juma_etl_spark as p
+
+    verified = p._verified_counts()
+    latest = p._latest_sample_rounds()
+    names = list(p.all_queries())
+
+    def score(n):
+        return verified.get(n, 0) + (0.5 if n in p.LATE_ADDITIONS else 0)
+
+    for a, b in zip(names, names[1:]):
+        assert score(a) <= score(b), f"{a} ({score(a)}) after {b} ({score(b)})"
+        if score(a) == score(b):
+            assert latest.get(a, 0) <= latest.get(b, 0), (
+                f"staleness tiebreak violated: {a} (r{latest.get(a, 0)}) "
+                f"sorts before {b} (r{latest.get(b, 0)}) at equal score"
+            )
+
+    # never-sampled names (if any exist) must occupy the head of the order
+    never = {n for n in names if n not in verified and n not in latest}
+    if never:
+        head = set(names[: len(never)])
+        assert never <= head, f"never-sampled not leading: {never - head}"
 
 
 # ---------------------------------------------------------------------------
