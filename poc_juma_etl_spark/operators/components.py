@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..checkpoint import truncate_lineage
 
 from ..plans.queries import register
 from .dedup import NGRAM_DF_CUTOFF, ngram_jaccard_pairs
@@ -42,7 +43,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-    ).localCheckpoint()
+    )
+    sym = truncate_lineage(sym)
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     )
@@ -62,8 +64,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-        ).localCheckpoint()  # truncate the iterative lineage
-        labels = new_labels
+        )
+        labels = truncate_lineage(new_labels)  # cut the iterative lineage
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
             break

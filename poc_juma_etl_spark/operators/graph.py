@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..checkpoint import truncate_lineage
 from ..plans.queries import register
 
 PR_ITERS = 3
@@ -136,11 +137,11 @@ def pagerank_top(
     # materialize the edge list once: every iteration re-joins it, and
     # without a cut Spark would replay the upstream build per iteration (on
     # a cluster: persist(DISK_ONLY) / a checkpoint dir — same iterative idiom)
-    e = edges.localCheckpoint()
+    e = truncate_lineage(edges)
     deg = (
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-        .localCheckpoint()  # node-sized; reused by every iteration
+        .transform(truncate_lineage)  # node-sized; reused by every iteration
     )
     # Physical strategy switch, decided on the measured node count (free —
     # deg is already materialized): on a SMALL graph the per-iteration rank

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..checkpoint import truncate_lineage
 from .queries import register
 
 BFS_SEEDS = 3
@@ -139,11 +140,11 @@ def bfs_hops(pairs: DataFrame, n_seeds: int, max_hops: int) -> DataFrame:
     dd = pairs.select(
         F.col("u").cast("bigint").alias("u"), F.col("v").cast("bigint").alias("v")
     ).distinct()
-    sym = dd.union(dd.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint()
+    sym = truncate_lineage(dd.union(dd.select(F.col("v").alias("u"), F.col("u").alias("v"))))
     seeds = (
         sym.select(F.col("u").alias("node")).distinct().orderBy("node").limit(n_seeds)
     )
-    dist = seeds.withColumn("hops", F.lit(0).cast("int")).localCheckpoint()
+    dist = truncate_lineage(seeds.withColumn("hops", F.lit(0).cast("int")))
     frontier = dist.select("node")
     for h in range(1, max_hops + 1):
         # the new frontier IS the round's output: checkpoint it once, reuse
@@ -156,7 +157,8 @@ def bfs_hops(pairs: DataFrame, n_seeds: int, max_hops: int) -> DataFrame:
             .distinct()
             .join(dist, "node", "left_anti")
             .withColumn("hops", F.lit(h).cast("int"))
-        ).localCheckpoint()
+        )
+        nxt = truncate_lineage(nxt)
         if nxt.isEmpty():
             break
         dist = dist.union(nxt)

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..checkpoint import truncate_lineage
 from ..operators.text import SQL_MD5_LONG, md5_long, tokens
 from .queries import register
 
@@ -930,9 +931,9 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.u", "p.v")
         .distinct()
     )
-    sym = pairs.union(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    sym = truncate_lineage(
+        pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
     prev_n = sym.select("u").distinct().count()
     rounds = []
     core = None
@@ -947,7 +948,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             sym.join(surv.select(F.col("node").alias("u")), "u")
             .join(surv.select(F.col("node").alias("v")), "v")
             .select("u", "v")
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
         core = surv
         n_now = sym.select("u").distinct().count() if r < KCORE_ROUNDS else None
