@@ -38,6 +38,16 @@ PAIR_EXPLOSIVE = {
     "q_dedup_levenshtein",
 }
 
+from poc_juma_etl_spark.operators.components import SQL_PIPELINE_RANKED  # noqa: E402
+
+# Drop-in replacement for SQL_PIPELINE_RANKED once the sweep has
+# materialized the prelude: same CTE interface (tok + ranked), zero cost.
+CACHED_PRELUDE = """
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, ts FROM pipeline_tok),
+    ranked AS (SELECT * FROM pipeline_ranked)
+"""
+
 
 def main() -> None:
     from poc_juma_etl_spark import all_queries
@@ -61,6 +71,7 @@ def main() -> None:
     spark = get_spark("soak-sf1")
     con = duckdb_connect(sf_dir)
     n_ok = n_fail = n_skip = 0
+    pipeline_cached = False
     for i, name in enumerate(names):
         if name in PAIR_EXPLOSIVE:
             print(f"SKIP {name}: pair-explosive at sf1 (aggregate-parity-verified r5)",
@@ -74,7 +85,34 @@ def main() -> None:
                 n = spec.fn(spark, sf_dir).count()
                 r: dict = {"match": None, "rows_only": n}
             else:
-                oracle_pdf = con.execute(spec.oracle).fetchdf()
+                oracle_sql = spec.oracle
+                if SQL_PIPELINE_RANKED in oracle_sql:
+                    # the shared curation-pipeline prelude (recursive-CTE
+                    # closure over the shingle self-join) costs ~20 min at
+                    # sf1 PER QUERY on the DuckDB side; materialize it once
+                    # per sweep and splice the cached tables in (same CTE
+                    # interface: tok + ranked)
+                    if not pipeline_cached:
+                        t_cache = time.perf_counter()
+                        con.execute(
+                            "CREATE TEMP TABLE pipeline_tok AS "
+                            + SQL_PIPELINE_RANKED
+                            + " SELECT doc_id, ts FROM tok"
+                        )
+                        con.execute(
+                            "CREATE TEMP TABLE pipeline_ranked AS "
+                            + SQL_PIPELINE_RANKED
+                            + " SELECT * FROM ranked"
+                        )
+                        pipeline_cached = True
+                        print(
+                            f"CACHED pipeline prelude in {time.perf_counter() - t_cache:.1f}s",
+                            flush=True,
+                        )
+                    oracle_sql = oracle_sql.replace(
+                        SQL_PIPELINE_RANKED, CACHED_PRELUDE
+                    )
+                oracle_pdf = con.execute(oracle_sql).fetchdf()
                 r = compare(spec.fn(spark, sf_dir), oracle_pdf)
         except Exception as exc:  # keep sweeping; record the failure
             r = {"match": False, "error": f"{type(exc).__name__}: {exc}"}
