@@ -1262,3 +1262,98 @@ def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+BOILERPLATE_PREFIX_TOKENS = 8
+
+
+@register(
+    "q_text_boilerplate_strip",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\\s+') AS ts
+      FROM documents
+    ),
+    pre AS (
+      SELECT doc_id, source,
+             CAST(len(ts) AS BIGINT) AS n_tokens,
+             array_to_string(ts[1:{BOILERPLATE_PREFIX_TOKENS}], ' ') AS prefix
+      FROM tok
+    ),
+    bp AS (
+      SELECT source, prefix
+      FROM pre GROUP BY source, prefix
+      HAVING COUNT(*) >= GREATEST(2, CAST(FLOOR(0.01 * (
+               SELECT COUNT(*) FROM documents d2 WHERE d2.source = pre.source
+             )) AS BIGINT))
+    )
+    SELECT p.doc_id, p.source, p.n_tokens,
+           CAST(CASE WHEN bp.prefix IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_boilerplate,
+           CAST(CASE WHEN bp.prefix IS NOT NULL
+                THEN GREATEST(p.n_tokens - {BOILERPLATE_PREFIX_TOKENS}, 0)
+                ELSE p.n_tokens END AS BIGINT) AS n_tokens_kept
+    FROM pre p
+    LEFT JOIN bp ON bp.source = p.source AND bp.prefix = p.prefix
+    ORDER BY p.doc_id
+    """,
+    doc="Cross-document boilerplate stripping (the C4/RefinedWeb cleanup "
+    "the WITHIN-doc q_text_repetition can't do): a leading "
+    f"{BOILERPLATE_PREFIX_TOKENS}-token prefix shared by >= max(2, 1% of "
+    "the source's docs) docs from the SAME source is template chrome "
+    "(nav headers, license banners), not content — flag it and report the "
+    "post-strip token count. Two shuffles, both key-domain: one groupBy on "
+    "(source, prefix) to find repeated prefixes (output is prefix-distinct, "
+    "<= corpus row count, usually tiny), one join-back on the same key. At "
+    "100 TB the bp side stays domain-sized (repeated templates per source), "
+    "so AQE broadcasts it; per-source doc counts ride the same aggregate — "
+    "no window over the corpus, no second scan.",
+    tags=("text", "cleanup", "dedup"),
+)
+def q_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    k = BOILERPLATE_PREFIX_TOKENS
+    pre = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", F.slice(tokens("text"), 1, k)).alias("prefix"),
+    )
+    # one aggregate yields both the per-(source,prefix) doc count and, via a
+    # second grouping on its output (source-domain sized), the per-source
+    # total the 1% threshold needs — the corpus is scanned exactly once
+    counts = pre.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_prefix")
+    )
+    per_source = counts.groupBy("source").agg(
+        F.sum("n_docs_prefix").cast("bigint").alias("n_docs_source")
+    )
+    bp = (
+        counts.join(per_source, "source")
+        .filter(
+            F.col("n_docs_prefix")
+            >= F.greatest(
+                F.lit(2).cast("bigint"),
+                F.floor(0.01 * F.col("n_docs_source")).cast("bigint"),
+            )
+        )
+        .select("source", "prefix", F.lit(1).alias("hit"))
+    )
+    return (
+        pre.join(bp, ["source", "prefix"], "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.coalesce(F.col("hit"), F.lit(0)).cast("bigint").alias("is_boilerplate"),
+            F.when(
+                F.col("hit").isNotNull(),
+                F.greatest(F.col("n_tokens") - k, F.lit(0)),
+            )
+            .otherwise(F.col("n_tokens"))
+            .cast("bigint")
+            .alias("n_tokens_kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -173,16 +173,31 @@ def q_stream_rest_source_scan(spark, sf_dir: str):
     # simply stops emitting progress entries, so "N idle batches" never
     # fires). The DETERMINISTIC stop is the protocol's own total_paginas:
     # poll until a COMPLETED batch's endOffset reaches the known page count.
-    import json as _json
-    import time
-
     from .rest_api import FixtureTransport
 
     expected = FixtureTransport(
         table_path(sf_dir, "events"), STREAM_PAGE_SIZE
     ).n_pages()
-    for _ in range(6000):  # hard cap ~10 min, far above any fixture drain
-        time.sleep(0.1)
+    drain_until_page(q, expected)
+    q.stop()
+    q.awaitTermination()
+    return spark.table(sink).orderBy("event_type")
+
+
+def drain_until_page(q, min_page: int, poll_s: float = 0.1, max_polls: int = 6000) -> int:
+    """Poll ``q.lastProgress`` until a completed batch's endOffset page
+    reaches ``min_page``; returns the page reached. The deterministic drain
+    stop for the page-cursor protocol (see the comment in
+    q_stream_rest_source_scan for why availableNow/idle heuristics fail).
+    Hard-capped at ``max_polls`` (~10 min default), far above any fixture
+    drain — returns whatever page was last seen if the cap trips."""
+    import ast
+    import json as _json
+    import time
+
+    seen = -1
+    for _ in range(max_polls):
+        time.sleep(poll_s)
         progress = q.lastProgress
         if progress is None or not progress.get("sources"):
             continue
@@ -192,11 +207,104 @@ def q_stream_rest_source_scan(spark, sf_dir: str):
                 end = _json.loads(end)
             except ValueError:
                 # the offset dict round-trips as a Python repr, not JSON
-                import ast
-
                 end = ast.literal_eval(end)
-        if end and int(end.get("page", -1)) >= expected:
-            break
-    q.stop()
-    q.awaitTermination()
-    return spark.table(sink).orderBy("event_type")
+        if end:
+            seen = int(end.get("page", -1))
+            if seen >= min_page:
+                break
+    return seen
+
+
+@register(
+    "q_stream_rest_restart_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_ids
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exactly-once across an INDUCED RESTART: drain the paginated-REST "
+    "stream into a parquet sink with a checkpoint, stop the query mid-drain "
+    "(cursor ~1/3 through the pages), start a fresh query on the SAME "
+    "checkpoint, finish the drain, and aggregate the sink through its "
+    "_spark_metadata transaction log. The page-cursor WAL replays the "
+    "interrupted batch via readBetweenOffsets; committed-but-unlogged files "
+    "are invisible to the log-aware read — so counts AND distinct "
+    "event_ids must equal a relational scan's (n_distinct_ids == n_events "
+    "is the no-duplicates proof the hash can't fake). At 100 TB this is "
+    "the recovery drill for any incremental ingest: offsets in the "
+    "checkpoint, sink dedup via the sink's own commit log.",
+    tags=("etl", "source", "streaming", "connector", "recovery"),
+)
+def q_stream_rest_restart_scan(spark, sf_dir: str):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import table_path
+    from .rest_api import FixtureTransport
+
+    if not register_stream_source(spark):  # pragma: no cover - pyspark < 4
+        raise RuntimeError("Python streaming DataSource API unavailable")
+    path = table_path(sf_dir, "events")
+    # smaller pages than the plain scan so even the smallest fixture yields
+    # enough micro-batches to interrupt between (sf0.001: 20 pages / ~7
+    # batches; the batch-size heuristic still scales the page count down to
+    # a bounded batch COUNT at sf1+)
+    page_size = 50
+    n_pages = FixtureTransport(path, page_size).n_pages()
+    empty = spark.createDataFrame([], "event_type string, n_events bigint, "
+                                      "id_checksum bigint, n_distinct_ids bigint")
+    if n_pages == 0:  # zero-row table: nothing to stream, nothing to recover
+        return empty
+    scratch = tempfile.mkdtemp(prefix="rest_restart_")
+    out, ckpt = f"{scratch}/out", f"{scratch}/ckpt"
+
+    def start():
+        return (
+            spark.readStream.format("paginated_rest_stream")
+            .option("path", path)
+            .option("page_size", str(page_size))
+            .load()
+            .select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    try:
+        # phase 1: drain to ~1/3 of the cursor range, then stop. (If the
+        # fixture drains in one batch the restart is a no-op and the
+        # exactly-once claim holds trivially; the unit test asserts the
+        # interruption is real at its page size.)
+        q1 = start()
+        drain_until_page(q1, max(1, n_pages // 3))
+        q1.stop()
+        q1.awaitTermination()
+        # phase 2: fresh query, same checkpoint — resume and finish
+        q2 = start()
+        drain_until_page(q2, n_pages)
+        q2.stop()
+        q2.awaitTermination()
+        from pathlib import Path
+
+        meta = Path(out) / "_spark_metadata"
+        if not (meta.exists() and any(meta.iterdir())):  # no batch committed
+            return empty
+        return (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.countDistinct("event_id").cast("bigint").alias("n_distinct_ids"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint()  # materialize before the scratch dir dies
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
