@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..checkpoint import truncate_lineage
 
 from ..plans.queries import register
-from .dedup import NGRAM_DF_CUTOFF, ngram_jaccard_pairs
+from .dedup import NGRAM_DF_CUTOFF, rep_ngram_jaccard_pairs
 
 JACCARD_T = 0.10
 MAX_ROUNDS = 20
@@ -74,15 +74,50 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
 
 
 def jaccard_edges(d: DataFrame) -> DataFrame:
-    """(src, dst) near-dup pairs with 3-shingle Jaccard >= JACCARD_T.
+    """(src, dst) near-dup edges with 3-shingle Jaccard >= JACCARD_T, with
+    EXACT duplicates collapsed before the quadratic candidate work (the
+    SCALING.md dup-collapse rule, applied here in round 7 after the sf1/sf3
+    scale probe measured the manifest pipeline at 392 s — the replicated
+    soak fixture multiplies every posting list by the duplication factor,
+    squaring pair volume).
 
-    Delegates to :func:`ngram_jaccard_pairs` — posting-list candidate
-    generation with the stop-shingle document-frequency cutoff, the same
-    scale guards as q_dedup_ngram_jaccard (one capped shingle shuffle, no
-    inverted-index self-join)."""
-    return ngram_jaccard_pairs(d, threshold=JACCARD_T).select(
+    Shape: group docs by md5(text); run the posting-list Jaccard only over
+    group REPRESENTATIVES with doc-level df weighting
+    (:func:`rep_ngram_jaccard_pairs`); attach the remaining copies to their
+    rep with STAR edges. This is closure-exact, not approximate:
+
+    - cross-group copy pairs have the same shingle sets as their reps, so
+      the full pair graph has an (x in A, y in B) edge iff the rep pair
+      (rep_A, rep_B) has one — the star keeps x,y connected through reps;
+    - intra-group pairs have Jaccard 1.0 (identical kept sets) iff the text
+      kept >= 1 discriminative shingle, which is exactly the ``nonempty``
+      condition gating the star — and a star is a spanning tree of that
+      clique;
+    - component labels are MIN(doc_id) over the component, and the rep is
+      its group's MIN(doc_id), so labels are unchanged too.
+
+    Downstream closures (q_dedup_components, q_dedup_pipeline_keep, the
+    export manifest) therefore hash-match the all-pairs DuckDB oracles at
+    any duplication level, while candidate-generation cost tracks
+    DISTINCT-text volume."""
+    keyed = d.select("doc_id", F.md5("text").alias("h"))
+    groups = keyed.groupBy("h").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("gsz")
+    )
+    members = keyed.join(groups, "h").select("doc_id", "rep")
+    reps = d.join(
+        groups.select(F.col("rep").alias("doc_id"), "gsz"), "doc_id"
+    ).select("doc_id", "text", "gsz")
+    rep_pairs, nonempty = rep_ngram_jaccard_pairs(reps, threshold=JACCARD_T)
+    rep_edges = rep_pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
+    stars = (
+        members.filter(F.col("doc_id") != F.col("rep"))
+        .join(nonempty.select(F.col("doc_id").alias("rep")), "rep")
+        .select(F.col("rep").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    return rep_edges.unionByName(stars)
 
 
 @register(

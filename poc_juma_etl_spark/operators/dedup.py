@@ -150,6 +150,12 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     kept = scoped_cache(sh.join(hot, "shingle", "left_anti"))
+    return _pairs_from_kept(kept, threshold)
+
+
+def _pairs_from_kept(kept: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, jaccard >= threshold) from a distinct (doc_id,
+    shingle) table that has already been document-frequency-capped."""
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     posts = (
         kept.groupBy("shingle")
@@ -182,6 +188,41 @@ def ngram_jaccard_pairs(
         .orderBy("doc_a", "doc_b")
     )
     return out
+
+
+def rep_ngram_jaccard_pairs(
+    reps: DataFrame, threshold: float = 0.10, df_cutoff: int = NGRAM_DF_CUTOFF
+):
+    """Jaccard pairs among exact-duplicate group REPRESENTATIVES, with all
+    document-frequency math done at DOC level — bitwise the decisions
+    :func:`ngram_jaccard_pairs` would make on the expanded corpus, at
+    distinct-text cost.
+
+    ``reps``: (doc_id, text, gsz) — one row per distinct text, ``gsz`` the
+    number of exact copies it stands for. Every copy of a text has the
+    same shingle set, so (a) a shingle's doc-level df is the
+    group-size-weighted sum over the reps that contain it, and (b) the
+    Jaccard between any cross-group copy pair equals the rep-pair Jaccard.
+    Returns ``(pairs, nonempty)``: the rep-pair edges, and the reps that
+    kept >= 1 discriminative shingle — exactly the groups whose internal
+    copy pairs have Jaccard 1.0 in the expanded computation (identical
+    non-empty kept sets), i.e. the groups a caller must still connect
+    internally. The posting-list pair volume is driven by DISTINCT-text
+    density, so a duplicate-heavy corpus (the operating assumption of a
+    dedup pipeline; the replicated soak fixture is the worst case) no
+    longer squares its near-dup candidate work in the duplication factor."""
+    sh = scoped_cache(_shingles(reps.select("doc_id", "text")))
+    w = reps.select("doc_id", "gsz")
+    hot = (
+        sh.join(w, "doc_id")
+        .groupBy("shingle")
+        .agg(F.sum("gsz").alias("df"))
+        .filter(F.col("df") > df_cutoff)
+        .select("shingle")
+    )
+    kept = scoped_cache(sh.join(hot, "shingle", "left_anti"))
+    nonempty = kept.select("doc_id").distinct()
+    return _pairs_from_kept(kept, threshold), nonempty
 
 
 @register(

@@ -14,6 +14,7 @@ under the SparkContext checkpoint dir). These tests pin:
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from poc_juma_etl_spark import checkpoint as ckpt
 
@@ -174,3 +175,57 @@ def test_stream_restart_exactly_once(spark, tmp_path):
     expected = spark.read.parquet(path).count()
     assert total == expected, f"lost/duplicated rows: {total} != {expected}"
     assert distinct == expected, f"duplicate event_ids: {distinct} != {expected}"
+
+
+# ---------------------------------------------------------------------------
+# Exact-duplicate collapse inside jaccard_edges (round-7 scale fix): the
+# collapsed graph (rep pairs + star edges) must yield components identical
+# to the naive all-pairs computation — including the subtle branch where a
+# duplicate group's shingles are ALL document-frequency-hot (the oracle
+# then has NO intra-group edges, so the collapse must not star them).
+
+
+def test_jaccard_edges_dup_collapse_matches_naive(spark, monkeypatch):
+    import poc_juma_etl_spark.operators.components as comp
+    import poc_juma_etl_spark.operators.dedup as dedup
+
+    cutoff = 3
+    rows = [
+        # group X: 2 exact copies; shares shingle "a b c" with Y
+        (0, "a b c d"),
+        (1, "a b c d"),
+        (2, "a b c e"),  # Y: jaccard(X, Y) = 1/3 >= 0.10 -> cross edge
+        # group Z: 4 exact copies -> every shingle has df 4 > cutoff 3,
+        # kept set empty -> NO edges in the all-pairs graph; the collapse
+        # must not emit star edges for it either
+        (3, "h i j k"),
+        (4, "h i j k"),
+        (5, "h i j k"),
+        (6, "h i j k"),
+        (7, "x y z w"),  # unique, unrelated: appears in neither graph
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    naive = dedup.ngram_jaccard_pairs(d, comp.JACCARD_T, df_cutoff=cutoff).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    monkeypatch.setattr(
+        comp,
+        "rep_ngram_jaccard_pairs",
+        lambda reps, threshold: dedup.rep_ngram_jaccard_pairs(
+            reps, threshold, df_cutoff=cutoff
+        ),
+    )
+    collapsed = comp.jaccard_edges(d)
+
+    def comps(edges):
+        return sorted(
+            map(tuple, comp.connected_components(edges).collect())
+        )
+
+    naive_comps = comps(naive)
+    collapsed_comps = comps(collapsed)
+    assert naive_comps == collapsed_comps
+    # the scenario actually exercises what it claims: X+Y form one
+    # 3-member component, the all-hot group Z and the unique doc are absent
+    assert naive_comps == [(0, 0), (1, 0), (2, 0)]
