@@ -48,6 +48,18 @@ CACHED_PRELUDE = """
     ranked AS (SELECT * FROM pipeline_ranked)
 """
 
+# q_dedup_components' oracle is an INLINE copy of the same closure (its own
+# recursive reach CTE) — superlinear on the replicated fixture (10-way dup
+# cliques square the reach table; measured >35 min of DuckDB CPU at sf1).
+# The cached prelude already holds the answer: graph components are exactly
+# the ranked components with >= 2 members (every edge endpoint is in
+# membership; singletons come only from the COALESCE), and n_reachable is
+# the component size. Same JACCARD_T/df-cutoff constants by construction.
+COMPONENTS_FROM_CACHE = """
+    SELECT doc_id, component, CAST(n_members AS BIGINT) AS n_reachable
+    FROM ranked WHERE n_members >= 2 ORDER BY doc_id
+"""
+
 
 def main() -> None:
     from poc_juma_etl_spark import all_queries
@@ -86,6 +98,8 @@ def main() -> None:
                 r: dict = {"match": None, "rows_only": n}
             else:
                 oracle_sql = spec.oracle
+                if name == "q_dedup_components":
+                    oracle_sql = SQL_PIPELINE_RANKED + COMPONENTS_FROM_CACHE
                 if SQL_PIPELINE_RANKED in oracle_sql:
                     # the shared curation-pipeline prelude (recursive-CTE
                     # closure over the shingle self-join) costs ~20 min at
