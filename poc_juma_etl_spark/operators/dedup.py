@@ -225,6 +225,62 @@ def rep_ngram_jaccard_pairs(
     return _pairs_from_kept(kept, threshold), nonempty
 
 
+def ngram_jaccard_pairs_collapsed(
+    d: DataFrame, threshold: float = 0.10, df_cutoff: int = NGRAM_DF_CUTOFF
+) -> DataFrame:
+    """Row-identical to :func:`ngram_jaccard_pairs`, with the candidate
+    generation run over exact-duplicate group representatives
+    (:func:`rep_ngram_jaccard_pairs`) and the pair set expanded back to
+    copies afterwards:
+
+    - a cross-group copy pair (x in A, y in B) exists iff the rep pair
+      does, with the SAME jaccard (identical shingle sets per copy) —
+      expansion is two key joins of the rep-pair table against the
+      group-membership map, re-ordered with least/greatest since copy ids
+      need not sort like their reps;
+    - intra-group pairs have jaccard exactly 1.0 iff the text kept >= 1
+      discriminative shingle — emitted as the group's x < y self-join.
+
+    The OUTPUT is inherently quadratic in group sizes (it is the gate's
+    contract); what the collapse fixes is the COMPUTE — posting-list pair
+    generation now tracks distinct-text density, so a duplicate-heavy
+    corpus no longer squares its shuffle volume in the duplication factor
+    (the replicated soak fixture is the worst case: 10 copies of every
+    text)."""
+    keyed = d.select("doc_id", F.md5("text").alias("h"))
+    groups = keyed.groupBy("h").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("gsz")
+    )
+    members = scoped_cache(keyed.join(groups, "h").select("doc_id", "rep"))
+    reps = d.join(
+        groups.select(F.col("rep").alias("doc_id"), "gsz"), "doc_id"
+    ).select("doc_id", "text", "gsz")
+    rep_pairs, nonempty = rep_ngram_jaccard_pairs(reps, threshold, df_cutoff)
+    ma = members.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("x"))
+    mb = members.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("y"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    grp = members.join(nonempty.select(F.col("doc_id").alias("rep")), "rep")
+    intra = (
+        grp.select("rep", F.col("doc_id").alias("x"))
+        .join(grp.select("rep", F.col("doc_id").alias("y")), "rep")
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra).orderBy("doc_a", "doc_b")
+
+
 @register(
     "q_dedup_ngram_jaccard",
     oracle=f"""
@@ -256,7 +312,7 @@ def rep_ngram_jaccard_pairs(
     tags=("dedup", "jaccard"),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs_collapsed(load_table(spark, sf_dir, "documents"))
 
 
 CONTAIN_THRESHOLD = 0.25

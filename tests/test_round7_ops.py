@@ -229,3 +229,36 @@ def test_jaccard_edges_dup_collapse_matches_naive(spark, monkeypatch):
     # the scenario actually exercises what it claims: X+Y form one
     # 3-member component, the all-hot group Z and the unique doc are absent
     assert naive_comps == [(0, 0), (1, 0), (2, 0)]
+
+
+def test_ngram_jaccard_collapsed_matches_naive_pairs(spark):
+    """The pair-level twin of the edge test: the collapsed generator must
+    emit the exact pair SET (ids ordered, jaccard values bitwise) of the
+    naive all-docs computation, including intra-group 1.0 pairs and
+    cross-group pairs whose copy ids sort against their reps' order."""
+    import poc_juma_etl_spark.operators.dedup as dedup
+
+    cutoff = 3
+    rows = [
+        (0, "a b c d"),
+        (5, "a b c d"),  # copy with an id ABOVE the other group's doc
+        (2, "a b c e"),  # near-dup of the group: cross pairs (0,2) and (2,5)
+        (3, "h i j k"),
+        (4, "h i j k"),
+        (6, "h i j k"),
+        (7, "h i j k"),  # all-hot group (df 4 > 3): no pairs at all
+        (8, "x y z w"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    naive = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(d, 0.10, df_cutoff=cutoff).collect())
+    )
+    collapsed = sorted(
+        map(
+            tuple,
+            dedup.ngram_jaccard_pairs_collapsed(d, 0.10, df_cutoff=cutoff).collect(),
+        )
+    )
+    assert naive == collapsed
+    assert (0, 5, 1.0) in naive  # intra-group pair survives the collapse
+    assert {(a, b) for a, b, _ in naive} >= {(0, 2), (2, 5)}  # cross pairs
