@@ -122,6 +122,8 @@ HEADLINE: list[str] = [
     "q_corpus_export_manifest",
     "etl_wap_publish_e2e",
     "q_event_seasonality_profile",
+    # round-7 operator families
+    "q_text_boilerplate_strip",
 ]
 
 
