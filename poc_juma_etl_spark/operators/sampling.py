@@ -484,3 +484,47 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+SHUFFLE_EPOCHS = 3
+SHUFFLE_SHARDS = 8
+
+
+@register(
+    "q_sample_epoch_shuffle",
+    oracle=f"""
+    SELECT e.epoch, d.doc_id,
+           {SQL_MD5_LONG.format(x="CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR)")}
+             AS shuffle_key,
+           {SQL_MD5_LONG.format(x="CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR)")}
+             % {SHUFFLE_SHARDS} AS shard
+    FROM documents d
+    CROSS JOIN (SELECT unnest(range({SHUFFLE_EPOCHS})) AS epoch) e
+    ORDER BY epoch, shuffle_key, doc_id
+    """,
+    doc="Deterministic epoch-wise shuffle (the reproducible-training-order "
+    "primitive): each document's position for epoch E is the 60-bit md5 of "
+    "'doc_id:E' — a new, data-independent permutation per epoch that any "
+    "worker can recompute without coordination or stored state, sharded by "
+    f"key % {SHUFFLE_SHARDS} for parallel readers. In-row hashing, no "
+    "shuffle until the final presentation sort (which a trainer replaces "
+    "with per-shard local order — the keys, not the sort, are the "
+    "contract). At 100 TB: same expression, epochs as a literal array, "
+    "shard count = reader parallelism.",
+    tags=("sampling", "shuffle", "training-data"),
+)
+def q_sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SHUFFLE_EPOCHS - 1))).alias("epoch"),
+    ).select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        "doc_id",
+        md5_long(
+            F.concat_ws(":", F.col("doc_id").cast("string"), F.col("epoch").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    return out.withColumn(
+        "shard", (F.col("shuffle_key") % SHUFFLE_SHARDS).cast("bigint")
+    ).orderBy("epoch", "shuffle_key", "doc_id")

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
-from ..plans.queries import dec_to_double, register
+from ..plans.queries import dec_to_double, register, scoped_cache
 
 # Whitespace tokenizer — the BPE-ish fallback for token *counting* is a
 # regex over word pieces; for the synthetic corpus whitespace is exact.
@@ -1354,6 +1354,131 @@ def q_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("n_tokens"))
             .cast("bigint")
             .alias("n_tokens_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAM_GRAM = 8
+DECONTAM_BENCH_SOURCE = "src0"  # stand-in eval set: one source's documents
+
+
+@register(
+    "q_text_decontaminate_spans",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ts
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_tokens, s.p AS p, s.g AS g
+      FROM (
+        SELECT doc_id, source, ts,
+               unnest(list_transform(range(1, greatest(len(ts) - {DECONTAM_GRAM - 2}, 2)),
+                      i -> struct_pack(p := i,
+                                       g := array_to_string(ts[i:i + {DECONTAM_GRAM - 1}], ' ')))) AS s
+        FROM tok
+      )
+    ),
+    bench AS (SELECT DISTINCT g FROM px WHERE source = '{DECONTAM_BENCH_SOURCE}'),
+    hits AS (
+      SELECT px.doc_id, px.p, px.n_tokens
+      FROM px JOIN bench USING (g)
+      WHERE px.source <> '{DECONTAM_BENCH_SOURCE}'
+    ),
+    m AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_shingles
+      FROM hits GROUP BY doc_id
+    ),
+    cov AS (
+      SELECT doc_id, CAST(COUNT(DISTINCT idx) AS BIGINT) AS n_covered_tokens
+      FROM (
+        SELECT doc_id,
+               unnest(range(p, least(p + {DECONTAM_GRAM - 1}, n_tokens) + 1)) AS idx
+        FROM hits
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.source, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           COALESCE(m.n_matched_shingles, 0) AS n_matched_shingles,
+           COALESCE(cov.n_covered_tokens, 0) AS n_covered_tokens
+    FROM tok t
+    LEFT JOIN m ON m.doc_id = t.doc_id
+    LEFT JOIN cov ON cov.doc_id = t.doc_id
+    WHERE t.source <> '{DECONTAM_BENCH_SOURCE}'
+    ORDER BY t.doc_id
+    """,
+    doc="SPAN-level decontamination audit (the surgical variant of the "
+    "doc-level q_text_decontaminate): every corpus document is scanned for "
+    f"{DECONTAM_GRAM}-token shingles that appear anywhere in the benchmark "
+    f"set (stand-in: source '{DECONTAM_BENCH_SOURCE}'), reporting matched "
+    "shingle count and the UNION length of the covered token spans — the "
+    "numbers a masking pass (drop the spans, keep the doc) needs, versus "
+    "the doc-dropper's binary verdict. Positions ride the shingle structs "
+    "so overlapping matches don't double-count coverage. The benchmark "
+    "shingle set is eval-set-sized — broadcast to the corpus scan at any "
+    "SF; the double explode runs over MATCHED positions only, which "
+    "contamination keeps rare by definition. One corpus shuffle.",
+    tags=("text", "decontamination", "training-data"),
+)
+def q_text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    k = DECONTAM_GRAM
+    ts = tokens("text")
+    base = d.select(
+        "doc_id", "source", F.size(ts).cast("bigint").alias("n_tokens"), ts.alias("ts")
+    )
+    px = scoped_cache(
+        base.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(ts) - {k - 1}, 1)), "
+                    f"i -> struct(i AS p, concat_ws(' ', slice(ts, i, {k})) AS g))"
+                )
+            ).alias("s"),
+        ).select(
+            "doc_id", "source", "n_tokens",
+            F.col("s.p").cast("bigint").alias("p"), F.col("s.g").alias("g"),
+        )
+    )
+    bench = (
+        px.filter(F.col("source") == DECONTAM_BENCH_SOURCE).select("g").distinct()
+    )
+    hits = (
+        px.filter(F.col("source") != DECONTAM_BENCH_SOURCE)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id", "p", "n_tokens")
+    )
+    m = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched_shingles")
+    )
+    cov = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(p, least(p + {k - 1}, n_tokens))")
+            ).alias("idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("idx").cast("bigint").alias("n_covered_tokens"))
+    )
+    return (
+        base.filter(F.col("source") != DECONTAM_BENCH_SOURCE)
+        .select("doc_id", "source", "n_tokens")
+        .join(m, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.coalesce("n_matched_shingles", F.lit(0)).cast("bigint").alias(
+                "n_matched_shingles"
+            ),
+            F.coalesce("n_covered_tokens", F.lit(0)).cast("bigint").alias(
+                "n_covered_tokens"
+            ),
         )
         .orderBy("doc_id")
     )

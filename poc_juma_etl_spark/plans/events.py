@@ -571,3 +571,74 @@ def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, n_negative long, total_value double, n_types long",
     )
+
+
+HISTORY_MAX_EVENTS = 50
+
+
+@register(
+    "q_event_user_history_pack",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    tot AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events_total
+      FROM events GROUP BY user_id
+    ),
+    head AS (SELECT * FROM r WHERE rn <= {HISTORY_MAX_EVENTS}),
+    p AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS seq_len,
+             md5(string_agg(event_type, ' ' ORDER BY rn)) AS seq_md5,
+             MAX(ts) AS last_ts
+      FROM head GROUP BY user_id
+    )
+    SELECT p.user_id, tot.n_events_total, p.seq_len, p.seq_md5, p.last_ts
+    FROM p JOIN tot USING (user_id)
+    ORDER BY user_id
+    """,
+    doc="Per-user training-sequence packing (the behavior-modeling input "
+    "builder): each user's chronological event-type history, truncated to "
+    f"the first {HISTORY_MAX_EVENTS} events ((ts, event_id)-ordered — "
+    "event_id breaks same-second ties deterministically), packed to one "
+    "row per user with the sequence fingerprinted by md5 so the gate "
+    "hashes content, not just counts. One shuffle on user_id; the window "
+    "is user-partitioned (bounded per-user state) and the truncation caps "
+    "the in-row string, so no user's sequence grows unbounded — at 100 TB "
+    "the same plan runs with the cap as the context-length budget.",
+    tags=("events", "sequence", "training-data"),
+)
+def q_event_user_history_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    head = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HISTORY_MAX_EVENTS)
+    )
+    tot = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events_total")
+    )
+    packed = head.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("seq_len"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s.event_type,
+                ),
+                " ",
+            )
+        ).alias("seq_md5"),
+        F.max("ts").alias("last_ts"),
+    )
+    return (
+        packed.join(tot, "user_id")
+        .select("user_id", "n_events_total", "seq_len", "seq_md5", "last_ts")
+        .orderBy("user_id")
+    )
