@@ -105,56 +105,75 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "levenshtein", "grouped"),
 )
 def q_dedup_levenshtein_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-7 dup-collapse (SCALING.md): the DP probe runs once per DISTINCT
+    # (brand, name) pair, never per copy pair — the replicated soak fixture
+    # duplicates every name 10x within its brand, so the copy-pair join did
+    # 100x the levenshtein work for aggregates that are derivable
+    # analytically from group stats (measured 139 s at sf1; distinct-name
+    # volume is scale-constant there). Per part x in name-group A with
+    # matched neighbor groups B (same brand, lev(A,B) in [0, LEV_MAX],
+    # B != A) the pair-graph aggregates are:
+    #   n_dups      = (|A| - 1)            + sum_B |B|     (intra dist-0 pairs)
+    #   partner_sum = (sum_ids(A) - x)     + sum_B sum_ids(B)
+    #   partner_xor = xor_ids(A) ^ x       ^ xor_B xor_ids(B)
+    #   dist_sum    = 0                    + sum_B |B| * dist(A, B)
+    # — bitwise the fold of the full (a < b) pair set both directions, which
+    # the unchanged all-pairs DuckDB oracle still computes independently.
     p = spread(load_table(spark, sf_dir, "part"))  # see q_dedup_levenshtein
-    a = p.alias("a")
-    b = p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), LEV_MAX)
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-            & (
-                F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
-                <= LEV_MAX
-            ),
+    groups = p.groupBy("p_brand", "p_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gsz"),
+        F.sum("p_partkey").cast("bigint").alias("id_sum"),
+        F.expr("bit_xor(p_partkey)").cast("bigint").alias("id_xor"),
+    )
+    nb = groups.select(
+        F.col("p_brand").alias("nb_brand"),
+        F.col("p_name").alias("nb_name"),
+        F.col("gsz").alias("nb_gsz"),
+        F.col("id_sum").alias("nb_id_sum"),
+        F.col("id_xor").alias("nb_id_xor"),
+    )
+    dist = F.levenshtein(F.col("p_name"), F.col("nb_name"), LEV_MAX)
+    neigh = (
+        groups.select("p_brand", "p_name")
+        .join(
+            nb,
+            (F.col("p_brand") == F.col("nb_brand"))
+            & (F.col("p_name") != F.col("nb_name"))
+            & (F.abs(F.length(F.col("p_name")) - F.length(F.col("nb_name"))) <= LEV_MAX),
         )
-        .filter(dist >= 0)
-        .select(
-            F.col("a.p_partkey").alias("part_a"),
-            F.col("b.p_partkey").alias("part_b"),
-            dist.cast("bigint").alias("edit_dist"),
+        .filter(dist >= 0)  # thresholded DP yields -1 above LEV_MAX
+        .groupBy("p_brand", "p_name")
+        .agg(
+            F.sum(F.col("nb_gsz")).cast("bigint").alias("nb_cnt"),
+            F.sum(F.col("nb_id_sum")).cast("bigint").alias("nb_sum"),
+            F.expr("bit_xor(nb_id_xor)").cast("bigint").alias("nb_xor"),
+            F.sum(F.col("nb_gsz") * dist.cast("bigint")).cast("bigint").alias("nb_dsum"),
         )
     )
-    # both directions emitted in ONE pass (in-row explode): a unionAll of
-    # two selects re-executes the quadratic pair join per branch (observed
-    # 2x at sf1 — two BroadcastHashJoins in the plan)
-    sym = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("part_a").alias("p_partkey"),
-                    F.col("part_b").alias("partner"),
-                    F.col("edit_dist"),
-                ),
-                F.struct(
-                    F.col("part_b").alias("p_partkey"),
-                    F.col("part_a").alias("partner"),
-                    F.col("edit_dist"),
-                ),
-            )
-        ).alias("e")
-    ).select("e.*")
-    return (
-        sym.groupBy("p_partkey")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
-            F.expr("bit_xor(partner)").cast("bigint").alias("partner_xor"),
-            F.sum("partner").cast("bigint").alias("partner_sum"),
-            F.sum("edit_dist").cast("bigint").alias("dist_sum"),
+    out = (
+        p.select("p_partkey", "p_brand", "p_name")
+        .join(groups, ["p_brand", "p_name"])
+        .join(neigh, ["p_brand", "p_name"], "left")
+        .select(
+            "p_partkey",
+            (
+                (F.col("gsz") - 1) + F.coalesce(F.col("nb_cnt"), F.lit(0))
+            ).cast("bigint").alias("n_dups"),
+            (
+                F.col("id_xor")
+                .bitwiseXOR(F.col("p_partkey"))
+                .bitwiseXOR(F.coalesce(F.col("nb_xor"), F.lit(0)))
+            ).cast("bigint").alias("partner_xor"),
+            (
+                (F.col("id_sum") - F.col("p_partkey"))
+                + F.coalesce(F.col("nb_sum"), F.lit(0))
+            ).cast("bigint").alias("partner_sum"),
+            F.coalesce(F.col("nb_dsum"), F.lit(0)).cast("bigint").alias("dist_sum"),
         )
+        .filter(F.col("n_dups") > 0)
         .orderBy("p_partkey")
     )
+    return out
 
 
 @register(
