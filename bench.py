@@ -124,6 +124,10 @@ HEADLINE: list[str] = [
     "q_event_seasonality_profile",
     # round-7 operator families
     "q_text_boilerplate_strip",
+    "q_text_decontaminate_spans",
+    "q_event_user_history_pack",
+    "q_sample_epoch_shuffle",
+    "q_dedup_levenshtein_grouped",
 ]
 
 
