@@ -565,9 +565,9 @@ _SQL_SIMHASH_PAIRS = f"""tok AS (
     )"""
 
 
-def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, hamming) pairs within the pigeonhole radius — the
-    shared core of q_dedup_simhash and its grouped twin."""
+def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_id, simhash) fingerprints — shared by the pair join and
+    the grouped twin's value-level collapse."""
     # spread(): the per-token bit voting is CPU-heavy; a small single-file
     # scan would run it on one core (no-op at real scale)
     d = spread(load_table(spark, sf_dir, "documents"))
@@ -592,11 +592,17 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: both sides of the pigeonhole self-join read the fingerprints,
     # and the 48-counter aggregate is the expensive part of the query — an
     # uncached plan runs it twice (once per join side)
-    simh = scoped_cache(
+    return scoped_cache(
         d.select("doc_id", tokens("text").alias("ts")).select(
             "doc_id", F.expr(simhash).alias("simhash")
         )
     )
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within the pigeonhole radius — the
+    shared core of q_dedup_simhash and its grouped twin."""
+    simh = _simhash_table(spark, sf_dir)
     # pigeonhole candidate generation: explode each doc into its blocks
     blocks = simh.select(
         "doc_id",
@@ -672,33 +678,108 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash", "grouped"),
 )
 def q_dedup_simhash_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _simhash_pairs(spark, sf_dir)
-    # one pass over the pair join: in-row explode of both directions (a
-    # unionAll of two selects re-executes the block join per branch)
-    sym = pairs.select(
+    # Round-7 dup-collapse at FINGERPRINT level (SCALING.md): dist-0 docs
+    # are exactly the docs sharing a simhash VALUE, so the pigeonhole block
+    # join runs over distinct fingerprints and the per-doc aggregates expand
+    # analytically (same fold as the grouped levenshtein: intra-group pairs
+    # contribute hamming-0 terms, neighbor groups contribute group-size-
+    # weighted sums, xors fold over group xors). The replicated soak fixture
+    # makes every doc a 10-way duplicate — the copy-pair join did 100x the
+    # candidate work for aggregates derivable from value-group stats
+    # (measured 29.6 s at sf1; distinct-fingerprint volume is constant
+    # there). The all-pairs DuckDB oracle is unchanged.
+    simh = _simhash_table(spark, sf_dir)
+    groups = scoped_cache(
+        simh.groupBy("simhash").agg(
+            F.count(F.lit(1)).cast("bigint").alias("gsz"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.expr("bit_xor(doc_id)").cast("bigint").alias("id_xor"),
+        )
+    )
+    vblocks = (
+        groups.select("simhash")
+        .withColumn("blk", F.explode(F.sequence(F.lit(0), F.lit(SIM_BLOCKS - 1))))
+        .withColumn(
+            "blk_val",
+            F.expr(
+                f"(simhash >> (blk * {SIM_BLOCK_BITS})) & {(1 << SIM_BLOCK_BITS) - 1}"
+            ),
+        )
+    )
+    a = vblocks.alias("a")
+    b = vblocks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    vpairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
+        )
+        .select(
+            F.col("a.simhash").alias("val_a"),
+            F.col("b.simhash").alias("val_b"),
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .distinct()  # a value pair may share several blocks
+        .filter(F.col("hamming") <= SIM_RADIUS)
+    )
+    # both directions in one pass (in-row explode, same idiom as the pair
+    # twin — a unionAll would re-execute the block join per branch)
+    sym_v = vpairs.select(
         F.explode(
             F.array(
                 F.struct(
-                    F.col("doc_a").alias("doc_id"),
-                    F.col("doc_b").alias("partner"),
+                    F.col("val_a").alias("val"),
+                    F.col("val_b").alias("nb_val"),
                     F.col("hamming"),
                 ),
                 F.struct(
-                    F.col("doc_b").alias("doc_id"),
-                    F.col("doc_a").alias("partner"),
+                    F.col("val_b").alias("val"),
+                    F.col("val_a").alias("nb_val"),
                     F.col("hamming"),
                 ),
             )
         ).alias("e")
     ).select("e.*")
-    return (
-        sym.groupBy("doc_id")
+    nbg = groups.select(
+        F.col("simhash").alias("nb_val"),
+        F.col("gsz").alias("nb_gsz"),
+        F.col("id_sum").alias("nb_id_sum"),
+        F.col("id_xor").alias("nb_id_xor"),
+    )
+    neigh = (
+        sym_v.join(nbg, "nb_val")
+        .groupBy("val")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
-            F.expr("bit_xor(partner)").cast("bigint").alias("partner_xor"),
-            F.sum("partner").cast("bigint").alias("partner_sum"),
-            F.sum("hamming").cast("bigint").alias("hamming_sum"),
+            F.sum("nb_gsz").cast("bigint").alias("nb_cnt"),
+            F.sum("nb_id_sum").cast("bigint").alias("nb_sum"),
+            F.expr("bit_xor(nb_id_xor)").cast("bigint").alias("nb_xor"),
+            F.sum(F.col("nb_gsz") * F.col("hamming")).cast("bigint").alias("nb_hsum"),
         )
+        .withColumnRenamed("val", "simhash")
+    )
+    return (
+        simh.join(groups, "simhash")
+        .join(neigh, "simhash", "left")
+        .select(
+            "doc_id",
+            ((F.col("gsz") - 1) + F.coalesce(F.col("nb_cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dups"),
+            (
+                F.col("id_xor")
+                .bitwiseXOR(F.col("doc_id"))
+                .bitwiseXOR(F.coalesce(F.col("nb_xor"), F.lit(0)))
+            )
+            .cast("bigint")
+            .alias("partner_xor"),
+            ((F.col("id_sum") - F.col("doc_id")) + F.coalesce(F.col("nb_sum"), F.lit(0)))
+            .cast("bigint")
+            .alias("partner_sum"),
+            F.coalesce(F.col("nb_hsum"), F.lit(0)).cast("bigint").alias("hamming_sum"),
+        )
+        .filter(F.col("n_dups") > 0)
         .orderBy("doc_id")
     )
 
