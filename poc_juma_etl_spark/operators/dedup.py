@@ -355,11 +355,31 @@ CONTAIN_THRESHOLD = 0.25
     tags=("dedup", "containment", "jaccard"),
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-7 dup-collapse (SCALING.md, same shape as
+    # ngram_jaccard_pairs_collapsed): shingle/posting work runs over exact-
+    # duplicate group REPRESENTATIVES with group-size-weighted doc-level
+    # dfs, and the directed pair set expands back to copies — cross-group
+    # directions via two key joins (the ratio n_shared/n is computed once
+    # per rep pair from the same integers the all-pairs oracle uses, so the
+    # doubles are bitwise identical), intra-group ordered pairs at
+    # containment exactly 1.0 whenever the text kept >= 1 discriminative
+    # shingle (identical kept sets; empty kept sets pair nowhere, matching
+    # the oracle's missing `sizes` row). Measured 296.9 s at sf1 before the
+    # collapse — copy-pair posting lists square in the duplication factor.
     d = load_table(spark, sf_dir, "documents")
-    sh = scoped_cache(_shingles(d))
+    keyed = d.select("doc_id", F.md5("text").alias("h"))
+    groups = keyed.groupBy("h").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("gsz")
+    )
+    members = scoped_cache(keyed.join(groups, "h").select("doc_id", "rep"))
+    reps = d.join(
+        groups.select(F.col("rep").alias("doc_id"), "gsz"), "doc_id"
+    ).select("doc_id", "text", "gsz")
+    sh = scoped_cache(_shingles(reps.select("doc_id", "text")))
     hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+        sh.join(reps.select("doc_id", "gsz"), "doc_id")
+        .groupBy("shingle")
+        .agg(F.sum("gsz").alias("df"))
         .filter(F.col("df") > NGRAM_DF_CUTOFF)
         .select("shingle")
     )
@@ -381,23 +401,45 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.doc_a", "p.doc_b")
     inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_shared"))
     directed = inter.select(
-        F.col("doc_a").alias("contained"),
-        F.col("doc_b").alias("container"),
+        F.col("doc_a").alias("contained_rep"),
+        F.col("doc_b").alias("container_rep"),
         "n_shared",
     ).unionByName(
         inter.select(
-            F.col("doc_b").alias("contained"),
-            F.col("doc_a").alias("container"),
+            F.col("doc_b").alias("contained_rep"),
+            F.col("doc_a").alias("container_rep"),
             "n_shared",
         )
     )
-    cont = F.col("n_shared").cast("double") / F.col("n")
-    return (
-        directed.join(sizes, directed.contained == sizes.doc_id)
-        .select("contained", "container", cont.alias("containment"))
+    scored = (
+        directed.join(sizes, directed.contained_rep == sizes.doc_id)
+        .select(
+            "contained_rep",
+            "container_rep",
+            (F.col("n_shared").cast("double") / F.col("n")).alias("containment"),
+        )
         .filter(F.col("containment") >= CONTAIN_THRESHOLD)
-        .orderBy("contained", "container")
     )
+    mc = members.select(
+        F.col("rep").alias("contained_rep"), F.col("doc_id").alias("contained")
+    )
+    mk = members.select(
+        F.col("rep").alias("container_rep"), F.col("doc_id").alias("container")
+    )
+    cross = (
+        scored.join(mc, "contained_rep")
+        .join(mk, "container_rep")
+        .select("contained", "container", "containment")
+    )
+    nonempty = kept.select("doc_id").distinct()
+    grp = members.join(nonempty.select(F.col("doc_id").alias("rep")), "rep")
+    intra = (
+        grp.select("rep", F.col("doc_id").alias("contained"))
+        .join(grp.select("rep", F.col("doc_id").alias("container")), "rep")
+        .filter(F.col("contained") != F.col("container"))
+        .select("contained", "container", F.lit(1.0).alias("containment"))
+    )
+    return cross.unionByName(intra).orderBy("contained", "container")
 
 
 _SQL_BASE_HASH = f"({SQL_MD5_LONG.format(x='shingle')} % {MOD_P})"
