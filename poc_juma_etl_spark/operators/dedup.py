@@ -1077,32 +1077,75 @@ from .text import SQL_WINNOW_FP, winnow_fingerprints  # noqa: E402
     tags=("dedup", "winnowing", "fingerprint"),
 )
 def q_dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-7 dup-collapse (SCALING.md): identical texts have identical
+    # winnowed fingerprint SETS (no df interplay here, unlike the jaccard
+    # family), so the sel self-join runs over exact-dup group reps and the
+    # pair set expands back to copies — cross-group pairs reordered with
+    # least/greatest (copy ids need not sort like reps; n_shared and
+    # min-size containment are symmetric), intra-group x < y pairs carrying
+    # n_shared = |fingerprints| at containment exactly 1.0, gated on the
+    # oracle's own n_shared >= 3 floor. sf1 -> sf3 scaled 10.8x before the
+    # collapse (copy-pair join squares in the duplication factor).
     # spread(): the in-row fingerprint build is CPU-heavy per row; a small
     # single-file scan would run it on one core (no-op at real scale)
     d = spread(load_table(spark, sf_dir, "documents"))
-    fp = scoped_cache(winnow_fingerprints(d))
-    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    keyed = d.select("doc_id", F.md5("text").alias("h"))
+    groups = keyed.groupBy("h").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("gsz")
+    )
+    members = scoped_cache(keyed.join(groups, "h").select("doc_id", "rep"))
+    reps = d.join(groups.select(F.col("rep").alias("doc_id")), "doc_id")
+    fp = scoped_cache(winnow_fingerprints(reps))
+    sizes = scoped_cache(fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
     a, b = fp.alias("a"), fp.alias("b")
-    pairs = (
+    rep_pairs = (
         a.join(b, (F.col("a.sel") == F.col("b.sel")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+    scored = (
+        rep_pairs.join(sa, F.col("rep_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("rep_b") == F.col("sb.doc_id"))
+        .select(
+            "rep_a",
+            "rep_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            (
+                F.col("n_shared").cast("double")
+                / F.least(F.col("sa.n"), F.col("sb.n"))
+            ).alias("containment"),
+        )
+    )
+    ma = members.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("x"))
+    mb = members.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("y"))
+    cross = (
+        scored.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "n_shared",
+            "containment",
+        )
+    )
+    eligible = sizes.filter(F.col("n") >= 3).select(
+        F.col("doc_id").alias("rep"), F.col("n")
+    )
+    grp = members.join(eligible, "rep")
+    intra = (
+        grp.select("rep", "n", F.col("doc_id").alias("doc_a"))
+        .join(grp.select("rep", F.col("doc_id").alias("doc_b")), "rep")
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
-            F.col("n_shared").cast("bigint").alias("n_shared"),
-            (F.col("n_shared").cast("double") / F.least(F.col("sa.n"), F.col("sb.n"))).alias(
-                "containment"
-            ),
+            F.col("n").cast("bigint").alias("n_shared"),
+            F.lit(1.0).alias("containment"),
         )
-        .orderBy("doc_a", "doc_b")
     )
+    return cross.unionByName(intra).orderBy("doc_a", "doc_b")
 
 
 PASSAGE_TOKENS = 20  # exact-dedup chunk width (tokens)
