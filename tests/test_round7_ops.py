@@ -262,3 +262,194 @@ def test_ngram_jaccard_collapsed_matches_naive_pairs(spark):
     assert naive == collapsed
     assert (0, 5, 1.0) in naive  # intra-group pair survives the collapse
     assert {(a, b) for a, b, _ in naive} >= {(0, 2), (2, 5)}  # cross pairs
+
+
+# ---------------------------------------------------------------------------
+# Dup-heavy fixtures for the collapsed dedup paths: the sf0.01/0.1 fixtures
+# have (almost) no exact duplicates, so the expansion branches only run for
+# real on the replicated sf1 fixture. These units pin them at test speed
+# against brute-force folds, duplicating every text/name several times.
+
+
+def _dup_docs_dir(spark, tmp_path, texts_with_copies):
+    """Write a documents.parquet with the catalog schema from
+    [(text, n_copies), ...]; doc_ids interleave across groups so copy ids
+    do NOT sort contiguously with their reps."""
+    rows = []
+    i = 0
+    pending = [[t, n] for t, n in texts_with_copies]
+    while any(n > 0 for _, n in pending):
+        for ent in pending:
+            if ent[1] > 0:
+                rows.append((i, ent[0], "en", f"src{i % 3}", len(ent[0])))
+                ent[1] -= 1
+                i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    out = str(tmp_path / "docs")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_containment_collapsed_matches_bruteforce(spark, tmp_path):
+    """Collapsed containment == brute-force shingle containment on a corpus
+    where every text is duplicated — including a group big enough that the
+    df cutoff (here: scaled-down via many copies vs NGRAM_DF_CUTOFF=1000,
+    so instead we verify against an independent brute-force computed in
+    PYTHON, not a second Spark plan)."""
+    from poc_juma_etl_spark import all_queries
+    from poc_juma_etl_spark.operators.dedup import CONTAIN_THRESHOLD
+
+    texts = [
+        ("alpha beta gamma delta epsilon zeta eta theta", 3),
+        ("alpha beta gamma delta epsilon zeta eta iota", 2),  # near-dup of ^
+        ("completely different words entirely unrelated content here now", 2),
+        ("single unique document with its own content only", 1),
+    ]
+    sf = _dup_docs_dir(spark, tmp_path, texts)
+    got = sorted(
+        map(tuple, all_queries()["q_dedup_containment"].fn(spark, sf).collect())
+    )
+
+    # brute force in python: 3-shingles, df<=1000 (nothing hot here), all
+    # ordered pairs with containment >= threshold
+    docs = {}
+    i = 0
+    pend = [[t, n] for t, n in texts]
+    while any(n > 0 for _, n in pend):
+        for ent in pend:
+            if ent[1] > 0:
+                docs[i] = ent[0].split()
+                ent[1] -= 1
+                i += 1
+    sh = {
+        d: {" ".join(ts[j : j + 3]) for j in range(max(len(ts) - 2, 1))}
+        for d, ts in docs.items()
+    }
+    want = []
+    ids = sorted(docs)
+    for a in ids:
+        for b in ids:
+            if a == b or not sh[a]:
+                continue
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            c = inter / len(sh[a])
+            if c >= CONTAIN_THRESHOLD:
+                want.append((a, b, c))
+    assert got == sorted(want)
+
+
+def test_winnow_collapsed_matches_bruteforce(spark, tmp_path):
+    from poc_juma_etl_spark import all_queries
+    from poc_juma_etl_spark.operators.text import winnow_fp_array
+
+    texts = [
+        ("the quick brown fox jumps over the lazy dog again and again", 3),
+        ("the quick brown fox jumps over the lazy cat again and again", 2),
+        ("nothing in common with anything else at all whatsoever truly", 2),
+    ]
+    sf = _dup_docs_dir(spark, tmp_path, texts)
+    got = sorted(
+        map(tuple, all_queries()["q_dedup_winnow_overlap"].fn(spark, sf).collect())
+    )
+    # brute force: fingerprint sets from the SAME in-row expression, then
+    # python pair fold (n_shared >= 3, containment = shared / min size)
+    from poc_juma_etl_spark.catalog import load_table
+
+    fps = {
+        r.doc_id: set(r.fp)
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", winnow_fp_array().alias("fp"))
+        .collect()
+    }
+    want = []
+    ids = sorted(fps)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            shared = len(fps[a] & fps[b])
+            if shared >= 3:
+                want.append((a, b, shared, shared / min(len(fps[a]), len(fps[b]))))
+    assert got == sorted(want)
+    assert any(n >= 3 for _, _, n, _ in want), "fixture produced no pairs"
+
+
+def test_grouped_twins_match_pair_folds_on_dup_corpus(spark, tmp_path):
+    """The analytic expansions (simhash values / brand-name groups) must
+    equal the fold of the PAIR queries on a duplicate-heavy corpus — the
+    round-6 fold tests run on the dup-free sf0.01 fixture, where the
+    collapse degenerates to identity; this one exercises the group math."""
+    import collections
+
+    from poc_juma_etl_spark import all_queries
+
+    texts = [
+        ("alpha beta gamma delta epsilon zeta eta theta", 4),
+        ("alpha beta gamma delta epsilon zeta eta iota", 3),
+        ("other words that share nothing with the first family", 2),
+    ]
+    sf = _dup_docs_dir(spark, tmp_path, texts)
+    q = all_queries()
+    pairs = q["q_dedup_simhash"].fn(spark, sf).collect()
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for r in pairs:
+        for me, other in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            acc = agg[me]
+            acc[0] += 1
+            acc[1] ^= other
+            acc[2] += other
+            acc[3] += r.hamming
+    want = sorted((k, v[0], v[1], v[2], v[3]) for k, v in agg.items())
+    got = sorted(map(tuple, q["q_dedup_simhash_grouped"].fn(spark, sf).collect()))
+    assert got == want
+    assert any(v[0] >= 4 for _, v in agg.items()), "no dup cliques exercised"
+
+
+def test_levenshtein_grouped_matches_pair_fold_on_dup_parts(spark, tmp_path):
+    import collections
+
+    from poc_juma_etl_spark import all_queries
+
+    # parts with duplicated names within a brand (the analytic intra terms)
+    # and near-miss names within edit distance (the neighbor terms)
+    names = [
+        ("Brand#1", "shiny green widget", 3),
+        ("Brand#1", "shiny greed widget", 2),  # dist 1 from ^
+        ("Brand#1", "utterly different thing", 1),
+        ("Brand#2", "shiny green widget", 2),  # same name, other brand: no pair
+    ]
+    rows, i = [], 0
+    pend = [[b, n, c] for b, n, c in names]
+    while any(c > 0 for _, _, c in pend):
+        for ent in pend:
+            if ent[2] > 0:
+                rows.append((i, ent[1], ent[0], "TYPE", 1, 1.0))
+                ent[2] -= 1
+                i += 1
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    out = str(tmp_path / "parts")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/part.parquet")
+
+    q = all_queries()
+    pairs = q["q_dedup_levenshtein"].fn(spark, out).collect()
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for r in pairs:
+        for me, other in ((r.part_a, r.part_b), (r.part_b, r.part_a)):
+            acc = agg[me]
+            acc[0] += 1
+            acc[1] ^= other
+            acc[2] += other
+            acc[3] += r.edit_dist
+    want = sorted((k, v[0], v[1], v[2], v[3]) for k, v in agg.items())
+    got = sorted(
+        map(tuple, q["q_dedup_levenshtein_grouped"].fn(spark, out).collect())
+    )
+    assert got == want
+    # cross-brand identical names must NOT pair; intra-brand dups must
+    assert any(v[3] > 0 for _, v in agg.items()), "no nonzero-distance pairs"
