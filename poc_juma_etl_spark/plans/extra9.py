@@ -40,7 +40,7 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..checkpoint import truncate_lineage
 from ..operators.text import SQL_MD5_LONG, md5_long, tokens
-from .queries import register
+from .queries import register, scoped_cache
 
 SPAN_K = 8  # duplicated-run granularity: report runs of >= 8 shared tokens
 PMI_SCALE = 1 << 14
@@ -113,12 +113,27 @@ PMI_TOP = 30
     tags=("text", "dedup", "spans"),
 )
 def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-7 dup-collapse (SCALING.md): shingle positions, the dup set,
+    # and the gaps-and-islands spans are all functions of the TEXT, so they
+    # are computed once per distinct text and the per-doc stats join back
+    # to the copies. The corpus-wide "occurs >= 2" dup test is preserved
+    # exactly by weighting each rep's occurrence count with its duplicate
+    # group size (a shingle appearing once in a text with 2+ copies is a
+    # duplicate — sum(gsz) >= 2 — exactly as the unanimous per-copy count
+    # was). Shingle/shuffle volume now tracks distinct texts.
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", tokens("text").alias("ts"))
+    keyed = d.select("doc_id", F.md5("text").alias("h_txt"))
+    groups = keyed.groupBy("h_txt").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("gsz")
+    )
+    members = scoped_cache(keyed.join(groups, "h_txt").select("doc_id", "rep"))
+    reps = d.join(groups.select(F.col("rep").alias("doc_id"), "gsz"), "doc_id")
+    tok = reps.select("doc_id", "gsz", tokens("text").alias("ts"))
     sh = (
         tok.filter(F.size("ts") >= SPAN_K)
         .select(
             "doc_id",
+            "gsz",
             F.posexplode(
                 F.expr(
                     f"transform(sequence(0, size(ts) - {SPAN_K}), "
@@ -126,9 +141,14 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pos", "shingle"),
         )
-        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), md5_long(F.col("shingle")).alias("h"))
+        .select(
+            "doc_id",
+            "gsz",
+            F.col("pos").cast("bigint").alias("pos"),
+            md5_long(F.col("shingle")).alias("h"),
+        )
     )
-    dup = sh.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
+    dup = sh.groupBy("h").agg(F.sum("gsz").alias("c")).filter(F.col("c") >= 2)
     hits = sh.join(dup.select("h"), "h").select("doc_id", "pos")
     wl = Window.partitionBy("doc_id").orderBy("pos")
     wcum = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -151,8 +171,17 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
     )
     doclen = tok.select("doc_id", F.size("ts").cast("bigint").alias("n_tokens"))
+    rep_out = per_doc.join(doclen, "doc_id").select(
+        F.col("doc_id").alias("rep"),
+        "n_tokens",
+        "n_dup_shingles",
+        "n_spans",
+        "dup_tokens",
+        "max_span_tokens",
+        (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias("dup_ratio"),
+    )
     return (
-        per_doc.join(doclen, "doc_id")
+        members.join(rep_out, "rep")
         .select(
             "doc_id",
             "n_tokens",
@@ -160,7 +189,7 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_spans",
             "dup_tokens",
             "max_span_tokens",
-            (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias("dup_ratio"),
+            "dup_ratio",
         )
         .orderBy("doc_id")
     )
