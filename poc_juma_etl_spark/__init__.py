@@ -165,6 +165,22 @@ LATE_ADDITIONS: tuple[str, ...] = (
 )
 
 
+def _evidence_cache(fn):
+    """Compute-once cache for the CORRECTNESS_r*.json scans below: the
+    evidence files only change between driver rounds (never mid-process),
+    and ``all_queries()`` is called per-test in the parity sweep — re-reading
+    and json-parsing every round file each call is pure waste. Note the scan
+    deliberately includes UNTRACKED round artifacts in the repo root (e.g. a
+    CORRECTNESS_rNN.json the driver wrote but has not committed yet): the
+    current round's evidence is exactly what the next window rotation should
+    see. Tests that monkeypatch the repo root get a fresh read via
+    ``cache_clear``."""
+    import functools
+
+    return functools.lru_cache(maxsize=1)(fn)
+
+
+@_evidence_cache
 def _verified_counts() -> dict[str, float]:
     """How much driver evidence each query has accumulated, read from the
     CORRECTNESS_r*.json files the driver drops in the repo root. A full
@@ -196,6 +212,7 @@ def _verified_counts() -> dict[str, float]:
     return counts
 
 
+@_evidence_cache
 def _latest_sample_rounds() -> dict[str, int]:
     """The most recent driver round that SAMPLED each query (appeared in a
     CORRECTNESS_r*.json at all, green or not). Used as the staleness tiebreak

@@ -24,7 +24,9 @@ and equal plan truncation across modes.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
@@ -45,10 +47,18 @@ def _ensure_checkpoint_dir(spark) -> None:
         # local default: a per-process scratch dir. On a cluster this env
         # must point at shared storage (HDFS/S3) — a driver-local path is
         # unreadable to executors there, which is why it's explicit config.
-        sc.setCheckpointDir(
-            os.environ.get(ENV_DIR)
-            or tempfile.mkdtemp(prefix="spark_graft_ckpt_")
-        )
+        configured = os.environ.get(ENV_DIR)
+        path = configured or tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        sc.setCheckpointDir(path)
+        if not configured:
+            # Checkpoint RDD files are never GC'd by Spark unless
+            # spark.cleaner.referenceTracking.cleanCheckpoints was set at
+            # context start; for the process-local scratch default, reclaim
+            # the whole dir at interpreter exit so long sessions with many
+            # iterative queries don't accumulate unbounded disk. A user-
+            # configured ENV_DIR (shared storage) is left alone — recovery
+            # across driver restarts is the point of configuring it.
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
 
 
 def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:

@@ -1414,10 +1414,12 @@ DECONTAM_BENCH_SOURCE = "src0"  # stand-in eval set: one source's documents
     "shingle count and the UNION length of the covered token spans — the "
     "numbers a masking pass (drop the spans, keep the doc) needs, versus "
     "the doc-dropper's binary verdict. Positions ride the shingle structs "
-    "so overlapping matches don't double-count coverage. The benchmark "
-    "shingle set is eval-set-sized — broadcast to the corpus scan at any "
-    "SF; the double explode runs over MATCHED positions only, which "
-    "contamination keeps rare by definition. One corpus shuffle.",
+    "so overlapping matches don't double-count coverage. A real benchmark "
+    "shingle set is eval-set-sized and AQE broadcasts it at runtime; the "
+    "stand-in here (all shingles of one source) grows with the corpus, so "
+    "the join carries NO forced broadcast hint — AQE picks broadcast vs "
+    "shuffle-hash by measured size. The double explode runs over MATCHED "
+    "positions only, which contamination keeps rare by definition.",
     tags=("text", "decontamination", "training-data"),
 )
 def q_text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1446,9 +1448,15 @@ def q_text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (
         px.filter(F.col("source") == DECONTAM_BENCH_SOURCE).select("g").distinct()
     )
+    # No forced broadcast hint: the stand-in bench "set" here is every
+    # distinct shingle of one SOURCE, which grows with the corpus — a
+    # mandatory broadcast would hit the 8 GB broadcast cap / driver OOM at
+    # high SF. AQE sizes the join at runtime instead: a genuinely
+    # eval-set-sized bench side still broadcasts (it's under the adaptive
+    # threshold), an outsized one falls back to a shuffle hash join.
     hits = (
         px.filter(F.col("source") != DECONTAM_BENCH_SOURCE)
-        .join(F.broadcast(bench), "g")
+        .join(bench, "g")
         .select("doc_id", "p", "n_tokens")
     )
     m = hits.groupBy("doc_id").agg(

@@ -200,9 +200,17 @@ def test_rows_only_evidence_is_weaker_than_hash_green(tmp_path, monkeypatch):
         if pat == "CORRECTNESS_r*.json"
         else iter([]),
     )
-    counts = p._verified_counts()
-    assert counts["q_hash_green"] == 1.0
-    assert counts["q_rows_only"] == 0.25
+    # the evidence scan is compute-once per process (ADVICE r7): flush it so
+    # the monkeypatched glob is seen, and flush again afterwards so the fake
+    # round file never leaks into other tests' rotation math
+    p._verified_counts.cache_clear()
+    try:
+        counts = p._verified_counts()
+        assert counts["q_hash_green"] == 1.0
+        assert counts["q_rows_only"] == 0.25
+    finally:
+        p._verified_counts.cache_clear()
+        p._latest_sample_rounds.cache_clear()
 
 
 def test_rotation_orders_by_evidence_then_staleness():

@@ -1,0 +1,105 @@
+"""Round-8 units.
+
+1. span-dedup dup-collapse parity: the round-7 snapshot landed the
+   rep-collapse for q_text_span_dedup without its dup-heavy parity unit
+   (the sf0.01 fixture has almost no exact copies, so the expansion
+   branch degenerates to identity there). This pins the collapsed plan
+   against an independent Python brute force on an interleaved-id
+   duplicate corpus, including the weighted "occurs >= 2 corpus-wide"
+   dup test (a shingle unique within a text whose text has >= 2 copies
+   IS a duplicate).
+"""
+
+from poc_juma_etl_spark import all_queries
+
+from .test_round7_ops import _dup_docs_dir
+
+
+def _span_bruteforce(docs, k):
+    """docs: {doc_id: [tokens]}. Returns rows matching q_text_span_dedup's
+    schema, computed with no collapse at all: every copy contributes its
+    own shingle occurrences to the corpus-wide count."""
+    from collections import Counter
+
+    counts = Counter()
+    shingles = {}
+    for d, ts in docs.items():
+        if len(ts) < k:
+            shingles[d] = []
+            continue
+        sh = [" ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)]
+        shingles[d] = sh
+        counts.update(sh)
+    rows = []
+    for d, ts in sorted(docs.items()):
+        hits = [i for i, s in enumerate(shingles[d]) if counts[s] >= 2]
+        if not hits:
+            continue
+        islands = []
+        cur = [hits[0], hits[0]]
+        n_in = 1
+        per_island = []
+        for p in hits[1:]:
+            if p - cur[1] > k:
+                per_island.append((n_in, cur[1] - cur[0] + k))
+                cur = [p, p]
+                n_in = 1
+            else:
+                cur[1] = p
+                n_in += 1
+        per_island.append((n_in, cur[1] - cur[0] + k))
+        islands = per_island
+        n_dup = sum(n for n, _ in islands)
+        dup_tokens = sum(t for _, t in islands)
+        rows.append(
+            (
+                d,
+                len(ts),
+                n_dup,
+                len(islands),
+                dup_tokens,
+                max(t for _, t in islands),
+                dup_tokens / len(ts),
+            )
+        )
+    return rows
+
+
+def test_span_dedup_collapsed_matches_bruteforce(spark, tmp_path):
+    """Collapsed span dedup == uncollapsed Python brute force on a corpus
+    where (a) texts have exact copies with interleaved ids, (b) a shingle
+    is duplicated ONLY via the copy count (unique within its text, text
+    has 2 copies), and (c) a shingle is duplicated across two distinct
+    texts that are otherwise different."""
+    from poc_juma_etl_spark.plans.extra9 import SPAN_K
+
+    shared = "one two three four five six seven eight"  # exactly SPAN_K tokens
+    texts = [
+        # group of 3 exact copies: every shingle dup via gsz >= 2
+        (f"{shared} nine ten eleven twelve thirteen fourteen fifteen", 3),
+        # 2 copies of a text sharing its prefix run with the group above
+        (f"{shared} AA BB CC DD EE FF GG HH II JJ", 2),
+        # singleton sharing the same 8-token run mid-text (shifted copy)
+        (f"zz yy xx ww {shared} vv uu tt ss rr qq pp", 1),
+        # singleton with nothing in common: must NOT appear in the output
+        ("totally different content with no shared runs anywhere at all here", 1),
+        # short doc under SPAN_K tokens: excluded from shingling entirely
+        ("tiny doc", 2),
+    ]
+    sf = _dup_docs_dir(spark, tmp_path, texts)
+    got = sorted(map(tuple, all_queries()["q_text_span_dedup"].fn(spark, sf).collect()))
+
+    docs = {}
+    i = 0
+    pend = [[t, n] for t, n in texts]
+    while any(n > 0 for _, n in pend):
+        for ent in pend:
+            if ent[1] > 0:
+                docs[i] = ent[0].split()
+                ent[1] -= 1
+                i += 1
+    want = sorted(_span_bruteforce(docs, SPAN_K))
+    assert want, "fixture produced no duplicated spans"
+    # the copy-count-only dup path must actually be exercised: the 3-copy
+    # group's suffix shingles are unique per-text, dup only via gsz
+    assert got == want

@@ -99,6 +99,28 @@ def main() -> None:
             else:
                 oracle_sql = spec.oracle
                 if name == "q_dedup_components":
+                    # Guard the splice: the cached-prelude derivation below is
+                    # only equivalent to the query's own registered oracle if
+                    # that oracle still computes the SAME closure (edges CTE,
+                    # thresholds) as SQL_PIPELINE_RANKED. If the registered
+                    # oracle drifts (e.g. JACCARD_T changes in one place), the
+                    # substitution must fail loudly, not mask it.
+                    core = SQL_PIPELINE_RANKED[
+                        SQL_PIPELINE_RANKED.index("sh AS") :
+                        SQL_PIPELINE_RANKED.index("reach(node, r) AS")
+                    ]
+                    reach = SQL_PIPELINE_RANKED[
+                        SQL_PIPELINE_RANKED.index("reach(node, r) AS") :
+                        SQL_PIPELINE_RANKED.index("membership")
+                    ].strip().rstrip(",")
+                    assert core in spec.oracle and reach in spec.oracle, (
+                        "q_dedup_components' registered oracle no longer embeds "
+                        "SQL_PIPELINE_RANKED's shingle->edges->reach closure "
+                        "verbatim (a constant like JACCARD_T drifted?) — the "
+                        "cached-prelude substitution is not equivalence-"
+                        "preserving; update COMPONENTS_FROM_CACHE or drop the "
+                        "splice."
+                    )
                     oracle_sql = SQL_PIPELINE_RANKED + COMPONENTS_FROM_CACHE
                 if SQL_PIPELINE_RANKED in oracle_sql:
                     # the shared curation-pipeline prelude (recursive-CTE
