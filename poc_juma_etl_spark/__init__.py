@@ -162,6 +162,8 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "etl_wap_publish_e2e",
     "q_event_seasonality_profile",
     "q_stream_rest_source_scan",
+    # -- round 8 --
+    "etl_compact_e2e",
 )
 
 
@@ -297,6 +299,7 @@ def all_queries():
         "poc_juma_etl_spark.operators.bpe",
         "poc_juma_etl_spark.operators.entity",
         "poc_juma_etl_spark.operators.basket",
+        "poc_juma_etl_spark.operators.compact",
         "poc_juma_etl_spark.streaming.events",
         "poc_juma_etl_spark.streaming.join",
         "poc_juma_etl_spark.streaming.enrich",

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from ..plans.queries import register
 from .range_replace import PARTITION_COL
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
@@ -72,3 +73,204 @@ def compact_table(
     fs.delete(old, True)
     after, _ = table_file_stats(spark, path)
     return before, after
+
+
+def _swap_into(spark: SparkSession, staging: str, path: str) -> None:
+    """Atomic-ish directory swap (the compact_table discipline, factored):
+    rename old out of the way, staging in, drop old."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    old = jvm.org.apache.hadoop.fs.Path(f"{path}__compact_old")
+    fs.delete(old, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(path), old)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), jvm.org.apache.hadoop.fs.Path(path))
+    fs.delete(old, True)
+
+
+def compact_execute(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """EXECUTE a compaction plan: pack each storage partition's files into
+    output groups by the start-offset rule (the exact grouping of
+    plans/extra8.py::q_compaction_plan — a file joins group
+    floor(bytes_before_it / target) in its partition's name-ordered
+    cumulative stream, so oversized files keep a group to themselves), then
+    rewrite the table in ONE distributed job where rows route to their
+    file's group, and atomically swap the result in (compact_table's
+    staging discipline).
+
+    Scale shape: the plan is a window over file METADATA — the hidden
+    ``_metadata`` columns (file_path, file_size), so plan rows are
+    file-count-bounded, never data-bounded, and row->group provenance joins
+    on the exact same path representation with no URI normalization. The
+    rewrite is one scan + one shuffle keyed on (partition_dir, out_group)
+    with numPartitions = n_groups, so each reduce task writes
+    ~target_bytes — the Delta OPTIMIZE / Iceberg rewrite_data_files
+    execution shape. The plan side is broadcast only while small (file
+    metadata reaches manifest scale on a huge table; past the bound it
+    joins by shuffle). Hash-collision groups that co-land in one task
+    merely co-write a file per partition dir — compaction targets are
+    advisory.
+
+    Returns {"files_before", "files_after", "n_groups", "bytes_total"}.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    before, total = table_file_stats(spark, path)
+    if before == 0:  # nothing on disk: no-op, not a crash (S6 contract)
+        return {"files_before": 0, "files_after": 0, "n_groups": 0, "bytes_total": 0}
+    df = spark.read.parquet(path)
+    data_cols = df.columns
+    tagged = df.select(
+        "*",
+        F.col("_metadata.file_path").alias("__fpath"),
+        F.regexp_replace(F.col("_metadata.file_path"), "/[^/]+$", "").alias("__pdir"),
+    )
+    meta = (
+        tagged.select(
+            "__fpath", "__pdir", F.col("_metadata.file_size").alias("__bytes")
+        )
+        .distinct()
+    )
+    w = (
+        Window.partitionBy("__pdir")
+        .orderBy("__fpath")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    plan = meta.withColumn(
+        "__cum_before", F.coalesce(F.sum("__bytes").over(w), F.lit(0))
+    ).select(
+        "__fpath",
+        "__pdir",
+        F.expr(f"__cum_before div {int(target_bytes)}").alias("__grp"),
+    )
+    groups = plan.select("__pdir", "__grp").distinct().count()
+    fmap = plan.select("__fpath", "__grp")
+    if before <= 100_000:
+        fmap = F.broadcast(fmap)
+    routed = tagged.join(fmap, "__fpath")
+    staging = f"{path}__compact_staging"
+    writer = routed.repartition(max(int(groups), 1), "__pdir", "__grp").select(
+        *data_cols
+    )
+    wtr = writer.write.mode("overwrite")
+    if partition_cols:
+        wtr = wtr.partitionBy(*partition_cols)
+    wtr.parquet(staging)
+    _swap_into(spark, staging, path)
+    after, _ = table_file_stats(spark, path)
+    return {
+        "files_before": before,
+        "files_after": after,
+        "n_groups": int(groups),
+        "bytes_total": total,
+    }
+
+
+ETL_COMPACT_FRAG = 6  # fragmentation factor: small files per date partition
+
+
+@register(
+    "etl_compact_e2e",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           TRUE AS files_reduced,
+           TRUE AS packed_to_plan,
+           TRUE AS content_match
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Small-file compaction EXECUTED end-to-end (q_compaction_plan is "
+    "the planner; this is the rewrite): the daily events table is written "
+    f"date-partitioned and deliberately fragmented ({ETL_COMPACT_FRAG} "
+    "files per date dir — the state incremental loads leave behind), then "
+    "compact_execute packs each partition's files into start-offset "
+    "groups over the _metadata file listing and rewrites the table in one "
+    "shuffle keyed on (partition_dir, out_group), atomically swapping the "
+    "result in. The emitted booleans are REAL post-swap checks: "
+    "files_reduced (file count strictly fell), packed_to_plan (exactly "
+    "one output file per planned group — deterministic here because tiny "
+    "date dirs pack to one group each), and content_match (pre/post "
+    "exact-integer reconciliation: row count, event_id checksum, distinct "
+    "dates — integer sums, never float). The per-type aggregates are "
+    "computed FROM the compacted table, so a row lost or duplicated in "
+    "the rewrite fails the hash gate, not just a boolean. At 100 TB the "
+    "plan is a manifest-sized window and the rewrite shuffles each "
+    "partition once — the Delta OPTIMIZE / Iceberg rewrite_data_files "
+    "maintenance loop the gold layer (S7) needs between refreshes.",
+    tags=("etl", "compaction", "layout"),
+)
+def etl_compact_e2e(spark: SparkSession, sf_dir: str):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        "event_type",
+        "event_id",
+    )
+
+    def per_type(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("id_checksum"),
+        )
+
+    if ev.isEmpty():
+        return (
+            per_type(ev)
+            .select(
+                "event_type",
+                "n_events",
+                "id_checksum",
+                F.lit(True).alias("files_reduced"),
+                F.lit(True).alias("packed_to_plan"),
+                F.lit(True).alias("content_match"),
+            )
+            .orderBy("event_type")
+        )
+    root = tempfile.mkdtemp(prefix="compact_e2e_")
+    tbl = f"{root}/events_tbl"
+    try:
+        ev.repartition(ETL_COMPACT_FRAG).write.partitionBy("event_date").parquet(tbl)
+
+        def checksum(df):
+            return df.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("event_id").alias("ck"),
+                F.countDistinct("event_date").alias("days"),
+            ).collect()[0]
+
+        pre = checksum(spark.read.parquet(tbl))
+        stats = compact_execute(spark, tbl, partition_cols=["event_date"])
+        compacted = spark.read.parquet(tbl)
+        post = checksum(compacted)
+        content_match = tuple(pre) == tuple(post)
+        files_reduced = stats["files_after"] < stats["files_before"]
+        packed_to_plan = stats["files_after"] == stats["n_groups"]
+        out = (
+            per_type(compacted)
+            .select(
+                "event_type",
+                "n_events",
+                "id_checksum",
+                F.lit(files_reduced).alias("files_reduced"),
+                F.lit(packed_to_plan).alias("packed_to_plan"),
+                F.lit(content_match).alias("content_match"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

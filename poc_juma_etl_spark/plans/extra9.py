@@ -934,12 +934,21 @@ def _kcore_sql() -> str:
     "as exactly R peels (rather than 'until fixpoint') keeps it well-"
     "defined at ANY scale and lets the oracle replay the same R rounds as "
     "a MATERIALIZED CTE chain — the iterative-oracle recipe of PageRank/"
-    "BPE/Lloyd applied to graph peeling. Spark shape per round: one "
-    "degree groupBy + two semi joins filtering the edge list, each "
-    "hash-partitioned on node id; the edge list shrinks monotonically, "
-    "and an early exit fires when a round removes nothing (the remaining "
-    "no-op rounds are free in both engines by definition). The dense-core "
-    "mining primitive for community seeds and spam-cluster detection.",
+    "BPE/Lloyd applied to graph peeling. Spark shape (round-8 re-cut, the "
+    "pagerank idiom): round 1 peels the bulk with one degree groupBy + two "
+    "survivor semi-joins, then the surviving edge list is re-cut hash-"
+    "partitioned on u ONCE and cached; rounds 2..R are DELTA peels — the "
+    "round's removed-node set (small by then) joins the cached edges to "
+    "produce per-neighbor degree decrements, so each round shuffles only "
+    "node-delta-sized tables and never re-shuffles edges (the degree "
+    "invariant deg_r(u) = degree among currently-alive nodes is exactly "
+    "the oracle's per-round HAVING recount, maintained incrementally; "
+    "zero-degree survivors are kept in the degree table so they are "
+    "counted alive this round and peel next round, as the oracle's edge-"
+    "driven recount does implicitly). Early exit fires when a round "
+    "removes nothing (remaining rounds are no-ops by definition). The "
+    "dense-core mining primitive for community seeds and spam-cluster "
+    "detection.",
     tags=("graph", "kcore", "iterative"),
 )
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -964,36 +973,68 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
     prev_n = sym.select("u").distinct().count()
-    rounds = []
-    core = None
-    for r in range(1, KCORE_ROUNDS + 1):
-        surv = (
-            sym.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= KCORE_K)
-            .select(F.col("u").alias("node"))
-        )
-        sym = (
-            sym.join(surv.select(F.col("node").alias("u")), "u")
-            .join(surv.select(F.col("node").alias("v")), "v")
-            .select("u", "v")
-            .transform(truncate_lineage)
-        )
-        core = surv
-        n_now = sym.select("u").distinct().count() if r < KCORE_ROUNDS else None
-        # the survivor set IS the next round's node universe; count it from
-        # the peeled edges (isolated survivors cannot exist: degree >= k > 0
-        # means every survivor keeps at least one peer until edges drop it
-        # next round) — count survivors directly to include edge-loss cases
-        n_surv = core.count()
-        rounds.append((r, prev_n - n_surv, n_surv))
-        if prev_n == n_surv:
+    # -- round 1: bulk peel (most nodes die here at any K worth peeling) --
+    deg0 = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    surv = deg0.filter(F.col("d") >= KCORE_K).select(F.col("u").alias("node"))
+    # One-time edge re-cut (the pagerank idiom): survivors-only edges,
+    # hash-partitioned on u and CACHED (not checkpointed — under AQE a
+    # localCheckpoint's LogicalRDD reports UnknownPartitioning, so every
+    # delta round would re-shuffle the edges; an InMemoryRelation keeps the
+    # REPARTITION_BY_COL partitioning visible to the planner; on a real
+    # cluster this persist is DISK_ONLY). Rounds 2..R never shuffle edges:
+    # the removed-node delta comes TO the edge partitioning.
+    alive_edges = scoped_cache(
+        sym.join(surv.select(F.col("node").alias("u")), "u")
+        .join(surv.select(F.col("node").alias("v")), "v")
+        .select("u", "v")
+        .repartition(F.col("u"))
+    )
+    alive_edges.count()  # materialize so the planner sees the final partitioning
+    n_surv = surv.count()
+    rounds = [(1, prev_n - n_surv, n_surv)]
+    prev_n = n_surv
+    # deg_1: degree among survivors — LEFT join keeps zero-degree survivors
+    # (all neighbors peeled) in the node universe at count 0, so they are
+    # counted alive this round and removed next round, exactly like the
+    # oracle's edge-driven HAVING recount.
+    deg = truncate_lineage(
+        surv.join(
+            alive_edges.groupBy(F.col("u").alias("node")).agg(
+                F.count(F.lit(1)).alias("d")
+            ),
+            "node",
+            "left",
+        ).select("node", F.coalesce("d", F.lit(0)).alias("d"))
+    )
+    for r in range(2, KCORE_ROUNDS + 1):
+        removed = deg.filter(F.col("d") < KCORE_K).select("node")
+        if removed.isEmpty():
             # converged: the remaining rounds are no-ops BY DEFINITION —
             # fill them in without running more Spark jobs
-            for rr in range(r + 1, KCORE_ROUNDS + 1):
-                rounds.append((rr, 0, n_surv))
+            for rr in range(r, KCORE_ROUNDS + 1):
+                rounds.append((rr, 0, prev_n))
             break
+        # delta decrements: edges OUT of removed nodes (symmetric list, so
+        # these are exactly the edges INTO removed nodes) decrease each
+        # surviving neighbor's alive-degree by 1. Edge side is cached and
+        # u-partitioned — only the delta moves; the groupBy("v") shuffles
+        # matched edges only (delta x avg-degree rows).
+        dec = (
+            alive_edges.join(removed.select(F.col("node").alias("u")), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        deg = truncate_lineage(
+            deg.join(removed, "node", "left_anti")
+            .join(dec, "node", "left")
+            .select(
+                "node", (F.col("d") - F.coalesce("dec", F.lit(0))).alias("d")
+            )
+        )
+        n_surv = deg.count()
+        rounds.append((r, prev_n - n_surv, n_surv))
         prev_n = n_surv
+    core = deg.select("node")  # n_R: survivors after the final executed peel
     core_rows = core.agg(
         F.count(F.lit(1)).cast("bigint").alias("core_size"),
         F.coalesce(F.sum("node"), F.lit(0)).cast("bigint").alias("core_id_sum"),

@@ -44,3 +44,60 @@ def test_compact_unpartitioned_table(spark, tmp_path):
     b, a = compact_table(spark, p)
     assert a < b
     assert spark.read.parquet(p).count() == 1000
+
+
+def test_compact_execute_partitioned_packs_to_plan(spark, tmp_path):
+    """Plan-driven rewrite: fragmented date dirs pack to exactly one file
+    per planned group, content identical, partition layout preserved."""
+    from poc_juma_etl_spark.operators.compact import compact_execute
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d}") for i in range(300)], "id long, d string"
+    )
+    df.repartition(7).write.partitionBy("d").parquet(p)
+    n_before, _ = __import__(
+        "poc_juma_etl_spark.operators.compact", fromlist=["table_file_stats"]
+    ).table_file_stats(spark, p)
+    assert n_before >= 15  # 3 dirs x up to 7 fragments
+    before_rows = sorted((r.id, r.d) for r in spark.read.parquet(p).collect())
+    stats = compact_execute(spark, p, partition_cols=["d"])
+    assert stats["files_before"] == n_before
+    assert stats["n_groups"] == 3  # tiny dirs -> one group per date
+    assert stats["files_after"] == 3
+    assert sorted((r.id, r.d) for r in spark.read.parquet(p).collect()) == before_rows
+    # layout preserved: partition pruning still works on the swapped table
+    import pyspark.sql.functions as F
+
+    assert spark.read.parquet(p).filter(F.col("d") == "2024-01-02").count() == 100
+
+
+def test_compact_execute_oversized_file_keeps_own_group(spark, tmp_path):
+    """The start-offset rule: a file larger than target_bytes occupies a
+    group alone; small neighbours pack together — same grouping as
+    q_compaction_plan (plans/extra8.py)."""
+    from poc_juma_etl_spark.operators.compact import (
+        compact_execute,
+        table_file_stats,
+    )
+
+    p = str(tmp_path / "u")
+    # one big file (~many rows) then several tiny appends
+    spark.range(50_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).coalesce(1).write.parquet(p)
+    for i in range(4):
+        spark.range(i * 10, i * 10 + 10).selectExpr(
+            "id", "'y' AS pad"
+        ).coalesce(1).write.mode("append").parquet(p)
+    n_before, total = table_file_stats(spark, p)
+    assert n_before == 5
+    rows_before = spark.read.parquet(p).count()
+    # target smaller than the big file but larger than the tiny files'
+    # combined size -> the big file's group is its own; how the 4 tiny files
+    # group depends on where the big file sorts in the name-ordered stream,
+    # so assert the bound, not an exact count
+    stats = compact_execute(spark, p, target_bytes=total // 2)
+    assert stats["files_after"] < n_before
+    assert stats["files_after"] >= 2
+    assert spark.read.parquet(p).count() == rows_before

@@ -1,0 +1,82 @@
+"""Shuffle-VOLUME regression guard (round-8 directive): plan-string
+assertions (test_plan_quality.py) catch SHAPE regressions — a broadcast
+turning into a sort-merge join — but not volume regressions with an
+unchanged shape (e.g. a partitioning change that doubles the bytes through
+the same Exchange, or an iterative query that silently starts re-shuffling
+its edge list every round). This suite meters actual shuffle-write bytes
+through the Spark status store for the most expensive headline queries and
+asserts a ceiling with ~2x headroom over the measured sf0.01 baseline
+(documented in SCALING.md). Byte counts are compressed sizes and vary a
+few percent with codec/partition-count; 2x headroom is far above noise and
+far below any real regression (the round-7 jaccard_edges quadratic was a
+>10x volume blowup at this SF).
+
+Measurement: per-stage shuffleWriteBytes from AppStatusStore, summed over
+stages submitted AFTER the query started (stage-id high-water mark, so
+eviction of older stages can't corrupt the delta). This captures ALL jobs a
+query runs — including the intermediate .count() actions of iterative
+queries, which plan-metric traversal on the returned DataFrame would miss.
+"""
+
+import pytest
+
+from poc_juma_etl_spark import all_queries
+from poc_juma_etl_spark.plans.queries import release_caches
+
+from .conftest import SF_ORACLE
+
+SPECS = all_queries()
+
+# name -> byte ceiling at sf0.01, local[8], 8 shuffle partitions.
+# Measured 2026-08 (round 8): bfs 1.56 MB, kcore 1.91 MB, export manifest
+# 1.45 MB, ivfpq 0.28 MB, span dedup 0.63 MB.
+BUDGETS = {
+    "q_graph_bfs_hops": 3_200_000,
+    "q_graph_kcore": 4_000_000,
+    "q_corpus_export_manifest": 3_000_000,
+    "q_ann_ivfpq_topk": 600_000,
+    "q_text_span_dedup": 1_300_000,
+}
+
+
+def _stage_bytes(spark) -> dict[int, int]:
+    store = spark._jsparkSession.sparkContext().statusStore()
+    lst = spark._jvm.java.util.ArrayList()
+    stages = store.stageList(
+        lst,
+        getattr(store, "stageList$default$2")(),
+        getattr(store, "stageList$default$3")(),
+        getattr(store, "stageList$default$4")(),
+        getattr(store, "stageList$default$5")(),
+    )
+    out = {}
+    it = stages.iterator()
+    while it.hasNext():
+        st = it.next()
+        out[st.stageId()] = st.shuffleWriteBytes()
+    return out
+
+
+def shuffle_bytes_of(spark, fn, *args) -> int:
+    """Total shuffle-write bytes across every stage an action-running
+    callable triggers."""
+    pre = _stage_bytes(spark)
+    hi = max(pre) if pre else -1
+    fn(*args)
+    post = _stage_bytes(spark)
+    return sum(b for sid, b in post.items() if sid > hi)
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS), ids=str)
+def test_shuffle_write_within_budget(spark, name):
+    spec = SPECS[name]
+    try:
+        used = shuffle_bytes_of(spark, lambda: spec.fn(spark, SF_ORACLE).count())
+    finally:
+        release_caches()
+    assert used <= BUDGETS[name], (
+        f"{name} shuffled {used:,} bytes at sf0.01 — over the {BUDGETS[name]:,}"
+        f" ceiling (2x the round-8 baseline). A volume regression with an"
+        f" unchanged plan shape? See SCALING.md 'Shuffle byte budgets'."
+    )
+    assert used > 0, f"{name} reported zero shuffle bytes — meter broken?"
