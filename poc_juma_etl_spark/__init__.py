@@ -164,6 +164,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_stream_rest_source_scan",
     # -- round 8 --
     "etl_compact_e2e",
+    "q_multimodal_jpeg_decode",
 )
 
 

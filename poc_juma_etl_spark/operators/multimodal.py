@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,24 +76,24 @@ def decode_real(payload: bytes) -> dict:
     if payload[:3] == b"\xff\xd8\xff":  # JPEG
         try:
             from PIL import Image  # type: ignore
-        except ImportError as exc:
-            raise NotImplementedError(
-                "JPEG decode requires Pillow, which this container lacks; "
-                "PNG and WAV decode for real via the stdlib"
-            ) from exc
-        import io
+            import io
 
-        im = Image.open(io.BytesIO(payload)).convert("L")
-        px = list(im.getdata())
-        return {
-            "media_kind": "jpeg",
-            "width": im.width,
-            "height": im.height,
-            "sample_rate": None,
-            "n_units": len(px),
-            "pixel_sum": sum(px),
-            "sample_sq_sum": None,
-        }
+            im = Image.open(io.BytesIO(payload)).convert("L")
+            px = list(im.getdata())
+            return {
+                "media_kind": "jpeg",
+                "width": im.width,
+                "height": im.height,
+                "sample_rate": None,
+                "n_units": len(px),
+                "pixel_sum": sum(px),
+                "sample_sq_sum": None,
+            }
+        except ImportError:
+            # round-8: pure-stdlib baseline decoder (single-component
+            # sequential DCT); non-baseline flavors still raise the
+            # NotImplementedError contract inside
+            return decode_jpeg(payload)
     raise ValueError(f"unrecognized media container: {payload[:8]!r}")
 
 
@@ -525,6 +526,446 @@ def decode_wav(payload: bytes) -> dict:
         "pixel_sum": None,
         "sample_sq_sum": sum(s * s for s in samples),
     }
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG, pure stdlib (round-8: closes the "multimodal web corpora are
+# mostly JPEG" gap without Pillow). Same contract style as the PNG path: a
+# spec-valid ENCODER is the test harness for an independent DECODER; both
+# derive their Huffman code tables canonically from the DHT BITS/HUFFVAL
+# lists (ITU T.81 Annex K standard luminance tables), and the decoder builds
+# its tables from the FILE's own DQT/DHT segments, never from shared
+# constants. Scope: baseline sequential DCT, 8-bit, single-component
+# (grayscale), 1x1 sampling — the web-thumbnail core; other flavors raise
+# the NotImplementedError contract (Pillow, when present, takes over first
+# in decode_real).
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# fixed quantization table (zigzag order): DC step 8 makes a constant
+# block's DC level exactly (v - 128) — integer, no rounding — which is what
+# lets block-constant fixtures roundtrip bit-exactly; AC step 16 is an
+# ordinary lossy step exercised by the gradient unit test.
+_JPEG_QTAB = [8] + [16] * 63
+# ITU T.81 Annex K.3 standard luminance Huffman specs (BITS[1..16], HUFFVAL)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+import math as _math
+
+_COS = [
+    [_math.cos((2 * x + 1) * u * _math.pi / 16) for u in range(8)] for x in range(8)
+]
+_CU = [1 / _math.sqrt(2)] + [1.0] * 7
+# DCT as two 8x8 matmuls (numpy): A[u,x] = Cu * cos((2x+1)u*pi/16);
+# FDCT = 0.25 * A f A^T, IDCT = 0.25 * A^T F A. Order-of-summation noise
+# (~1e-13) is far below both the quantizer steps (exactness argument in
+# synth_jpeg_media) and the gradient unit's tolerance.
+_DCT_A = np.array(
+    [[_CU[u] * _COS[x][u] for x in range(8)] for u in range(8)], dtype=np.float64
+)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _fdct_block(block: list[list[float]]) -> list[float]:
+    f = np.asarray(block, dtype=np.float64)
+    return (0.25 * (_DCT_A @ f @ _DCT_A.T)).reshape(64).tolist()
+
+
+def _idct_block(coef: list[float]) -> list[list[int]]:
+    F_ = np.asarray(coef, dtype=np.float64).reshape(8, 8)
+    px = np.rint(0.25 * (_DCT_A.T @ F_ @ _DCT_A)) + 128
+    return np.clip(px, 0, 255).astype(np.int64).tolist()
+
+
+def encode_jpeg_gray(rows: list[bytes]) -> bytes:
+    """Encode 8-bit grayscale scanlines as a spec-valid baseline JPEG
+    (SOI/DQT/SOF0/DHT/SOS/EOI, standard Annex-K luminance Huffman tables,
+    fixed quant table, byte-stuffed entropy stream). Edge blocks replicate
+    the last row/column (the conventional pad)."""
+    import struct
+
+    h = len(rows)
+    w = len(rows[0]) if rows else 0
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = [
+                [
+                    float(rows[min(by + x, h - 1)][min(bx + y, w - 1)]) - 128.0
+                    for y in range(8)
+                ]
+                for x in range(8)
+            ]
+            coef = _fdct_block(block)
+            q = [
+                int(round(coef[_ZIGZAG[i]] / _JPEG_QTAB[i]))
+                for i in range(64)
+            ]
+            # DC: differential, category + extra bits (T.81 F.1.2.1)
+            diff = q[0] - prev_dc
+            prev_dc = q[0]
+            s = _category(diff)
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            # AC: (run, size) symbols with ZRL/EOB (T.81 F.1.2.2)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if q[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = _category(q[i])
+                code, ln = ac_codes[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(q[i] if q[i] >= 0 else q[i] + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]
+                bw.write(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(_JPEG_QTAB))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
+        0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:  # unstuff
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """{(code, length): symbol} from the DHT lists the FILE carries."""
+    return {cl: sym for sym, cl in _huff_codes(bits, vals).items()}
+
+
+def _read_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Pure-stdlib baseline JPEG decode (8-bit single-component): walk the
+    marker stream, build quant/Huffman tables from the file's own DQT/DHT,
+    entropy-decode each 8x8 block (DC differential + AC run-length),
+    dequantize, inverse-zigzag, IDCT, clamp, crop to (width, height)."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    width = height = None
+    comp_q = comp_dc = comp_ac = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (8-bit tables only)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qtabs[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1 or body[7] != 0x11:
+                raise NotImplementedError(
+                    "stdlib decoder handles 8-bit single-component baseline "
+                    "JPEG (1x1 sampling); install Pillow for other flavors"
+                )
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "non-baseline JPEG (progressive/extended); install Pillow"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decoder(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDA:  # SOS: header then entropy-coded data
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
+            pos += 2 + ln
+            break
+        pos += 2 + ln
+    if width is None:
+        raise ValueError("no SOF before SOS")
+    qt = qtabs[comp_q]
+    dct, act = dc_tabs[comp_dc], ac_tabs[comp_ac]
+    br = _BitReader(payload[pos:])
+    bw_blocks = (width + 7) // 8
+    bh_blocks = (height + 7) // 8
+    grid = [[0] * (bw_blocks * 8) for _ in range(bh_blocks * 8)]
+    prev_dc = 0
+    for by in range(bh_blocks):
+        for bx in range(bw_blocks):
+            zz = [0] * 64
+            s = _read_huff(br, dct)
+            diff = _extend(br.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _read_huff(br, act)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                s = sym & 0xF
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                zz[k] = _extend(br.bits(s), s)
+                k += 1
+            coef = [0.0] * 64
+            for i in range(64):
+                coef[_ZIGZAG[i]] = float(zz[i] * qt[i])
+            px = _idct_block(coef)
+            for x in range(8):
+                row = grid[by * 8 + x]
+                for y in range(8):
+                    row[bx * 8 + y] = px[x][y]
+    lines = [bytes(grid[r][:width]) for r in range(height)]
+    return width, height, lines
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """decode_jpeg_pixels reduced to the DECODE_SCHEMA statistics row."""
+    width, height, lines = decode_jpeg_pixels(payload)
+    return {
+        "media_kind": "jpeg",
+        "width": width,
+        "height": height,
+        "sample_rate": None,
+        "n_units": width * height,
+        "pixel_sum": sum(sum(ln) for ln in lines),
+        "sample_sq_sum": None,
+    }
+
+
+JPEG_SCHEMA = (
+    "doc_id long, media_kind string, width long, height long, "
+    "n_units long, pixel_sum long"
+)
+
+
+def synth_jpeg_media(doc_id: int) -> bytes:
+    """Block-constant grayscale JPEG: every 8x8 block holds the single value
+    (5*bx + 11*by + 3*doc_id) % 256 at (8*(2 + id%3)) x (8*(1 + id%2)). A
+    constant block's only nonzero coefficient is DC = 8*(v-128); with DC
+    quant step 8 its level is exactly v-128 (integer, no rounding) and the
+    AC float residuals (~1e-13) quantize to zero — so the LOSSY codec
+    roundtrips these images BIT-EXACTLY and the decoded statistics have
+    closed-form SQL, while the full entropy pipeline (DC differentials
+    across blocks, EOB, byte stuffing, canonical Huffman from the file's
+    own DHT) is exercised for real. The lossy AC path is covered separately
+    by the gradient tolerance unit in tests/test_m4_operators.py."""
+    w, h = 8 * (2 + doc_id % 3), 8 * (1 + doc_id % 2)
+    rows = [
+        bytes((5 * (x // 8) + 11 * (y // 8) + 3 * doc_id) % 256 for x in range(w))
+        for y in range(h)
+    ]
+    return encode_jpeg_gray(rows)
+
+
+def jpeg_roundtrip_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: synthesize + REAL-decode per item (the decoder
+    sees only bytes; decode_real dispatches on the JPEG magic and falls
+    back from Pillow to the stdlib baseline decoder)."""
+    for pdf in batches:
+        recs = []
+        for doc_id in pdf["doc_id"]:
+            d = decode_real(synth_jpeg_media(int(doc_id)))
+            recs.append(
+                {
+                    "doc_id": doc_id,
+                    "media_kind": d["media_kind"],
+                    "width": d["width"],
+                    "height": d["height"],
+                    "n_units": d["n_units"],
+                    "pixel_sum": d["pixel_sum"],
+                }
+            )
+        yield pd.DataFrame.from_records(recs)
+
+
+@register(
+    "q_multimodal_jpeg_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh FROM documents
+    ),
+    b1 AS (SELECT doc_id, bw, bh, unnest(range(0, bw)) AS bx FROM d),
+    b2 AS (SELECT doc_id, bw, bh, bx, unnest(range(0, bh)) AS by FROM b1)
+    SELECT doc_id, 'jpeg' AS media_kind,
+           CAST(MAX(bw) * 8 AS BIGINT) AS width,
+           CAST(MAX(bh) * 8 AS BIGINT) AS height,
+           CAST(MAX(bw) * MAX(bh) * 64 AS BIGINT) AS n_units,
+           CAST(64 * SUM((5 * bx + 11 * by + 3 * doc_id) % 256) AS BIGINT)
+             AS pixel_sum
+    FROM b2 GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="REAL baseline-JPEG decode, value-hash-gated (round-8: closes the "
+    "JPEG gap without Pillow): a spec-valid grayscale JPEG is synthesized "
+    "per document and decoded by the pure-stdlib baseline decoder — "
+    "marker walk, quant/Huffman tables rebuilt from the file's own "
+    "DQT/DHT, entropy decode with DC prediction and byte unstuffing, "
+    "dequant, inverse zigzag, IDCT. Fixtures are block-constant images, "
+    "chosen so the DC-step-8 quantizer is exact and the lossy codec "
+    "roundtrips them bit-for-bit (docstring of synth_jpeg_media) — which "
+    "is what gives the decoded pixel statistics a closed-form DuckDB "
+    "oracle; the lossy AC path is tolerance-tested in units. Pillow, when "
+    "installed, takes over via the same decode_real dispatch (the "
+    "stats are identical either way). Scale shape: one narrow Arrow map, "
+    "decode parallelism = partition count, like the PNG/WAV gate.",
+    tags=("multimodal", "pandas-udf", "decode", "jpeg"),
+)
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import spread
+
+    # spread(): the single-file fixture scan yields one input partition and
+    # the codec is CPU-bound Python — at 100 TB the scan has real splits
+    # and this is a no-op (catalog.spread docstring)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+    return d.mapInPandas(jpeg_roundtrip_kernel, schema=JPEG_SCHEMA).orderBy("doc_id")
 
 
 # fixture generators: deterministic, closed-form content so DuckDB can

@@ -159,3 +159,96 @@ def test_jaccard_df_cutoff_drops_stop_shingles(spark):
         for r in ngram_jaccard_pairs(docs, threshold=1e-9, df_cutoff=10**9).collect()
     }
     assert (3, 4) in uncapped
+
+
+# ---------------------------------------------------------------------------
+# round-8 baseline JPEG codec (pure stdlib): the encoder is the decoder's
+# test harness, same contract as the PNG path.
+
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """Block-constant images roundtrip BIT-EXACTLY through the lossy codec
+    (DC quant step 8 makes the constant block's level integral; AC float
+    residuals quantize to zero) — the property the gate oracle relies on."""
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray,
+    )
+
+    w, h = 24, 16
+    rows = [
+        bytes((5 * (x // 8) + 11 * (y // 8) + 37) % 256 for x in range(w))
+        for y in range(h)
+    ]
+    W, H, lines = decode_jpeg_pixels(encode_jpeg_gray(rows))
+    assert (W, H) == (w, h)
+    assert lines == rows
+
+
+def test_jpeg_gradient_lossy_but_bounded():
+    """Gradients exercise the full AC path (run-lengths, ZRL-free small
+    runs, EOB, multi-bit categories); reconstruction error is bounded by
+    the AC quant step."""
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray,
+    )
+
+    w, h = 32, 24
+    rows = [bytes((x + 3 * y) % 256 for x in range(w)) for y in range(h)]
+    W, H, lines = decode_jpeg_pixels(encode_jpeg_gray(rows))
+    assert (W, H) == (w, h)
+    errs = [abs(a - b) for ra, rb in zip(rows, lines) for a, b in zip(ra, rb)]
+    assert sum(errs) / len(errs) < 4.0
+    assert max(errs) < 48
+
+
+def test_jpeg_odd_dimensions_crop():
+    """Non-multiple-of-8 dims: encoder pads edge blocks by replication,
+    decoder crops back; the visible region of a block-constant image is
+    still exact."""
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray,
+    )
+
+    w, h = 19, 11
+    rows = [
+        bytes((5 * (x // 8) + 11 * (y // 8) + 3) % 256 for x in range(w))
+        for y in range(h)
+    ]
+    W, H, lines = decode_jpeg_pixels(encode_jpeg_gray(rows))
+    assert (W, H) == (w, h)
+    assert lines == rows
+
+
+def test_jpeg_decode_real_dispatch():
+    """decode_real routes JPEG magic to the baseline decoder (or Pillow
+    when present) and returns the DECODE_SCHEMA stats row."""
+    from poc_juma_etl_spark.operators.multimodal import decode_real, synth_jpeg_media
+
+    d = decode_real(synth_jpeg_media(6))
+    assert d["media_kind"] == "jpeg"
+    assert d["width"] == 8 * (2 + 6 % 3) and d["height"] == 8 * (1 + 6 % 2)
+    assert d["n_units"] == d["width"] * d["height"]
+
+
+def test_jpeg_pillow_interop():
+    """Where Pillow exists, it must read our spec-valid files and agree on
+    the exact pixels of a block-constant fixture (skip-marked tier: this
+    container lacks Pillow, but the path is pinned wherever it exists)."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synth_jpeg_media,
+    )
+
+    payload = synth_jpeg_media(4)
+    im = PIL.open(io.BytesIO(payload)).convert("L")
+    W, H, lines = decode_jpeg_pixels(payload)
+    assert (im.width, im.height) == (W, H)
+    assert list(im.getdata()) == [px for ln in lines for px in ln]
