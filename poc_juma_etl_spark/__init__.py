@@ -163,7 +163,7 @@ LATE_ADDITIONS: tuple[str, ...] = (
     "q_event_seasonality_profile",
     "q_stream_rest_source_scan",
     # -- round 8 --
-    "etl_compact_e2e",
+    "etl_compact_plan_exec_e2e",
     "q_multimodal_jpeg_decode",
 )
 

@@ -85,10 +85,21 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     terms = F.array(*[F.lit(t) for t in QUERY_TERMS])
+    # dl rides the tf aggregation (constant per doc, max() collapses it):
+    # no per-doc length JOIN at all — the r8 fix for the corpus-sized
+    # doclen broadcast this query used to force (which OOMs at high SF);
+    # carrying one bigint through the existing shuffle beats both a
+    # broadcast and a second join.
     tf = (
-        tok.select("doc_id", F.explode(F.filter(F.col("ts"), lambda x: F.array_contains(terms, x))).alias("term"))
+        tok.select(
+            "doc_id",
+            F.size("ts").cast("bigint").alias("dl"),
+            F.explode(
+                F.filter(F.col("ts"), lambda x: F.array_contains(terms, x))
+            ).alias("term"),
+        )
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -99,7 +110,6 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(df_t), "term")
-        .join(F.broadcast(doclen), "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(dec_to_double(F.sum((idf * tf_part).cast("decimal(25,9)"))).alias("score"))
@@ -369,10 +379,16 @@ def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "term", "df")
     )
     tf = (
-        tok.select("doc_id", F.explode("ts").alias("term"))
+        # dl rides the tf aggregation — no corpus-sized doclen join/broadcast
+        # (see q_text_bm25_search)
+        tok.select(
+            "doc_id",
+            F.size("ts").cast("bigint").alias("dl"),
+            F.explode("ts").alias("term"),
+        )
         .join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"), F.max("dl").alias("dl"))
     )
     idf = F.log(
         1.0 + (((F.col("n_docs").cast("double") - F.col("df")) + 0.5) / (F.col("df") + 0.5))
@@ -383,7 +399,6 @@ def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored_t = (
         tf.join(F.broadcast(qterms), "term")
         .filter(F.col("doc_id") != F.col("qid"))
-        .join(F.broadcast(doclen), "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("qid", "doc_id")
         .agg(dec_to_double(F.sum((idf * tf_part).cast("decimal(25,9)"))).alias("score"))

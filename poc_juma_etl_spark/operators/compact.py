@@ -88,6 +88,30 @@ def _swap_into(spark: SparkSession, staging: str, path: str) -> None:
     fs.delete(old, True)
 
 
+def plan_output_groups(meta, target_bytes: int):
+    """The start-offset grouping of q_compaction_plan over REAL file
+    metadata: ``meta`` is (__fpath, __pdir, __bytes); a file joins group
+    floor(bytes_before_it / target) within its partition dir's name-ordered
+    cumulative stream, so an oversized file occupies a group alone.
+    Returns (__fpath, __pdir, __grp). Window is per partition dir — file-
+    count-bounded rows, partition-parallel at any table size."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("__pdir")
+        .orderBy("__fpath")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return meta.withColumn(
+        "__cum_before", F.coalesce(F.sum("__bytes").over(w), F.lit(0))
+    ).select(
+        "__fpath",
+        "__pdir",
+        F.expr(f"__cum_before div {int(target_bytes)}").alias("__grp"),
+    )
+
+
 def compact_execute(
     spark: SparkSession,
     path: str,
@@ -119,7 +143,6 @@ def compact_execute(
     Returns {"files_before", "files_after", "n_groups", "bytes_total"}.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     before, total = table_file_stats(spark, path)
     if before == 0:  # nothing on disk: no-op, not a crash (S6 contract)
@@ -137,18 +160,7 @@ def compact_execute(
         )
         .distinct()
     )
-    w = (
-        Window.partitionBy("__pdir")
-        .orderBy("__fpath")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    plan = meta.withColumn(
-        "__cum_before", F.coalesce(F.sum("__bytes").over(w), F.lit(0))
-    ).select(
-        "__fpath",
-        "__pdir",
-        F.expr(f"__cum_before div {int(target_bytes)}").alias("__grp"),
-    )
+    plan = plan_output_groups(meta, target_bytes)
     groups = plan.select("__pdir", "__grp").distinct().count()
     fmap = plan.select("__fpath", "__grp")
     if before <= 100_000:
@@ -176,7 +188,7 @@ ETL_COMPACT_FRAG = 6  # fragmentation factor: small files per date partition
 
 
 @register(
-    "etl_compact_e2e",
+    "etl_compact_plan_exec_e2e",
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -186,8 +198,10 @@ ETL_COMPACT_FRAG = 6  # fragmentation factor: small files per date partition
            TRUE AS content_match
     FROM events GROUP BY event_type ORDER BY event_type
     """,
-    doc="Small-file compaction EXECUTED end-to-end (q_compaction_plan is "
-    "the planner; this is the rewrite): the daily events table is written "
+    doc="PLAN-DRIVEN small-file compaction executed end-to-end "
+    "(q_compaction_plan is the planner; etl_compact_e2e covers the "
+    "whole-table compact_table rewrite; THIS executes the planner's "
+    "start-offset groups): the daily events table is written "
     f"date-partitioned and deliberately fragmented ({ETL_COMPACT_FRAG} "
     "files per date dir — the state incremental loads leave behind), then "
     "compact_execute packs each partition's files into start-offset "
@@ -206,7 +220,7 @@ ETL_COMPACT_FRAG = 6  # fragmentation factor: small files per date partition
     "maintenance loop the gold layer (S7) needs between refreshes.",
     tags=("etl", "compaction", "layout"),
 )
-def etl_compact_e2e(spark: SparkSession, sf_dir: str):
+def etl_compact_plan_exec_e2e(spark: SparkSession, sf_dir: str):
     import shutil
     import tempfile
 

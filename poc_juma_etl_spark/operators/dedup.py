@@ -895,10 +895,13 @@ def sql_cosine_expr(a: str, b: str) -> str:
     """,
     doc="Benchmark decontamination: flag training docs sharing any 3-token "
     "shingle with the held-out eval slice (docs with doc_id % 97 = 0 stand "
-    "in for a benchmark set). The eval shingle set is tiny relative to the "
-    "corpus, so candidates come from a broadcast hash join against it — the "
-    "corpus is scanned once, shuffled only by doc_id for the count; at "
-    "100 TB this is the same linear shape as exact dedup.",
+    "in for a benchmark set). No forced broadcast on the eval shingle set "
+    "(r8 audit): the stand-in slice is 1/97 OF THE CORPUS, so a mandatory "
+    "broadcast hits the 8 GB cap at high SF even though a real benchmark "
+    "set is eval-sized — AQE broadcasts it at runtime while it measures "
+    "small (plan-asserted post-execution) and falls back to a shingle-"
+    "keyed shuffle join past the threshold; the corpus is scanned once "
+    "and shuffled only by doc_id for the count — the exact-dedup shape.",
     tags=("text", "dedup", "decontamination"),
 )
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,7 +910,7 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
     corpus = sh.filter(F.col("doc_id") % 97 != 0)
     return (
-        corpus.join(F.broadcast(eval_sh), "shingle")
+        corpus.join(eval_sh, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
         .orderBy("doc_id")

@@ -217,7 +217,11 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = d.select("doc_id", "source")
     ds = (
         _shingles(d)
-        .join(F.broadcast(src), "doc_id")  # doc->source map: catalog-tiny
+        # doc->source map is CORPUS-sized (one row per document) — no
+        # forced broadcast (r8 audit; the r7-flagged bench-set pattern).
+        # The SOURCE domain is catalog-tiny, but this map isn't; AQE
+        # broadcasts at fixture scale, shuffles on doc_id at corpus scale.
+        .join(src, "doc_id")
         .select("source", "shingle")
         .distinct()
     )

@@ -66,6 +66,17 @@ def register(
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        prior = QUERIES.get(name)
+        # fail loudly on a name collision from a DIFFERENT function: a
+        # second registration would silently shadow the first in every
+        # harness (round-8 near-miss: a new compact gate almost replaced
+        # the round-3 etl_compact_e2e). Module re-imports re-registering
+        # the same function are fine.
+        if prior is not None and prior.fn.__name__ != fn.__name__:
+            raise ValueError(
+                f"query name {name!r} already registered by "
+                f"{prior.fn.__name__}; pick a distinct name"
+            )
         QUERIES[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=doc, tags=tags)
         return wrapped
 

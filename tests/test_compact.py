@@ -72,32 +72,60 @@ def test_compact_execute_partitioned_packs_to_plan(spark, tmp_path):
     assert spark.read.parquet(p).filter(F.col("d") == "2024-01-02").count() == 100
 
 
-def test_compact_execute_oversized_file_keeps_own_group(spark, tmp_path):
-    """The start-offset rule: a file larger than target_bytes occupies a
-    group alone; small neighbours pack together — same grouping as
-    q_compaction_plan (plans/extra8.py)."""
+def test_plan_output_groups_start_offset_rule(spark):
+    """The start-offset rule on controlled metadata (part-file UUID names
+    make real on-disk order nondeterministic, so the rule is pinned here,
+    deterministically): an oversized file occupies a group alone; small
+    neighbours pack until the cumulative stream crosses the target; dirs
+    group independently."""
+    from poc_juma_etl_spark.operators.compact import plan_output_groups
+
+    meta = spark.createDataFrame(
+        [
+            ("/t/a/f1", "/t/a", 10),
+            ("/t/a/f2", "/t/a", 10),
+            ("/t/a/f3", "/t/a", 250),  # oversized: starts in group 0 at cum 20
+            ("/t/a/f4", "/t/a", 10),  # cum 270 -> group 2: f3 kept 1 alone
+            ("/t/b/f1", "/t/b", 10),  # fresh dir: its own group 0
+        ],
+        "__fpath string, __pdir string, __bytes long",
+    )
+    got = {
+        (r["__fpath"], r["__grp"])
+        for r in plan_output_groups(meta, target_bytes=100).collect()
+    }
+    assert got == {
+        ("/t/a/f1", 0),
+        ("/t/a/f2", 0),
+        ("/t/a/f3", 0),  # joins the group its START offset falls in
+        ("/t/a/f4", 2),  # next file lands PAST the oversized one's span
+        ("/t/b/f1", 0),
+    }
+
+
+def test_compact_execute_unpartitioned_content_and_plan_agree(spark, tmp_path):
+    """e2e on an unpartitioned table with mixed file sizes: content is
+    identical after the swap and the output file count equals the planned
+    group count (each group is written by exactly one task here — group
+    keys are distinct per dir, collisions can only merge across dirs)."""
     from poc_juma_etl_spark.operators.compact import (
         compact_execute,
         table_file_stats,
     )
 
     p = str(tmp_path / "u")
-    # one big file (~many rows) then several tiny appends
     spark.range(50_000).selectExpr(
         "id", "repeat('x', 64) AS pad"
     ).coalesce(1).write.parquet(p)
     for i in range(4):
-        spark.range(i * 10, i * 10 + 10).selectExpr(
+        spark.range(100_000 + i * 10, 100_000 + i * 10 + 10).selectExpr(
             "id", "'y' AS pad"
         ).coalesce(1).write.mode("append").parquet(p)
     n_before, total = table_file_stats(spark, p)
     assert n_before == 5
-    rows_before = spark.read.parquet(p).count()
-    # target smaller than the big file but larger than the tiny files'
-    # combined size -> the big file's group is its own; how the 4 tiny files
-    # group depends on where the big file sorts in the name-ordered stream,
-    # so assert the bound, not an exact count
+    ids_before = sorted(r.id for r in spark.read.parquet(p).collect())
     stats = compact_execute(spark, p, target_bytes=total // 2)
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] <= stats["n_groups"]
     assert stats["files_after"] < n_before
-    assert stats["files_after"] >= 2
-    assert spark.read.parquet(p).count() == rows_before
+    assert sorted(r.id for r in spark.read.parquet(p).collect()) == ids_before

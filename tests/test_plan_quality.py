@@ -52,9 +52,15 @@ def test_semi_anti_join_strategies(spark):
 
 
 def test_decontaminate_broadcasts_eval_set(spark):
-    # the eval shingle set must ride a broadcast — a sort-merge join here
-    # would shuffle the full corpus shingle stream at 100 TB
-    plan = plan_of(spark, "q_text_decontaminate")
+    # r8: the forced hint is gone (the stand-in eval slice is 1/97 of the
+    # corpus — a mandatory broadcast OOMs at high SF), so the broadcast is
+    # now AQE's runtime decision: assert it on the FINAL adaptive plan
+    # after execution, where the measured eval side is small. At 100 TB
+    # the same query degrades to a shuffle join instead of crashing.
+    df = SPECS["q_text_decontaminate"].fn(spark, SF_ORACLE)
+    df.collect()  # count() would plan a NEW query; collect finalizes THIS one
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
 
 
