@@ -26,13 +26,42 @@ def test_stateful_user_totals_converge(spark):
         assert abs(st - t) < 1e-6 * max(abs(t), 1.0)
 
 
-def test_stateful_restart_recovers_state(spark, tmp_path):
+import pytest
+
+PROVIDERS = [
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    # the real-cluster provider (incremental checkpoints, state larger than
+    # executor memory) — recovery must behave identically on it
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+]
+
+
+@pytest.mark.parametrize("provider", PROVIDERS, ids=["hdfs", "rocksdb"])
+def test_stateful_restart_recovers_state(spark, tmp_path, provider):
     """Round-8 drill: applyInPandasWithState across an induced restart. The
     first run drains half the source files and terminates; more files land;
     the second run restarts from the same checkpoint. The recovered run's
     final per-user totals must equal the batch groupBy over ALL rows while
     its own input was only the second half — so the first half's
-    accumulators can only have come from state-store recovery."""
+    accumulators can only have come from state-store recovery. Runs on both
+    state-store providers: the default HDFS-backed one and RocksDB."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, provider)
+    try:
+        _run_restart_drill(spark, tmp_path)
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+
+
+def _run_restart_drill(spark, tmp_path):
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
