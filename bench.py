@@ -128,6 +128,9 @@ HEADLINE: list[str] = [
     "q_event_user_history_pack",
     "q_sample_epoch_shuffle",
     "q_dedup_levenshtein_grouped",
+    # round-8 operator families
+    "etl_compact_plan_exec_e2e",
+    "q_multimodal_jpeg_decode",
 ]
 
 

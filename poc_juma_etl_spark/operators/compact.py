@@ -45,6 +45,7 @@ def compact_table(
 ) -> tuple[int, int]:
     """Rewrite ``path`` with ~target_bytes files; returns (files_before,
     files_after). Partitioned tables keep their partition layout."""
+    recover_table(spark, path)  # heal any half-swapped prior compaction
     before, total = table_file_stats(spark, path)
     if before == 0:  # nothing on disk: compaction is a no-op, not a crash
         return 0, 0
@@ -77,7 +78,10 @@ def compact_table(
 
 def _swap_into(spark: SparkSession, staging: str, path: str) -> None:
     """Atomic-ish directory swap (the compact_table discipline, factored):
-    rename old out of the way, staging in, drop old."""
+    rename old out of the way, staging in, drop old. A crash between the
+    two renames leaves the table MISSING at ``path`` with the original
+    intact at ``path__compact_old`` — :func:`recover_table` heals that
+    state; callers run it before planning a new compaction."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
@@ -86,6 +90,38 @@ def _swap_into(spark: SparkSession, staging: str, path: str) -> None:
     fs.rename(jvm.org.apache.hadoop.fs.Path(path), old)
     fs.rename(jvm.org.apache.hadoop.fs.Path(staging), jvm.org.apache.hadoop.fs.Path(path))
     fs.delete(old, True)
+
+
+def recover_table(spark: SparkSession, path: str) -> str:
+    """Heal a table directory after a compaction crash. Three states:
+
+    - table present, leftovers absent → "clean" (no-op);
+    - table MISSING but ``path__compact_old`` present → the crash hit
+      between _swap_into's two renames: roll the original back → "restored";
+    - table present AND stale ``__compact_old`` / ``__compact_staging``
+      alongside (crash before the swap finished deleting, or before the
+      swap began) → the live table wins; drop the leftovers → "cleaned".
+
+    Idempotent; compact_table/compact_execute call it first so a retried
+    maintenance job never plans against a half-swapped directory."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    old = jvm.org.apache.hadoop.fs.Path(f"{path}__compact_old")
+    staging = jvm.org.apache.hadoop.fs.Path(f"{path}__compact_staging")
+    if not fs.exists(p):
+        if fs.exists(old):
+            fs.rename(old, p)
+            fs.delete(staging, True)
+            return "restored"
+        return "clean"  # never-written table; nothing to heal
+    cleaned = False
+    for leftover in (old, staging):
+        if fs.exists(leftover):
+            fs.delete(leftover, True)
+            cleaned = True
+    return "cleaned" if cleaned else "clean"
 
 
 def plan_output_groups(meta, target_bytes: int):
@@ -144,6 +180,7 @@ def compact_execute(
     """
     from pyspark.sql import functions as F
 
+    recover_table(spark, path)  # heal any half-swapped prior compaction
     before, total = table_file_stats(spark, path)
     if before == 0:  # nothing on disk: no-op, not a crash (S6 contract)
         return {"files_before": 0, "files_after": 0, "n_groups": 0, "bytes_total": 0}
