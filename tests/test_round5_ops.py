@@ -192,18 +192,34 @@ class TestMediaCodec:
         assert r["n_units"] == len(samples)
         assert r["sample_sq_sum"] == sum(s * s for s in samples)
 
-    def test_jpeg_without_pillow_raises_not_implemented(self):
+    def test_jpeg_contract_without_pillow(self):
+        """Round-8 contract change: BASELINE grayscale JPEG decodes for
+        real via the stdlib codec (no Pillow needed) — the
+        NotImplementedError contract moved to non-baseline flavors
+        (progressive SOF2) and to truncated/invalid streams (ValueError)."""
         import pytest as _pytest
 
-        from poc_juma_etl_spark.operators.multimodal import decode_real
+        from poc_juma_etl_spark.operators.multimodal import (
+            decode_real,
+            synth_jpeg_media,
+        )
 
         try:
             import PIL  # noqa: F401
 
-            _pytest.skip("Pillow installed; JPEG path is real here")
+            _pytest.skip("Pillow installed; JPEG path is Pillow's here")
         except ImportError:
             pass
-        with _pytest.raises(NotImplementedError, match="Pillow"):
+        d = decode_real(synth_jpeg_media(2))
+        assert d["media_kind"] == "jpeg" and d["n_units"] > 0
+        # progressive marker (SOF2) still raises the scoped contract error
+        with _pytest.raises(NotImplementedError, match="progressive"):
+            decode_real(
+                b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+                + b"\xff\xd9"
+            )
+        # garbage after the magic is a malformed stream, not a crash class
+        with _pytest.raises(ValueError):
             decode_real(b"\xff\xd8\xff\xe0fakejpeg")
 
     def test_unknown_container_rejected(self):
