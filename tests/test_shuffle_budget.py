@@ -36,6 +36,9 @@ BUDGETS = {
     "q_corpus_export_manifest": 3_000_000,
     "q_ann_ivfpq_topk": 600_000,
     "q_text_span_dedup": 1_300_000,
+    # pins the single-shuffle rewrite: fragment write (round-robin
+    # repartition) + ONE grouped exchange of the table; measured 0.30 MB
+    "etl_compact_plan_exec_e2e": 650_000,
 }
 
 
