@@ -63,32 +63,39 @@ def compact_table(
     if partitioned:
         w = w.partitionBy(PARTITION_COL)
     w.parquet(staging)
-    # atomic-ish swap: rename old out of the way, staging in, drop old
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    old = jvm.org.apache.hadoop.fs.Path(f"{path}__compact_old")
-    fs.delete(old, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(path), old)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), jvm.org.apache.hadoop.fs.Path(path))
-    fs.delete(old, True)
+    _swap_into(spark, staging, path)
     after, _ = table_file_stats(spark, path)
     return before, after
 
 
 def _swap_into(spark: SparkSession, staging: str, path: str) -> None:
-    """Atomic-ish directory swap (the compact_table discipline, factored):
+    """Atomic-ish directory swap (shared by compact_table/compact_execute):
     rename old out of the way, staging in, drop old. A crash between the
     two renames leaves the table MISSING at ``path`` with the original
     intact at ``path__compact_old`` — :func:`recover_table` heals that
-    state; callers run it before planning a new compaction."""
+    state; callers run it before planning a new compaction.
+
+    Hadoop ``FileSystem.rename`` reports most failures by returning FALSE
+    (dest-exists races, missing source), not by raising — every return is
+    checked, and a failed swap-in rolls the original straight back instead
+    of falling through to the delete that would destroy the only copy."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    st = jvm.org.apache.hadoop.fs.Path(staging)
     old = jvm.org.apache.hadoop.fs.Path(f"{path}__compact_old")
     fs.delete(old, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(path), old)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), jvm.org.apache.hadoop.fs.Path(path))
+    if not fs.rename(p, old):
+        raise IOError(f"compaction swap: could not move {path} aside")
+    if not fs.rename(st, p):
+        # roll the original back before anything else touches the dir; the
+        # table must never be left missing when we can restore it
+        restored = fs.rename(old, p)
+        raise IOError(
+            f"compaction swap: could not move staging into {path}"
+            + ("" if restored else f" AND rollback failed — original at {old}")
+        )
     fs.delete(old, True)
 
 
@@ -112,7 +119,8 @@ def recover_table(spark: SparkSession, path: str) -> str:
     staging = jvm.org.apache.hadoop.fs.Path(f"{path}__compact_staging")
     if not fs.exists(p):
         if fs.exists(old):
-            fs.rename(old, p)
+            if not fs.rename(old, p):  # rename failures return False, not raise
+                raise IOError(f"recover: could not restore {path} from {old}")
             fs.delete(staging, True)
             return "restored"
         return "clean"  # never-written table; nothing to heal
@@ -186,6 +194,14 @@ def compact_execute(
         return {"files_before": 0, "files_after": 0, "n_groups": 0, "bytes_total": 0}
     df = spark.read.parquet(path)
     data_cols = df.columns
+    if partition_cols is None:
+        # auto-detect the hive layout so an omitted argument can never
+        # silently flatten a partitioned table: partition columns appear in
+        # the DataFrame schema but not in any data file's own footer
+        physical = set(spark.read.parquet(df.inputFiles()[0]).columns)
+        partition_cols = [c for c in data_cols if c not in physical]
+    elif bad := [c for c in partition_cols if c not in data_cols]:
+        raise ValueError(f"partition_cols not in table schema: {bad}")
     tagged = df.select(
         "*",
         F.col("_metadata.file_path").alias("__fpath"),
@@ -197,20 +213,27 @@ def compact_execute(
         )
         .distinct()
     )
-    plan = plan_output_groups(meta, target_bytes)
-    groups = plan.select("__pdir", "__grp").distinct().count()
-    fmap = plan.select("__fpath", "__grp")
-    if before <= 100_000:
-        fmap = F.broadcast(fmap)
-    routed = tagged.join(fmap, "__fpath")
-    staging = f"{path}__compact_staging"
-    writer = routed.repartition(max(int(groups), 1), "__pdir", "__grp").select(
-        *data_cols
-    )
-    wtr = writer.write.mode("overwrite")
-    if partition_cols:
-        wtr = wtr.partitionBy(*partition_cols)
-    wtr.parquet(staging)
+    # the plan is file-count-bounded: persist it so the groups count and the
+    # provenance join reuse ONE metadata pass (column pruning keeps that scan
+    # footer-cheap — no data columns are read) instead of recomputing it as
+    # the join's build side during the rewrite
+    plan = plan_output_groups(meta, target_bytes).persist()
+    try:
+        groups = plan.select("__pdir", "__grp").distinct().count()
+        fmap = plan.select("__fpath", "__grp")
+        if before <= 100_000:
+            fmap = F.broadcast(fmap)
+        routed = tagged.join(fmap, "__fpath")
+        staging = f"{path}__compact_staging"
+        writer = routed.repartition(max(int(groups), 1), "__pdir", "__grp").select(
+            *data_cols
+        )
+        wtr = writer.write.mode("overwrite")
+        if partition_cols:
+            wtr = wtr.partitionBy(*partition_cols)
+        wtr.parquet(staging)
+    finally:
+        plan.unpersist()
     _swap_into(spark, staging, path)
     after, _ = table_file_stats(spark, path)
     return {
@@ -307,7 +330,13 @@ def etl_compact_plan_exec_e2e(spark: SparkSession, sf_dir: str):
         compacted = spark.read.parquet(tbl)
         post = checksum(compacted)
         content_match = tuple(pre) == tuple(post)
-        files_reduced = stats["files_after"] < stats["files_before"]
+        # strict reduction on any real fixture; a degenerate one (every date
+        # dir already holds a single file, so before == n_groups) has
+        # legitimately nothing to reduce and must not fail the gate
+        files_reduced = (
+            stats["files_after"] < stats["files_before"]
+            or stats["files_before"] == stats["n_groups"]
+        )
         packed_to_plan = stats["files_after"] == stats["n_groups"]
         out = (
             per_type(compacted)

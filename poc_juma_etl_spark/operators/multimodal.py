@@ -724,9 +724,16 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            # malformed-stream class (ValueError), not a bare IndexError —
+            # a corrupt payload inside a decode kernel must surface as the
+            # documented contract error
+            raise ValueError("truncated JPEG entropy stream")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:  # unstuff
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1
@@ -772,7 +779,20 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
     """Pure-stdlib baseline JPEG decode (8-bit single-component): walk the
     marker stream, build quant/Huffman tables from the file's own DQT/DHT,
     entropy-decode each 8x8 block (DC differential + AC run-length),
-    dequantize, inverse-zigzag, IDCT, clamp, crop to (width, height)."""
+    dequantize, inverse-zigzag, IDCT, clamp, crop to (width, height).
+    Malformed/truncated streams raise ValueError (the documented contract
+    class); unsupported-but-valid flavors raise NotImplementedError."""
+    import struct
+
+    try:
+        return _decode_jpeg_impl(payload)
+    except (IndexError, KeyError, struct.error) as exc:
+        # truncated segment bodies / dangling table ids surface as raw
+        # indexing errors deep in the parse — normalize to the contract
+        raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
+
+
+def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -786,9 +806,22 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker sync lost")
+        # 0xFF fill bytes between segments are legal padding (T.81 B.1.1.2)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: standalone
+            pos += 2
+            continue
+        if marker == 0xDD:  # DRI: restart intervals are out of this tier's scope
+            raise NotImplementedError(
+                "restart intervals (DRI) unsupported by the stdlib baseline "
+                "decoder; install Pillow for restart-marker JPEGs"
+            )
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:  # DQT (8-bit tables only)

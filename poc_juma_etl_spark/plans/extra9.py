@@ -1039,6 +1039,10 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("core_size"),
         F.coalesce(F.sum("node"), F.lit(0)).cast("bigint").alias("core_id_sum"),
     ).collect()[0]
+    # every Spark job this query runs has completed (the result below is
+    # built from collected rows), so release the edge cache NOW rather than
+    # leaving it pinned for callers that never invoke release_caches()
+    alive_edges.unpersist()
     converged = rounds[-1][1] == 0
     out = spark.createDataFrame(
         [

@@ -71,11 +71,19 @@ def register(
         # second registration would silently shadow the first in every
         # harness (round-8 near-miss: a new compact gate almost replaced
         # the round-3 etl_compact_e2e). Module re-imports re-registering
-        # the same function are fine.
-        if prior is not None and prior.fn.__name__ != fn.__name__:
+        # the same function are fine — identity is module + qualname, not
+        # bare __name__ (two modules can coincidentally name a function
+        # the same way).
+        wrapped.__module__ = fn.__module__
+        wrapped.__qualname__ = fn.__qualname__
+        if prior is not None and (
+            prior.fn.__module__,
+            prior.fn.__qualname__,
+        ) != (fn.__module__, fn.__qualname__):
             raise ValueError(
                 f"query name {name!r} already registered by "
-                f"{prior.fn.__name__}; pick a distinct name"
+                f"{prior.fn.__module__}.{prior.fn.__qualname__}; "
+                "pick a distinct name"
             )
         QUERIES[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=doc, tags=tags)
         return wrapped

@@ -221,6 +221,15 @@ class TestMediaCodec:
         # garbage after the magic is a malformed stream, not a crash class
         with _pytest.raises(ValueError):
             decode_real(b"\xff\xd8\xff\xe0fakejpeg")
+        # a truncated entropy stream is the same ValueError class, never a
+        # bare IndexError out of the bit reader
+        with _pytest.raises(ValueError, match="truncated|malformed"):
+            decode_real(synth_jpeg_media(2)[:-12])
+        # restart intervals are the scoped NotImplementedError contract
+        with _pytest.raises(NotImplementedError, match="DRI"):
+            decode_real(
+                b"\xff\xd8\xff\xdd\x00\x04\x00\x08" + synth_jpeg_media(2)[2:]
+            )
 
     def test_unknown_container_rejected(self):
         import pytest as _pytest
