@@ -972,10 +972,21 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = truncate_lineage(
         pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
+    return kcore_peel(spark, sym, KCORE_K, KCORE_ROUNDS)
+
+
+def kcore_peel(
+    spark: SparkSession, sym: DataFrame, k: int, max_rounds: int
+) -> DataFrame:
+    """Exactly ``max_rounds`` k-core peels over a SYMMETRIC edge list
+    (u, v) — the delta-peeling engine behind q_graph_kcore, factored so
+    units can pin the incremental-degree math against brute force on
+    adversarial synthetic graphs (cascading removals, zero-degree
+    survivors) that the fixture's K never exercises."""
     prev_n = sym.select("u").distinct().count()
     # -- round 1: bulk peel (most nodes die here at any K worth peeling) --
     deg0 = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    surv = deg0.filter(F.col("d") >= KCORE_K).select(F.col("u").alias("node"))
+    surv = deg0.filter(F.col("d") >= k).select(F.col("u").alias("node"))
     # One-time edge re-cut (the pagerank idiom): survivors-only edges,
     # hash-partitioned on u and CACHED (not checkpointed — under AQE a
     # localCheckpoint's LogicalRDD reports UnknownPartitioning, so every
@@ -1006,12 +1017,12 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         ).select("node", F.coalesce("d", F.lit(0)).alias("d"))
     )
-    for r in range(2, KCORE_ROUNDS + 1):
-        removed = deg.filter(F.col("d") < KCORE_K).select("node")
+    for r in range(2, max_rounds + 1):
+        removed = deg.filter(F.col("d") < k).select("node")
         if removed.isEmpty():
             # converged: the remaining rounds are no-ops BY DEFINITION —
             # fill them in without running more Spark jobs
-            for rr in range(r, KCORE_ROUNDS + 1):
+            for rr in range(r, max_rounds + 1):
                 rounds.append((rr, 0, prev_n))
             break
         # delta decrements: edges OUT of removed nodes (symmetric list, so

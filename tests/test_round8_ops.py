@@ -103,3 +103,74 @@ def test_span_dedup_collapsed_matches_bruteforce(spark, tmp_path):
     # the copy-count-only dup path must actually be exercised: the 3-copy
     # group's suffix shingles are unique per-text, dup only via gsz
     assert got == want
+
+
+def _brute_kcore(edges, k, rounds):
+    """Python reference peeling: edges = set of frozenset pairs. Returns
+    [(round, n_removed, n_remaining)] and the final core node set —
+    recomputing full degrees among survivors every round (the oracle's
+    HAVING recount), no incremental math."""
+    alive = {n for e in edges for n in e}
+    out = []
+    for r in range(1, rounds + 1):
+        deg = {n: 0 for n in alive}
+        for a, b in (tuple(e) for e in edges):
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        survivors = {n for n in alive if deg[n] >= k}
+        out.append((r, len(alive) - len(survivors), len(survivors)))
+        alive = survivors
+    return out, alive
+
+
+def test_kcore_delta_peeling_matches_bruteforce(spark):
+    """kcore_peel's incremental-degree math vs full-recount brute force on
+    an adversarial graph: a 4-clique core, a chain that cascades one node
+    per round, and a pendant whose removal leaves a zero-degree survivor
+    that must still be counted alive for one round."""
+    from poc_juma_etl_spark.plans.extra9 import kcore_peel
+
+    # graph: clique {1,2,3,4} (deg 3 inside); chain 4-5-6-7-8 hanging off
+    # the clique; star center 9 with leaves 10, 11 (9 dies round 1 at k=2,
+    # leaving 10/11 zero-degree-dead the same round — they never had deg 2)
+    und = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),      # clique
+        (4, 5), (5, 6), (6, 7), (7, 8),                       # cascade chain
+        (9, 10), (9, 11),                                     # star
+    ]
+    edges = {frozenset(e) for e in und}
+    K, R = 2, 6
+    want_rounds, want_core = _brute_kcore(edges, K, R)
+
+    sym_rows = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    sym = spark.createDataFrame(sym_rows, "u long, v long")
+    got = kcore_peel(spark, sym, K, R).collect()
+    got_rounds = [(r.round, r.n_removed, r.n_remaining) for r in got]
+    assert got_rounds == want_rounds
+    assert got[0].core_size == len(want_core)
+    assert got[0].core_id_sum == sum(want_core)
+    assert got[0].converged == (want_rounds[-1][1] == 0)
+    # the chain must actually cascade: at least 3 distinct rounds remove >0
+    assert sum(1 for _, rem, _ in want_rounds if rem > 0) >= 3
+
+
+def test_kcore_zero_degree_survivor_counted_one_round(spark):
+    """A node whose neighbors ALL peel in round r keeps its >=k degree
+    THROUGH round r's recount (it is counted in n_r) and peels in r+1 —
+    the bookkeeping the LEFT-join zero-degree branch exists for."""
+    from poc_juma_etl_spark.plans.extra9 import kcore_peel
+
+    # triangle 0-1-2 with pendants 3 (on 1) and 4 (on 2): pendants peel in
+    # round 1; the triangle keeps deg 2 and survives — brute force decides
+    # the trace, the Spark peel must match it round for round
+    und = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 4)]
+    edges = {frozenset(e) for e in und}
+    K, R = 2, 4
+    want_rounds, want_core = _brute_kcore(edges, K, R)
+    sym = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "u long, v long"
+    )
+    got = kcore_peel(spark, sym, K, R).collect()
+    assert [(r.round, r.n_removed, r.n_remaining) for r in got] == want_rounds
+    assert got[0].core_size == len(want_core)
