@@ -174,3 +174,73 @@ def test_kcore_zero_degree_survivor_counted_one_round(spark):
     got = kcore_peel(spark, sym, K, R).collect()
     assert [(r.round, r.n_removed, r.n_remaining) for r in got] == want_rounds
     assert got[0].core_size == len(want_core)
+
+
+def test_kcore_peel_property_random_graphs(spark):
+    """Hypothesis: random small graphs x random k — the delta peel's trace
+    must equal full-recount brute force on every one. Bounded examples
+    (each runs real Spark jobs); shrinking still localizes a failing graph."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from poc_juma_etl_spark.plans.extra9 import kcore_peel
+
+    edge_st = st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] < e[1]),
+        min_size=1,
+        max_size=14,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(edges=edge_st, k=st.integers(1, 3))
+    def check(edges, k):
+        R = 4
+        want_rounds, want_core = _brute_kcore({frozenset(e) for e in edges}, k, R)
+        sym = spark.createDataFrame(
+            [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+            "u long, v long",
+        )
+        got = kcore_peel(spark, sym, k, R).collect()
+        assert [(r.round, r.n_removed, r.n_remaining) for r in got] == want_rounds
+        assert got[0].core_size == len(want_core)
+        assert got[0].core_id_sum == sum(want_core)
+
+    check()
+
+
+def test_plan_output_groups_property_random_sizes(spark):
+    """Hypothesis: the Spark start-offset grouping == a Python fold for
+    random per-dir file-size sequences (oversized files, zeros, ties)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from poc_juma_etl_spark.operators.compact import plan_output_groups
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(0, 500), min_size=1, max_size=12),
+        target=st.integers(1, 300),
+        ndirs=st.integers(1, 3),
+    )
+    def check(sizes, target, ndirs):
+        rows = []
+        want = {}
+        for d in range(ndirs):
+            cum = 0
+            for i, s in enumerate(sizes):
+                f = f"/t/d{d}/f{i:03d}"
+                rows.append((f, f"/t/d{d}", s))
+                want[f] = cum // target
+                cum += s
+        meta = spark.createDataFrame(rows, "__fpath string, __pdir string, __bytes long")
+        got = {
+            r["__fpath"]: r["__grp"]
+            for r in plan_output_groups(meta, target).collect()
+        }
+        assert got == want
+
+    check()
