@@ -132,8 +132,10 @@ def test_kcore_delta_peeling_matches_bruteforce(spark):
     from poc_juma_etl_spark.plans.extra9 import kcore_peel
 
     # graph: clique {1,2,3,4} (deg 3 inside); chain 4-5-6-7-8 hanging off
-    # the clique; star center 9 with leaves 10, 11 (9 dies round 1 at k=2,
-    # leaving 10/11 zero-degree-dead the same round — they never had deg 2)
+    # the clique; star center 9 with leaves 10, 11: at k=2 the LEAVES (deg
+    # 1) die in round 1, which drops center 9 to degree 0 — 9 is the
+    # zero-degree SURVIVOR counted alive through round 1's recount (its
+    # pre-peel degree was 2) and removed in round 2
     und = [
         (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),      # clique
         (4, 5), (5, 6), (6, 7), (7, 8),                       # cascade chain
