@@ -626,10 +626,20 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3) — the state a
+        restart marker must be emitted in."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+            self.write((1 << pad) - 1, pad)
+
+    def marker(self, m: int) -> None:
+        """Emit a standalone marker (RSTn) RAW — markers are never stuffed."""
+        self.align()
+        self.out += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -648,11 +658,14 @@ def _idct_block(coef: list[float]) -> list[list[int]]:
     return np.clip(px, 0, 255).astype(np.int64).tolist()
 
 
-def encode_jpeg_gray(rows: list[bytes]) -> bytes:
+def encode_jpeg_gray(rows: list[bytes], restart_interval: int = 0) -> bytes:
     """Encode 8-bit grayscale scanlines as a spec-valid baseline JPEG
     (SOI/DQT/SOF0/DHT/SOS/EOI, standard Annex-K luminance Huffman tables,
     fixed quant table, byte-stuffed entropy stream). Edge blocks replicate
-    the last row/column (the conventional pad)."""
+    the last row/column (the conventional pad). ``restart_interval=N`` emits
+    a DRI segment and an RSTn marker (byte-aligned, DC predictor reset)
+    after every N MCUs — the error-resilience feature real camera/web
+    baseline JPEGs carry."""
     import struct
 
     h = len(rows)
@@ -661,8 +674,15 @@ def encode_jpeg_gray(rows: list[bytes]) -> bytes:
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.marker(0xD0 + rst)  # RSTn cycles 0..7 (T.81 E.1.4)
+                rst = (rst + 1) % 8
+                prev_dc = 0
+            mcu += 1
             block = [
                 [
                     float(rows[min(by + x, h - 1)][min(bx + y, w - 1)]) - 128.0
@@ -712,8 +732,9 @@ def encode_jpeg_gray(rows: list[bytes]) -> bytes:
     dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
         0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
     )
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
 
 
 class _BitReader:
@@ -747,6 +768,19 @@ class _BitReader:
             self._fill()
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
+
+    def expect_rst(self) -> int:
+        """Byte-align (discard pad bits) and consume an RSTn marker sitting
+        between restart intervals; returns n. Markers are raw (unstuffed)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated JPEG entropy stream (missing RSTn)")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+            raise ValueError(f"expected RSTn marker, found 0x{b0:02X}{b1:02X}")
+        self.pos += 2
+        return b1 - 0xD0
 
     def bits(self, n: int) -> int:
         v = 0
@@ -803,6 +837,7 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
     ac_tabs: dict[int, dict] = {}
     width = height = None
     comp_q = comp_dc = comp_ac = 0
+    restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker sync lost")
@@ -815,11 +850,6 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: standalone
             pos += 2
             continue
-        if marker == 0xDD:  # DRI: restart intervals are out of this tier's scope
-            raise NotImplementedError(
-                "restart intervals (DRI) unsupported by the stdlib baseline "
-                "decoder; install Pillow for restart-marker JPEGs"
-            )
         if pos + 4 > len(payload):
             raise ValueError("truncated JPEG segment header")
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
@@ -853,6 +883,8 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
                 vals = list(body[i + 17 : i + 17 + nv])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decoder(bits, vals)
                 i += 17 + nv
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS: header then entropy-coded data
             comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
             pos += 2 + ln
@@ -867,8 +899,22 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
     bh_blocks = (height + 7) // 8
     grid = [[0] * (bw_blocks * 8) for _ in range(bh_blocks * 8)]
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(bh_blocks):
         for bx in range(bw_blocks):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # RSTn sits byte-aligned between MCU groups: drop the pad
+                # bits, consume the marker, verify the cyclic index, reset
+                # the DC predictor (T.81 E.1.4 / F.2.1.3.1)
+                got = br.expect_rst()
+                if got != rst:
+                    raise ValueError(
+                        f"restart marker out of sequence: RST{got} != RST{rst}"
+                    )
+                rst = (rst + 1) % 8
+                prev_dc = 0
+            mcu += 1
             zz = [0] * 64
             s = _read_huff(br, dct)
             diff = _extend(br.bits(s), s) if s else 0

@@ -252,3 +252,32 @@ def test_jpeg_pillow_interop():
     W, H, lines = decode_jpeg_pixels(payload)
     assert (im.width, im.height) == (W, H)
     assert list(im.getdata()) == [px for ln in lines for px in ln]
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn support (r8): restart markers must not change decoded
+    pixels at any interval; the RSTn index cycles 0-7 and wraps; an
+    out-of-sequence marker fails loudly (data-loss detection — that is
+    what restart markers are FOR)."""
+    import pytest
+
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray,
+    )
+
+    w, h = 40, 24  # 15 MCUs: interval 1 emits 14 RSTn and wraps past RST7
+    rows = [
+        bytes((5 * (x // 8) + 11 * (y // 8) + 37) % 256 for x in range(w))
+        for y in range(h)
+    ]
+    grad = [bytes((x + 3 * y) % 256 for x in range(w)) for y in range(h)]
+    base = decode_jpeg_pixels(encode_jpeg_gray(grad))[2]
+    for ri in (0, 1, 3, 7):
+        assert decode_jpeg_pixels(encode_jpeg_gray(rows, restart_interval=ri))[2] == rows
+        assert decode_jpeg_pixels(encode_jpeg_gray(grad, restart_interval=ri))[2] == base
+    # corrupt one marker's index: out-of-sequence must raise, not desync
+    p = encode_jpeg_gray(rows, restart_interval=1)
+    i = p.find(b"\xff\xd1")
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg_pixels(p[:i] + b"\xff\xd5" + p[i + 2 :])

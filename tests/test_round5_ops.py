@@ -225,10 +225,12 @@ class TestMediaCodec:
         # bare IndexError out of the bit reader
         with _pytest.raises(ValueError, match="truncated|malformed"):
             decode_real(synth_jpeg_media(2)[:-12])
-        # restart intervals are the scoped NotImplementedError contract
-        with _pytest.raises(NotImplementedError, match="DRI"):
+        # a progressive SOF2 after a DRI still raises the scoped contract
+        # error (restart intervals themselves decode for real since r8)
+        with _pytest.raises(NotImplementedError, match="progressive"):
             decode_real(
-                b"\xff\xd8\xff\xdd\x00\x04\x00\x08" + synth_jpeg_media(2)[2:]
+                b"\xff\xd8\xff\xdd\x00\x04\x00\x08"
+                + b"\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00\xff\xd9"
             )
 
     def test_unknown_container_rejected(self):
