@@ -164,3 +164,88 @@ def test_recover_table_restores_half_swapped_dir(spark, tmp_path):
     stats = compact_execute(spark, p)
     assert stats["files_before"] >= 1
     assert sorted(r.id for r in spark.read.parquet(p).collect()) == ids
+
+
+def test_compaction_between_stream_batches(spark, tmp_path):
+    """The gold-maintenance loop composed with streaming ingest: a
+    checkpointed foreachBatch stream appends small files to a date-
+    partitioned warehouse; compact_execute runs in the maintenance window
+    BETWEEN two drains (atomic swap under a quiescent writer); the second
+    drain appends on top of the compacted layout. Content must equal the
+    batch answer over all input, the swap must not disturb later appends,
+    and a final compaction packs to exactly one file per date group."""
+    import pyspark.sql.functions as F
+
+    from poc_juma_etl_spark.catalog import load_table
+    from poc_juma_etl_spark.operators.compact import (
+        compact_execute,
+        table_file_stats,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"), "event_id"
+    )
+    tagged = ev.withColumn("__h", F.abs(F.hash("event_id")) % 2)
+    half_a = tagged.filter(F.col("__h") == 0).drop("__h")
+    half_b = tagged.filter(F.col("__h") == 1).drop("__h")
+
+    src = str(tmp_path / "src")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    half_a.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        def sink(batch_df, batch_id):
+            # fragmenting append: several files per batch per date dir
+            batch_df.repartition(3).write.mode("append").partitionBy(
+                "event_date"
+            ).parquet(wh)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    frag_before, _ = table_file_stats(spark, wh)
+    stats1 = compact_execute(spark, wh)  # partition cols auto-detected
+    assert stats1["files_after"] < frag_before
+    # second drain appends AFTER the swap: new small files coexist with
+    # the compacted ones, nothing lost
+    half_b.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = {
+        (r.event_date, r.ck, r.n)
+        # hive partition-value inference reads the dir value back as DATE;
+        # normalize to the writer's string form for the comparison
+        for r in spark.read.parquet(wh)
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(F.sum("event_id").alias("ck"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        (r.event_date, r.ck, r.n)
+        for r in ev.groupBy("event_date")
+        .agg(F.sum("event_id").alias("ck"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    # final maintenance pass: packs to exactly one file per planned group,
+    # partition pruning still works on the swapped table
+    stats2 = compact_execute(spark, wh)
+    assert stats2["files_after"] == stats2["n_groups"]
+    first_day, _, first_n = sorted(want)[0]
+    one_day = spark.read.parquet(wh).filter(
+        F.col("event_date").cast("string") == first_day
+    )
+    assert one_day.count() == first_n
