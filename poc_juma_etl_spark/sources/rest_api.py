@@ -132,9 +132,13 @@ class FixtureTransport:
         _TABLE_CACHE[key] = t
         return t
 
+    def total_rows(self) -> int:
+        return self._table().num_rows
+
     def n_pages(self) -> int:
-        n_rows = self._table().num_rows
-        return max((n_rows + self.page_size - 1) // self.page_size, 1)
+        # floors at 1: an empty table still serves one empty page, so
+        # emptiness tests must use total_rows(), never n_pages() == 0
+        return max((self.total_rows() + self.page_size - 1) // self.page_size, 1)
 
     def fetch_page(self, page: int):
         """Returns the page's rows as a pyarrow Table ('registros')."""

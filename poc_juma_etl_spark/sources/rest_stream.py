@@ -114,9 +114,6 @@ def register_stream_source(spark) -> bool:
     return True
 
 
-_SINK_SEQ = [0]
-
-
 @register(
     "q_stream_rest_source_scan",
     oracle="""
@@ -157,8 +154,11 @@ def q_stream_rest_source_scan(spark, sf_dir: str):
         F.min("event_id").cast("bigint").alias("min_event_id"),
         F.max("event_id").cast("bigint").alias("max_event_id"),
     )
-    _SINK_SEQ[0] += 1
-    sink = f"rest_stream_out_{_SINK_SEQ[0]}"
+    # shared, LOCKED sink sequence (r8 review fix: a module-local unlocked
+    # counter could hand two concurrent gate threads the same sink name)
+    from ..streaming.events import alloc_sink
+
+    sink = alloc_sink("rest_stream_out")
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -189,8 +189,10 @@ def drain_until_page(q, min_page: int, poll_s: float = 0.1, max_polls: int = 600
     reaches ``min_page``; returns the page reached. The deterministic drain
     stop for the page-cursor protocol (see the comment in
     q_stream_rest_source_scan for why availableNow/idle heuristics fail).
-    Hard-capped at ``max_polls`` (~10 min default), far above any fixture
-    drain — returns whatever page was last seen if the cap trips."""
+    A DEAD query breaks out immediately (r8 review fix: a failed source
+    used to spin the whole cap before awaitTermination surfaced the error)
+    and a cap trip RAISES rather than letting the caller read a partial
+    sink as if the drain had finished."""
     import ast
     import json as _json
     import time
@@ -198,6 +200,14 @@ def drain_until_page(q, min_page: int, poll_s: float = 0.1, max_polls: int = 600
     seen = -1
     for _ in range(max_polls):
         time.sleep(poll_s)
+        if not q.isActive:
+            # surface the real failure now (exception() is None only for a
+            # clean external stop, in which case the caller's stop/await
+            # path takes over)
+            exc = q.exception()
+            if exc is not None:
+                raise exc
+            break
         progress = q.lastProgress
         if progress is None or not progress.get("sources"):
             continue
@@ -212,6 +222,11 @@ def drain_until_page(q, min_page: int, poll_s: float = 0.1, max_polls: int = 600
             seen = int(end.get("page", -1))
             if seen >= min_page:
                 break
+    else:
+        raise TimeoutError(
+            f"stream drain stalled: reached page {seen} < {min_page} after "
+            f"{max_polls * poll_s:.0f}s — refusing to return a partial sink"
+        )
     return seen
 
 
@@ -254,10 +269,15 @@ def q_stream_rest_restart_scan(spark, sf_dir: str):
     # batches; the batch-size heuristic still scales the page count down to
     # a bounded batch COUNT at sf1+)
     page_size = 50
-    n_pages = FixtureTransport(path, page_size).n_pages()
+    transport = FixtureTransport(path, page_size)
+    n_pages = transport.n_pages()
     empty = spark.createDataFrame([], "event_type string, n_events bigint, "
                                       "id_checksum bigint, n_distinct_ids bigint")
-    if n_pages == 0:  # zero-row table: nothing to stream, nothing to recover
+    # zero-row table: nothing to stream, nothing to recover. n_pages()
+    # floors at 1 (an empty table still serves one empty page), so the
+    # emptiness test must be on ROWS (r8 review fix: the old n_pages == 0
+    # guard was unreachable)
+    if transport.total_rows() == 0:
         return empty
     scratch = tempfile.mkdtemp(prefix="rest_restart_")
     out, ckpt = f"{scratch}/out", f"{scratch}/ckpt"

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import stream_table
 from ..plans.queries import dec_to_double, register
-from .events import _MEMSINK_LOCK, _SINK_SEQ
+from .events import drain_to_memory
 
 
 def user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,22 +55,17 @@ def stream_enriched_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns per-tier event counts and decimal-exact value sums."""
     stream = stream_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     enriched = stream.join(F.broadcast(user_tier_dim(spark, sf_dir)), "user_id", "left")
+    # explicit unknown-key tier (r8 review fix): a NULL user_id can never
+    # match the dimension, but the oracle's CASE falls through NULL % 10 to
+    # ELSE 'bronze' — the left join's NULL tier must take the same default
+    # (the docstring's own lesson, applied to the NULL key as well as to
+    # out-of-domain keys)
+    enriched = enriched.withColumn("tier", F.coalesce("tier", F.lit("bronze")))
     agg = enriched.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_events"),
         dec_to_double(F.sum(F.col("value").cast("decimal(25,6)"))).alias("total_value"),
     )
-    with _MEMSINK_LOCK:
-        _SINK_SEQ[0] += 1
-        sink = f"stream_tier_out_{_SINK_SEQ[0]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return drain_to_memory(agg, "stream_tier_out", "complete")
 
 
 @register(

@@ -29,6 +29,33 @@ _MEMSINK_LOCK = threading.Lock()
 _SINK_SEQ = [0]
 
 
+def alloc_sink(prefix: str) -> str:
+    """Process-unique memory-sink name (locked: concurrent gate threads must
+    never race to the same queryName — r8 review found one module had grown
+    its own unlocked counter)."""
+    with _MEMSINK_LOCK:
+        _SINK_SEQ[0] += 1
+        return f"{prefix}_{_SINK_SEQ[0]}"
+
+
+def drain_to_memory(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
+    """Start ``df`` as a memory-sink streaming query, drain it to completion
+    with availableNow, and return the sink contents as a batch DataFrame —
+    the one drain idiom every bounded-stream gate in this package uses
+    (previously copy-pasted per module; the drift that invited is why it is
+    factored here)."""
+    sink = alloc_sink(prefix)
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(sink)
+
+
 def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the tumbling-window aggregation as a bounded stream; returns the
     completed result as a batch DataFrame."""
@@ -43,18 +70,7 @@ def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_str(F.col("w.start"), "window_start"), "event_type", "n_events", "total_value"
         )
     )
-    with _MEMSINK_LOCK:
-        _SINK_SEQ[0] += 1
-        sink = f"stream_tumbling_out_{_SINK_SEQ[0]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return drain_to_memory(agg, "stream_tumbling_out", "complete")
 
 
 @register(
@@ -105,19 +121,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type", "value")
     )
-    with _MEMSINK_LOCK:
-        _SINK_SEQ[0] += 1
-        sink = f"stream_dedup_out_{_SINK_SEQ[0]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(sink)
+        drain_to_memory(deduped, "stream_dedup_out", "append")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
         .orderBy("event_type")
@@ -158,18 +163,9 @@ def q_stream_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_str(F.col("w.start"), "window_start"), "event_type", "n_events", "total_value"
         )
     )
-    with _MEMSINK_LOCK:
-        _SINK_SEQ[0] += 1
-        sink = f"stream_sliding_out_{_SINK_SEQ[0]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
+    return drain_to_memory(agg, "stream_sliding_out", "complete").orderBy(
+        "window_start", "event_type"
     )
-    q.awaitTermination()
-    return spark.table(sink).orderBy("window_start", "event_type")
 
 
 @register(
@@ -219,15 +215,6 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    with _MEMSINK_LOCK:
-        _SINK_SEQ[0] += 1
-        sink = f"stream_session_out_{_SINK_SEQ[0]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
+    return drain_to_memory(agg, "stream_session_out", "complete").orderBy(
+        "user_id", "session_start"
     )
-    q.awaitTermination()
-    return spark.table(sink).orderBy("user_id", "session_start")

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import stream_table
 from ..plans.queries import register
-from .events import _MEMSINK_LOCK, _SINK_SEQ
+from .events import drain_to_memory
 
 RANGE_GAP_S = 300  # keep in lockstep with plans/advanced.q_range_join_close_events
 
@@ -50,13 +50,20 @@ def stream_close_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id, gap_s) as a batch DataFrame."""
     left = _event_stream(spark, sf_dir, "a").withWatermark("a_ts", "1 hour")
     right = _event_stream(spark, sf_dir, "b").withWatermark("b_ts", "1 hour")
+    # same predicate discipline as the OUTER variant below (r8 review fix):
+    # the interval term (+1 s superset) bounds the state watermark; the
+    # floor-second term is the exact batch-twin gap semantics — without it
+    # a pair like a=.2s, b=+300.9s (true gap 300.7, floor-second gap 300)
+    # is dropped here but counted by the oracle. Latent on today's
+    # fixtures (verified 771/771 at sf0.1); bites on any denser one.
     joined = left.join(
         right,
         F.expr(
             f"""
             a_user_id = b_user_id AND
             b_ts > a_ts AND
-            b_ts <= a_ts + INTERVAL {RANGE_GAP_S} SECONDS
+            b_ts <= a_ts + INTERVAL {RANGE_GAP_S + 1} SECONDS AND
+            CAST(b_ts AS LONG) - CAST(a_ts AS LONG) <= {RANGE_GAP_S}
             """
         ),
     ).select(
@@ -65,18 +72,7 @@ def stream_close_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_user_id").alias("user_id"),
         (F.col("b_ts").cast("long") - F.col("a_ts").cast("long")).alias("gap_s"),
     )
-    with _MEMSINK_LOCK:
-        _SINK_SEQ[0] += 1
-        sink = f"stream_pairs_out_{_SINK_SEQ[0]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return drain_to_memory(joined, "stream_pairs_out", "append")
 
 
 def _sentinel_events_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -184,25 +180,15 @@ def stream_close_event_pairs_outer(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("a_user_id").alias("user_id"),
         (F.col("b_ts").cast("long") - F.col("a_ts").cast("long")).alias("gap_s"),
     )
-    with _MEMSINK_LOCK:
-        _SINK_SEQ[0] += 1
-        sink = f"stream_pairs_outer_out_{_SINK_SEQ[0]}"
     try:
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(sink)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        out = drain_to_memory(joined, "stream_pairs_outer_out", "append")
     finally:
         # memory sink holds the drained rows on the driver; the staged
         # fixture copy is dead weight once the stream terminates
         shutil.rmtree(d, ignore_errors=True)
     # the sentinel's own left row stays withheld in state; the filter makes
     # that a contract rather than a timing accident
-    return spark.table(sink).filter(F.col("user_id") >= 0)
+    return out.filter(F.col("user_id") >= 0)
 
 
 @register(

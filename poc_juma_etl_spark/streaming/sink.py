@@ -29,13 +29,19 @@ from ..plans.queries import register
 EPOCH_COL = "_epoch"
 
 
-def write_epoch(df: DataFrame, table_path: str, epoch_id: int) -> None:
+def write_epoch(df: DataFrame, table_path: str, epoch_id: int) -> bool:
     """Idempotently land one micro-batch: dynamic partition overwrite of the
     batch's own ``_epoch`` partitions. Re-running the same (df, epoch_id)
     pair leaves the table byte-identical — the redelivery path foreachBatch
-    needs to be safe."""
+    needs to be safe. Returns True when rows were written.
+
+    The emptiness check costs one limit-1 job per batch, and it is NOT
+    optional: an empty partitioned parquet write to a never-written path
+    leaves a footerless directory (just _SUCCESS) that every later
+    read.parquet crashes on — the no-data micro-batch Structured Streaming
+    emits at watermark advances would brick a fresh table."""
     if df.isEmpty():
-        return
+        return False
     (
         df.withColumn(EPOCH_COL, F.lit(int(epoch_id)))
         .withColumn(PARTITION_COL, F.to_date("ts"))
@@ -44,6 +50,7 @@ def write_epoch(df: DataFrame, table_path: str, epoch_id: int) -> None:
         .partitionBy(EPOCH_COL, PARTITION_COL)
         .parquet(table_path)
     )
+    return True
 
 
 def stream_events_to_warehouse(
@@ -57,8 +64,8 @@ def stream_events_to_warehouse(
     n_batches = [0]
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
-        write_epoch(df, table_path, epoch_id)
-        n_batches[0] += 1
+        if write_epoch(df, table_path, epoch_id):  # count WRITTEN batches only
+            n_batches[0] += 1
 
     q = (
         stream.writeStream.foreachBatch(write_batch)

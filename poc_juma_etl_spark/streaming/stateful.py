@@ -23,7 +23,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..catalog import stream_table
 from ..plans.queries import register
-from .events import _MEMSINK_LOCK, _SINK_SEQ
+from .events import drain_to_memory
 
 OUT_SCHEMA = "user_id long, n_events long, total_value double, total_cents long"
 STATE_SCHEMA = "n long, total double, cents long"
@@ -37,11 +37,16 @@ def _update_user_state(
     n, total, cents = state.get if state.exists else (0, 0.0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        total += float(pdf["value"].sum())  # pandas sum skips NaN, like SQL SUM
         # exact accumulator: floor-quantized cents sum in int64 — immune to
         # float addition order, so the driver gate can hash it (floor, not
-        # round: round-half tie behavior differs across engines)
-        cents += int(np.floor(pdf["value"].to_numpy() * 100.0).astype(np.int64).sum())
+        # round: round-half tie behavior differs across engines). NULL values
+        # arrive as NaN and must be SKIPPED like the oracle's SUM — an
+        # unguarded np.floor(NaN).astype(int64) is undefined garbage
+        # (INT64_MIN), not a clean diff (r8 review fix).
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        cents += int(np.floor(v * 100.0).astype(np.int64).sum())
     state.update((n, total, cents))
     yield pd.DataFrame(
         {
@@ -67,20 +72,9 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    with _MEMSINK_LOCK:
-        _SINK_SEQ[0] += 1
-        sink = f"stateful_user_totals_{_SINK_SEQ[0]}"
-    q = (
-        counted.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     # multiple micro-batches emit multiple updates per user; the final state
     # per user is the row with the highest n_events
-    out = spark.table(sink)
+    out = drain_to_memory(counted, "stateful_user_totals", "update")
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy(F.desc("n_events"))

@@ -149,3 +149,28 @@ def _run_restart_drill(spark, tmp_path):
     users_a = {r.user_id for r in half_a.select("user_id").distinct().collect()}
     users_b = {r.user_id for r in half_b.select("user_id").distinct().collect()}
     assert users_a & users_b, "no user spans the restart — fixture degenerate"
+
+
+def test_stateful_cents_skip_null_values():
+    """NULL values arrive in the pandas kernel as NaN and must be SKIPPED
+    like SQL SUM — an unguarded floor(NaN).astype(int64) is INT64_MIN
+    garbage, not a clean diff (r8 review fix)."""
+    import numpy as np
+    import pandas as pd
+
+    from poc_juma_etl_spark.streaming.stateful import _update_user_state
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    st = FakeState()
+    pdf = pd.DataFrame({"user_id": [1, 1, 1], "value": [1.25, np.nan, 2.50]})
+    out = list(_update_user_state((1,), iter([pdf]), st))
+    n, total, cents = st.value
+    assert n == 3  # COUNT(*) counts the null-value row
+    assert cents == 125 + 250  # SUM skips it
+    assert abs(total - 3.75) < 1e-9
+    assert out[0]["total_cents"].iloc[0] == 375
