@@ -169,18 +169,36 @@ LATE_ADDITIONS: tuple[str, ...] = (
 
 
 def _evidence_cache(fn):
-    """Compute-once cache for the CORRECTNESS_r*.json scans below: the
-    evidence files only change between driver rounds (never mid-process),
-    and ``all_queries()`` is called per-test in the parity sweep — re-reading
-    and json-parsing every round file each call is pure waste. Note the scan
-    deliberately includes UNTRACKED round artifacts in the repo root (e.g. a
-    CORRECTNESS_rNN.json the driver wrote but has not committed yet): the
-    current round's evidence is exactly what the next window rotation should
-    see. Tests that monkeypatch the repo root get a fresh read via
-    ``cache_clear``."""
+    """Cache for the CORRECTNESS_r*.json scans below, keyed on a cheap
+    fingerprint of the evidence-file glob (name, mtime, size per file) —
+    re-reading and json-parsing every round file on each ``all_queries()``
+    call is pure waste (the parity sweep calls it per-test), but a process
+    that spans a driver round (a long-lived harness) must see a freshly
+    dropped CORRECTNESS_rNN.json, so the cache invalidates itself whenever
+    the glob changes instead of memoizing for the process lifetime. Note the
+    scan deliberately includes UNTRACKED round artifacts in the repo root:
+    the current round's evidence is exactly what the next window rotation
+    should see. Tests that fabricate evidence files still get a fresh read
+    via ``cache_clear``."""
     import functools
+    from pathlib import Path
 
-    return functools.lru_cache(maxsize=1)(fn)
+    root = Path(__file__).resolve().parent.parent
+
+    @functools.lru_cache(maxsize=4)
+    def _cached(_fingerprint):
+        return fn()
+
+    @functools.wraps(fn)
+    def wrapper():
+        fingerprint = tuple(
+            (f.name, f.stat().st_mtime_ns, f.stat().st_size)
+            for f in sorted(root.glob("CORRECTNESS_r*.json"))
+        )
+        return _cached(fingerprint)
+
+    wrapper.cache_clear = _cached.cache_clear
+    return wrapper
 
 
 @_evidence_cache
@@ -245,6 +263,45 @@ def _latest_sample_rounds() -> dict[str, int]:
         for name in rows:
             latest[name] = max(latest.get(name, 0), rnd)
     return latest
+
+
+def effective_evidence(name: str, verified: dict[str, float]) -> float:
+    """The evidence value :func:`rotation_key` sorts on. Raw driver
+    evidence from CORRECTNESS_r*.json, plus the LATE_ADDITIONS half-step —
+    but ONLY while the query has never been driver-verified: the boost's one
+    job is to queue newcomers behind the never-verified backlog without
+    displacing it. Once a query has any real evidence the boost must vanish,
+    or it would *outrank* that evidence and invert the rotation (the r08
+    defect: 5 names at 1.25 raw evidence sat inside the 50-slot window while
+    55 late-added names at exactly 1.0 — effective 1.5 under the old
+    unconditional boost — sat outside)."""
+    raw = verified.get(name, 0)
+    if raw == 0 and name in LATE_ADDITIONS:
+        return 0.5
+    return raw
+
+
+def rotation_key(
+    name: str, verified: dict[str, float], latest: dict[str, int]
+) -> tuple[float, int, float]:
+    """The driver-window rotation key (ascending sort; smallest 50 = the
+    next round's correctness window). Two regimes:
+
+    - **Never hash-green** (effective evidence < 1.0: new registrations,
+      red rows, rows-only ``no_oracle`` samples, late additions): these
+      lead unconditionally, ordered by how weak their evidence is. A query
+      that FAILED last round (evidence 0, latest = last round) must re-enter
+      immediately — which is why staleness cannot be the primary key.
+    - **Hash-green at least once** (evidence >= 1.0): the primary component
+      saturates at 1.0 and STALENESS drives the rotation — oldest driver
+      sample re-enters first, raw evidence only as tiebreak within a round.
+      Without the saturation, a twice-green query sampled in r04 would sort
+      behind every once-green query forever and its evidence would never
+      refresh (the r08→r09 tail: 4 names at 2.0 evidence stuck at an r04
+      latest sample behind 200 once-green names).
+    """
+    eff = effective_evidence(name, verified)
+    return (min(eff, 1.0), latest.get(name, 0), eff)
 
 
 def all_queries():
@@ -323,8 +380,7 @@ def all_queries():
     names = sorted(
         _q.QUERIES,
         key=lambda n: (
-            verified.get(n, 0) + (0.5 if n in LATE_ADDITIONS else 0),
-            latest.get(n, 0),  # staleness: oldest evidence re-enters first
+            *rotation_key(n, verified, latest),
             prio.get(n, len(prio)),
             reg[n],
         ),

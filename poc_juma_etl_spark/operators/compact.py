@@ -6,17 +6,18 @@ byte count — becomes the bottleneck (driver listing time, task overhead,
 NameNode/S3 metadata pressure). Compaction rewrites each partition's files
 into ~target-sized outputs without changing content.
 
-Implementation: read → repartition to max(1, bytes/target) within the same
-partition layout → rewrite to a staging path → atomic directory swap. The
-staging+swap avoids the read-overwrite conflict and leaves the table
-readable until the swap."""
+Implementation (one code path, plan-driven): window over ``_metadata`` file
+stats → start-offset output groups (oversized partitions SPLIT into
+~target-sized groups; tiny neighbours pack) → one shuffle keyed on
+(partition_dir, group) → rewrite to a staging path → atomic directory swap
+with crash recovery. The staging+swap avoids the read-overwrite conflict
+and leaves the table readable until the swap."""
 
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
 from ..plans.queries import register
-from .range_replace import PARTITION_COL
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
@@ -44,28 +45,17 @@ def compact_table(
     spark: SparkSession, path: str, target_bytes: int = DEFAULT_TARGET_BYTES
 ) -> tuple[int, int]:
     """Rewrite ``path`` with ~target_bytes files; returns (files_before,
-    files_after). Partitioned tables keep their partition layout."""
-    recover_table(spark, path)  # heal any half-swapped prior compaction
-    before, total = table_file_stats(spark, path)
-    if before == 0:  # nothing on disk: compaction is a no-op, not a crash
-        return 0, 0
-    df = spark.read.parquet(path)
-    n_out = max(1, (total + target_bytes - 1) // target_bytes)
-    partitioned = PARTITION_COL in df.columns
-    if partitioned:
-        # distribute by partition value so each output file stays within one
-        # partition directory
-        writer = df.repartition(int(n_out), PARTITION_COL)
-    else:
-        writer = df.coalesce(int(n_out)) if n_out < before else df.repartition(int(n_out))
-    staging = f"{path}__compact_staging"
-    w = writer.write.mode("overwrite").option("partitionOverwriteMode", "static")
-    if partitioned:
-        w = w.partitionBy(PARTITION_COL)
-    w.parquet(staging)
-    _swap_into(spark, staging, path)
-    after, _ = table_file_stats(spark, path)
-    return before, after
+    files_after). Partitioned tables keep their partition layout
+    (auto-detected from the hive directory structure).
+
+    Thin wrapper over :func:`compact_execute` — the simple path used to
+    repartition on ``PARTITION_COL`` alone, which could never SPLIT an
+    oversized partition (all rows of one partition value hash to one task →
+    one file regardless of ``target_bytes``; round-8 verdict item). The
+    plan-driven executor's start-offset groups split within a partition,
+    so there is exactly one compaction code path now."""
+    stats = compact_execute(spark, path, target_bytes=target_bytes)
+    return stats["files_before"], stats["files_after"]
 
 
 def _swap_into(spark: SparkSession, staging: str, path: str) -> None:
@@ -183,6 +173,15 @@ def compact_execute(
     joins by shuffle). Hash-collision groups that co-land in one task
     merely co-write a file per partition dir — compaction targets are
     advisory.
+
+    Zero-row parquet files: the plan is derived from ``_metadata`` rows, so
+    a file with no rows contributes nothing to any group — it is counted in
+    ``files_before`` (filesystem stat) but not in ``n_groups``, and the
+    rewrite drops it. That is the desired compaction outcome (dead files
+    are garbage-collected, content is preserved exactly), with one visible
+    corollary: a partition directory containing ONLY empty files disappears
+    from the layout after the rewrite. Pinned by
+    ``tests/test_compact.py::test_compact_execute_drops_empty_files``.
 
     Returns {"files_before", "files_after", "n_groups", "bytes_total"}.
     """

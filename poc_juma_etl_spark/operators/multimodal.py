@@ -53,47 +53,43 @@ def decode_real(payload: bytes) -> dict:
     — see decode_png / decode_wav below); Pillow, when installed, takes
     over PNG and adds JPEG. No required dependency: only a format that
     genuinely needs an external codec (JPEG without Pillow) raises."""
-    if payload[:8] == PNG_SIG:
-        try:  # optional fast path — identical stats, C-speed decode
-            from PIL import Image  # type: ignore
-            import io
+    # Guard ONLY the import: an ImportError raised from inside a Pillow
+    # decode (a missing optional plugin dep) is a real environment error and
+    # must propagate, not silently reroute to the stdlib baseline where it
+    # would resurface as a misleading NotImplementedError (ADVICE r8).
+    try:
+        from PIL import Image  # type: ignore
+    except ImportError:
+        Image = None
 
-            im = Image.open(io.BytesIO(payload)).convert("L")
-            px = list(im.getdata())
-            return {
-                "media_kind": "png",
-                "width": im.width,
-                "height": im.height,
-                "sample_rate": None,
-                "n_units": len(px),
-                "pixel_sum": sum(px),
-                "sample_sq_sum": None,
-            }
-        except ImportError:
-            return decode_png(payload)
+    def _pil_stats(kind: str) -> dict:
+        import io
+
+        im = Image.open(io.BytesIO(payload)).convert("L")
+        px = list(im.getdata())
+        return {
+            "media_kind": kind,
+            "width": im.width,
+            "height": im.height,
+            "sample_rate": None,
+            "n_units": len(px),
+            "pixel_sum": sum(px),
+            "sample_sq_sum": None,
+        }
+
+    if payload[:8] == PNG_SIG:
+        if Image is not None:  # optional fast path — identical stats
+            return _pil_stats("png")
+        return decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[:3] == b"\xff\xd8\xff":  # JPEG
-        try:
-            from PIL import Image  # type: ignore
-            import io
-
-            im = Image.open(io.BytesIO(payload)).convert("L")
-            px = list(im.getdata())
-            return {
-                "media_kind": "jpeg",
-                "width": im.width,
-                "height": im.height,
-                "sample_rate": None,
-                "n_units": len(px),
-                "pixel_sum": sum(px),
-                "sample_sq_sum": None,
-            }
-        except ImportError:
-            # round-8: pure-stdlib baseline decoder (single-component
-            # sequential DCT); non-baseline flavors still raise the
-            # NotImplementedError contract inside
-            return decode_jpeg(payload)
+        if Image is not None:
+            return _pil_stats("jpeg")
+        # round-8: pure-stdlib baseline decoder (single-component
+        # sequential DCT); non-baseline flavors still raise the
+        # NotImplementedError contract inside
+        return decode_jpeg(payload)
     raise ValueError(f"unrecognized media container: {payload[:8]!r}")
 
 

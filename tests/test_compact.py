@@ -3,6 +3,8 @@
 import datetime as dt
 
 from poc_juma_etl_spark.operators.compact import compact_table, table_file_stats
+
+from .conftest import SF_SMOKE
 from poc_juma_etl_spark.operators.range_replace import (
     append_table,
     overwrite_table,
@@ -70,6 +72,52 @@ def test_compact_execute_partitioned_packs_to_plan(spark, tmp_path):
     import pyspark.sql.functions as F
 
     assert spark.read.parquet(p).filter(F.col("d") == "2024-01-02").count() == 100
+
+
+def test_compact_table_splits_oversized_partition(spark, tmp_path):
+    """Round-8 verdict item: the simple ``compact_table`` path used to
+    repartition on the partition column alone, so ALL rows of one partition
+    value landed in one task → one file however large. Now that it delegates
+    to the plan-driven executor, an oversized partition must split into
+    ~target_bytes files (start-offset groups within the partition dir)."""
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "t")
+    # one hive partition, fragmented into 8 files totalling ~8x target
+    df = spark.range(40_000).select(
+        F.lit("2024-01-01").alias("d"), "id", F.expr("repeat('x', 200)").alias("pad")
+    )
+    df.repartition(8).write.partitionBy("d").parquet(p)
+    n_before, total = table_file_stats(spark, p)
+    assert n_before == 8
+    ids_before = sorted(r.id for r in spark.read.parquet(p).collect())
+    b, a = compact_table(spark, p, target_bytes=total // 4)
+    assert b == n_before
+    assert 2 <= a < n_before, f"oversized partition did not split: {a} files"
+    assert sorted(r.id for r in spark.read.parquet(p).collect()) == ids_before
+    # still one hive dir, pruning works
+    assert spark.read.parquet(p).filter(F.col("d") == "2024-01-01").count() == 40_000
+
+
+def test_compact_execute_drops_empty_files(spark, tmp_path):
+    """The plan is derived from ``_metadata`` rows, so zero-row files are
+    invisible to grouping: counted in files_before, excluded from n_groups,
+    and garbage-collected by the rewrite — content preserved exactly
+    (documented contract; ADVICE r8)."""
+    from poc_juma_etl_spark.operators.compact import compact_execute
+
+    p = str(tmp_path / "t")
+    spark.range(100).coalesce(1).write.parquet(p)
+    # append an empty data file (real footer, zero rows)
+    spark.range(0).coalesce(1).write.mode("append").parquet(p)
+    n_before, _ = table_file_stats(spark, p)
+    assert n_before == 2
+    ids = sorted(r.id for r in spark.read.parquet(p).collect())
+    stats = compact_execute(spark, p)
+    assert stats["files_before"] == 2
+    assert stats["n_groups"] == 1  # the empty file joined no group
+    assert stats["files_after"] == 1  # ...and was dropped by the rewrite
+    assert sorted(r.id for r in spark.read.parquet(p).collect()) == ids
 
 
 def test_plan_output_groups_start_offset_rule(spark):
@@ -182,7 +230,7 @@ def test_compaction_between_stream_batches(spark, tmp_path):
         table_file_stats,
     )
 
-    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+    ev = load_table(spark, SF_SMOKE, "events").select(
         F.date_format("ts", "yyyy-MM-dd").alias("event_date"), "event_id"
     )
     tagged = ev.withColumn("__h", F.abs(F.hash("event_id")) % 2)

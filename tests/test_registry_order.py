@@ -2,7 +2,14 @@
 queries first so the driver's 50-query correctness window always covers
 them (no Spark needed — pure ordering logic)."""
 
-from poc_juma_etl_spark import DRIVER_WINDOW_PRIORITY, _verified_counts, all_queries
+from poc_juma_etl_spark import (
+    DRIVER_WINDOW_PRIORITY,
+    _latest_sample_rounds,
+    _verified_counts,
+    all_queries,
+    effective_evidence,
+    rotation_key,
+)
 
 WINDOW = 50
 
@@ -24,20 +31,60 @@ def test_verified_counts_read_driver_files():
 
 
 def test_least_verified_lead_the_window():
+    # Asserts on the EFFECTIVE sort key (rotation_key), so the test is
+    # invariant to whatever evidence distribution the driver drops next —
+    # the r06 and r08 failures were both stale-window assertions that baked
+    # in one round's raw-evidence histogram. Invariant: no name outside the
+    # 50-slot window may have a strictly smaller rotation key than any name
+    # inside it (the window must be exactly the 50 smallest-key names,
+    # modulo tiebreaks among equal keys).
     counts = _verified_counts()
+    latest = _latest_sample_rounds()
     names = list(all_queries())
-    min_count = min(counts.get(n, 0) for n in names)
     window, rest = names[:WINDOW], names[WINDOW:]
-    # no query outside the window may be less-verified than one inside it
-    max_in_window = max(counts.get(n, 0) for n in window)
-    min_outside = min((counts.get(n, 0) for n in rest), default=max_in_window)
-    assert min_outside >= max_in_window or all(
-        counts.get(n, 0) > min_count for n in rest
+    max_in_window = max(rotation_key(n, counts, latest) for n in window)
+    min_outside = min(
+        (rotation_key(n, counts, latest) for n in rest), default=max_in_window
+    )
+    assert min_outside >= max_in_window, (
+        f"window mis-allocated: a name outside the window has rotation key "
+        f"{min_outside} < max-in-window {max_in_window}"
     )
     # every never-verified query sits inside the window (as long as they fit)
     never = [n for n in names if counts.get(n, 0) == 0]
     if len(never) <= WINDOW:
         assert set(never) <= set(window)
+
+
+def test_rotation_key_regimes():
+    # Never-hash-green names lead unconditionally, however recent their
+    # sample (a red row must re-enter the window immediately); among
+    # hash-green names the primary saturates at 1.0 so staleness rotates
+    # oldest-sample-first, evidence count only a within-round tiebreak.
+    v = {"red": 0.0, "rowsonly": 0.25, "once": 1.0, "twice": 2.0}
+    latest = {"red": 8, "rowsonly": 3, "once": 5, "twice": 4}
+    assert rotation_key("red", v, latest) < rotation_key("rowsonly", v, latest)
+    assert rotation_key("rowsonly", v, latest) < rotation_key("once", v, latest)
+    assert rotation_key("rowsonly", v, latest) < rotation_key("twice", v, latest)
+    # staleness beats evidence among hash-green: twice@r4 before once@r5
+    assert rotation_key("twice", v, latest) < rotation_key("once", v, latest)
+    # within the same round, lower evidence first
+    v2 = {"a": 1.0, "b": 2.0}
+    same = {"a": 4, "b": 4}
+    assert rotation_key("a", v2, same) < rotation_key("b", v2, same)
+
+
+def test_effective_evidence_boost_only_while_unverified():
+    # The LATE_ADDITIONS half-step queues a newcomer behind the
+    # never-verified backlog (0 < 0.5) but must vanish the moment real
+    # driver evidence exists — raw evidence alone orders verified queries.
+    from poc_juma_etl_spark import LATE_ADDITIONS
+
+    la = LATE_ADDITIONS[0]
+    assert effective_evidence(la, {}) == 0.5
+    assert effective_evidence(la, {la: 1.0}) == 1.0
+    assert effective_evidence(la, {la: 0.25}) == 0.25
+    assert effective_evidence("not_a_late_addition", {}) == 0
 
 
 def test_priority_list_names_are_registered():

@@ -218,11 +218,12 @@ def test_rotation_orders_by_evidence_then_staleness():
     version of this test asserted specific names in the window and
     self-invalidated the moment the driver's next evidence file landed):
 
-    1. effective verified score (count + LATE_ADDITIONS half-step) is
-       non-decreasing along the registry order, so never-verified names
-       always sort first and the 50-slot window covers the least-verified;
-    2. among equal scores, the latest driver sample round is non-decreasing,
-       so the stalest evidence re-enters the window first.
+    the registry order must be non-decreasing in ``rotation_key`` (the
+    single source of truth for window allocation — never-hash-green names
+    lead by evidence weakness, hash-green names rotate oldest-sample-first;
+    see ``poc_juma_etl_spark.rotation_key``). Asserting the shared function
+    rather than a re-derived formula keeps this test from drifting out of
+    sync with the ordering the way the r06 and r08 versions did.
     """
     import poc_juma_etl_spark as p
 
@@ -231,15 +232,10 @@ def test_rotation_orders_by_evidence_then_staleness():
     names = list(p.all_queries())
 
     def score(n):
-        return verified.get(n, 0) + (0.5 if n in p.LATE_ADDITIONS else 0)
+        return p.rotation_key(n, verified, latest)
 
     for a, b in zip(names, names[1:]):
         assert score(a) <= score(b), f"{a} ({score(a)}) after {b} ({score(b)})"
-        if score(a) == score(b):
-            assert latest.get(a, 0) <= latest.get(b, 0), (
-                f"staleness tiebreak violated: {a} (r{latest.get(a, 0)}) "
-                f"sorts before {b} (r{latest.get(b, 0)}) at equal score"
-            )
 
     # never-sampled names (if any exist) must occupy the head of the order
     never = {n for n in names if n not in verified and n not in latest}
