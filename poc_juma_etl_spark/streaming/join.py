@@ -75,14 +75,28 @@ def stream_close_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory(joined, "stream_pairs_out", "append")
 
 
-def _sentinel_events_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Stage a temp directory holding the events file plus ONE far-future
-    sentinel row (user_id = −1, ts = max(ts) + 35 days) whose arrival
-    pushes the final watermark past every real event's outer-join
-    eviction point. The fixture file is copied (2 MB at sf0.1); on a real
-    deployment the sentinel is appended to the live source directory (or
-    unioned in from a control topic) instead — the watermark mechanics
-    are identical."""
+def _sentinel_events_dir(
+    spark: SparkSession, sf_dir: str, rows_per_batch: int = 50_000
+) -> str:
+    """Stage a temp directory holding the events table re-cut into
+    TIME-ORDERED micro-batch file groups plus ONE far-future sentinel row
+    (user_id = −1, ts = max(ts) + 35 days) whose arrival pushes the final
+    watermark past every real event's outer-join eviction point.
+
+    Why groups (round-8 soak lesson): the old staging copied the fixture's
+    part files verbatim, and an availableNow drain with no rate limit
+    processes them all in ONE micro-batch — the stream-stream join built
+    its entire state (the whole table, both sides) in a single batch, a
+    ~30-minute memory-bound stall at sf1. Re-cutting the source with
+    ``repartitionByRange(ts)`` into ~rows_per_batch files, named and
+    mtime-stamped in range order, plus ``maxFilesPerTrigger=1`` on the
+    reader, makes the drain process N micro-batches in event-time order:
+    the join builds AND EVICTS state incrementally as the watermark
+    advances between batches — which is also the honest production shape
+    (a live stream arrives roughly time-ordered). Range staging guarantees
+    batch k+1's min ts >= batch k's max ts, so the advancing watermark can
+    never late-drop a row (cross-batch disorder is 0, far under the 1 h
+    delay)."""
     import glob
     import os
     import shutil
@@ -92,23 +106,32 @@ def _sentinel_events_dir(spark: SparkSession, sf_dir: str) -> str:
 
     d = tempfile.mkdtemp(prefix="stream_outer_")
     src = table_path(sf_dir, "events")
-    if os.path.isdir(src):
-        # directory-shaped table (Spark-written warehouse): stage each part
-        # file; names keep their sort order below the zz_ sentinel
-        for i, part in enumerate(sorted(glob.glob(f"{src}/*.parquet"))):
-            shutil.copy(part, f"{d}/events_{i:05d}.parquet")
-    else:
-        shutil.copy(src, f"{d}/events.parquet")
-    max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+    events = spark.read.parquet(src)
+    n_rows = events.count()
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
     if max_ts is None:  # empty source: any fixed anchor works — no real
         # event exists for the watermark to evict
         import datetime as dt
 
         max_ts = dt.datetime(2024, 1, 1)
+    n_groups = max(1, min(64, -(-n_rows // max(rows_per_batch, 1))))
+    stage = tempfile.mkdtemp(prefix="stream_outer_stage_")
+    try:
+        # part-file index == range-partition index == ascending ts order
+        events.repartitionByRange(n_groups, "ts").write.parquet(
+            stage, mode="overwrite"
+        )
+        base_mtime = 1_000_000_000  # deterministic: file-stream batch order
+        # follows mod time, which copy would otherwise leave near-tied
+        for i, part in enumerate(sorted(glob.glob(f"{stage}/part-*.parquet"))):
+            dst = f"{d}/events_{i:05d}.parquet"
+            shutil.copy(part, dst)
+            os.utime(dst, (base_mtime + i, base_mtime + i))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     stage = tempfile.mkdtemp(prefix="stream_outer_stage_")
     (
-        spark.read.parquet(src)
-        .limit(1)
+        events.limit(1)
         .select(
             F.lit(-1).cast("bigint").alias("event_id"),
             (F.lit(max_ts) + F.expr("INTERVAL 35 DAYS")).alias("ts"),
@@ -121,9 +144,9 @@ def _sentinel_events_dir(spark: SparkSession, sf_dir: str) -> str:
         .write.parquet(stage, mode="overwrite")
     )
     try:
-        shutil.copy(
-            glob.glob(f"{stage}/part-*.parquet")[0], f"{d}/zz_sentinel.parquet"
-        )
+        sentinel = f"{d}/zz_sentinel.parquet"
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], sentinel)
+        os.utime(sentinel, (base_mtime + n_groups, base_mtime + n_groups))
     finally:
         # the staging dir's job ends at the copy; don't let repeated gate
         # runs accumulate one-file dirs in /tmp
@@ -131,22 +154,28 @@ def _sentinel_events_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
-def stream_close_event_pairs_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_close_event_pairs_outer(
+    spark: SparkSession, sf_dir: str, rows_per_batch: int = 50_000
+) -> DataFrame:
     """Drain the LEFT OUTER stream-stream interval join (sentinel-flushed);
     returns (event_a, event_b|NULL, user_id, gap_s|NULL) as a batch
     DataFrame covering every real left event exactly once per match, plus
-    one NULL row per unmatched left event."""
+    one NULL row per unmatched left event. The drain runs one time-ordered
+    file group per micro-batch (maxFilesPerTrigger=1 over the range-staged
+    source — see _sentinel_events_dir), so join state builds and evicts
+    incrementally instead of buffering the whole table in one batch."""
     from ..catalog import normalize_timestamps
 
     import shutil
 
-    d = _sentinel_events_dir(spark, sf_dir)
+    d = _sentinel_events_dir(spark, sf_dir, rows_per_batch=rows_per_batch)
     physical = spark.read.parquet(d).schema  # staged dir: fixture copy + sentinel
 
     def side(alias: str) -> DataFrame:
         raw = (
             spark.readStream.schema(physical)
             .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
             .parquet(d)
         )
         return normalize_timestamps(raw, "events").select(

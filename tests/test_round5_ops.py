@@ -151,6 +151,67 @@ def test_stream_outer_join_converges_to_batch_left_join(spark):
     assert got == want
 
 
+def test_stream_outer_join_multi_batch_staging(spark):
+    """Round-9: the outer drain's source is staged as time-ordered file
+    groups so the join builds state INCREMENTALLY (one group per
+    micro-batch) instead of buffering the whole table in one availableNow
+    batch — the r8 soak's 30-minute single-batch stall. Pins (a) the
+    staging shape: ~rows_per_batch files, disjoint ascending ts ranges,
+    strictly increasing mtimes, sentinel last; (b) row-level convergence
+    to the batch LEFT JOIN when the drain really runs multi-batch."""
+    import glob
+    import os
+    import shutil
+
+    from poc_juma_etl_spark.streaming.join import (
+        RANGE_GAP_S,
+        _sentinel_events_dir,
+        stream_close_event_pairs_outer,
+    )
+
+    d = _sentinel_events_dir(spark, SF_SMOKE, rows_per_batch=200)
+    try:
+        parts = sorted(glob.glob(f"{d}/events_*.parquet"))
+        assert len(parts) == 5  # 1000 fixture rows / 200 per group
+        prev_max, prev_mtime = None, -1.0
+        for p in parts:
+            lo, hi = (
+                spark.read.parquet(p)
+                .agg(F.min("ts"), F.max("ts"))
+                .collect()[0]
+            )
+            if prev_max is not None:
+                assert lo >= prev_max, "file groups must be time-ordered"
+            prev_max = hi
+            mtime = os.path.getmtime(p)
+            assert mtime > prev_mtime, "batch order needs increasing mtimes"
+            prev_mtime = mtime
+        sentinel = f"{d}/zz_sentinel.parquet"
+        assert os.path.getmtime(sentinel) > prev_mtime, "sentinel drains last"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    got = {
+        (r.event_a, r.event_b)
+        for r in stream_close_event_pairs_outer(
+            spark, SF_SMOKE, rows_per_batch=200
+        ).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    want_df = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts").cast("long") - F.col("a.ts").cast("long") <= RANGE_GAP_S),
+        "left",
+    ).select(F.col("a.event_id").alias("ea"), F.col("b.event_id").alias("eb"))
+    want = {(r.ea, r.eb) for r in want_df.collect()}
+    assert got == want
+
+
 class TestMediaCodec:
     """The stdlib PNG/WAV codecs under q_multimodal_decode_real."""
 
