@@ -165,6 +165,8 @@ LATE_ADDITIONS: tuple[str, ...] = (
     # -- round 8 --
     "etl_compact_plan_exec_e2e",
     "q_multimodal_jpeg_decode",
+    # -- round 9 --
+    "q_multimodal_jpeg420_decode",
 )
 
 

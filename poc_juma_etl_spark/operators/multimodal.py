@@ -86,8 +86,8 @@ def decode_real(payload: bytes) -> dict:
     if payload[:3] == b"\xff\xd8\xff":  # JPEG
         if Image is not None:
             return _pil_stats("jpeg")
-        # round-8: pure-stdlib baseline decoder (single-component
-        # sequential DCT); non-baseline flavors still raise the
+        # pure-stdlib baseline decoder (sequential DCT, grayscale or
+        # subsampled YCbCr); progressive/extended flavors still raise the
         # NotImplementedError contract inside
         return decode_jpeg(payload)
     raise ValueError(f"unrecognized media container: {payload[:8]!r}")
@@ -531,10 +531,11 @@ def decode_wav(payload: bytes) -> dict:
 # derive their Huffman code tables canonically from the DHT BITS/HUFFVAL
 # lists (ITU T.81 Annex K standard luminance tables), and the decoder builds
 # its tables from the FILE's own DQT/DHT segments, never from shared
-# constants. Scope: baseline sequential DCT, 8-bit, single-component
-# (grayscale), 1x1 sampling — the web-thumbnail core; other flavors raise
-# the NotImplementedError contract (Pillow, when present, takes over first
-# in decode_real).
+# constants. Scope: baseline sequential DCT, 8-bit, grayscale AND
+# interleaved YCbCr with 4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 chroma subsampling
+# (round-9 — web corpora are mostly 4:2:0); progressive/extended/
+# arithmetic flavors raise the NotImplementedError contract (Pillow, when
+# present, takes over first in decode_real).
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -572,6 +573,38 @@ _AC_VALS = [
     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+# ITU T.81 Annex K.3 standard CHROMINANCE Huffman specs (Tables K.4/K.6) —
+# used as table-id 1 by the color encoder below, the two-table layout real
+# web/camera JPEGs carry. The decoder never assumes these: it rebuilds every
+# table from the file's own DHT segments.
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
 
@@ -654,6 +687,53 @@ def _idct_block(coef: list[float]) -> list[list[int]]:
     return np.clip(px, 0, 255).astype(np.int64).tolist()
 
 
+def _quantize_block(rows, w: int, h: int, by: int, bx: int) -> list[int]:
+    """FDCT + quantize one 8x8 block at pixel origin (by, bx) of a plane;
+    edge blocks replicate the last row/column (the conventional pad).
+    Returns 64 levels in zigzag order."""
+    block = [
+        [
+            float(rows[min(by + x, h - 1)][min(bx + y, w - 1)]) - 128.0
+            for y in range(8)
+        ]
+        for x in range(8)
+    ]
+    coef = _fdct_block(block)
+    return [int(round(coef[_ZIGZAG[i]] / _JPEG_QTAB[i])) for i in range(64)]
+
+
+def _encode_block(bw: "_BitWriter", q: list[int], prev_dc: int, dc_codes, ac_codes) -> int:
+    """Entropy-encode one quantized block (DC differential + AC run-length,
+    T.81 F.1.2); returns the new DC predictor."""
+    # DC: differential, category + extra bits (T.81 F.1.2.1)
+    diff = q[0] - prev_dc
+    s = _category(diff)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    # AC: (run, size) symbols with ZRL/EOB (T.81 F.1.2.2)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if q[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(q[i])
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(q[i] if q[i] >= 0 else q[i] + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+    return q[0]
+
+
 def encode_jpeg_gray(rows: list[bytes], restart_interval: int = 0) -> bytes:
     """Encode 8-bit grayscale scanlines as a spec-valid baseline JPEG
     (SOI/DQT/SOF0/DHT/SOS/EOI, standard Annex-K luminance Huffman tables,
@@ -679,45 +759,8 @@ def encode_jpeg_gray(rows: list[bytes], restart_interval: int = 0) -> bytes:
                 rst = (rst + 1) % 8
                 prev_dc = 0
             mcu += 1
-            block = [
-                [
-                    float(rows[min(by + x, h - 1)][min(bx + y, w - 1)]) - 128.0
-                    for y in range(8)
-                ]
-                for x in range(8)
-            ]
-            coef = _fdct_block(block)
-            q = [
-                int(round(coef[_ZIGZAG[i]] / _JPEG_QTAB[i]))
-                for i in range(64)
-            ]
-            # DC: differential, category + extra bits (T.81 F.1.2.1)
-            diff = q[0] - prev_dc
-            prev_dc = q[0]
-            s = _category(diff)
-            code, ln = dc_codes[s]
-            bw.write(code, ln)
-            if s:
-                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            # AC: (run, size) symbols with ZRL/EOB (T.81 F.1.2.2)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if q[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if q[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                s = _category(q[i])
-                code, ln = ac_codes[(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(q[i] if q[i] >= 0 else q[i] + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]
-                bw.write(code, ln)
+            q = _quantize_block(rows, w, h, by, bx)
+            prev_dc = _encode_block(bw, q, prev_dc, dc_codes, ac_codes)
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -730,6 +773,86 @@ def encode_jpeg_gray(rows: list[bytes], restart_interval: int = 0) -> bytes:
     )
     dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
+
+
+def encode_jpeg_ycbcr(
+    y_rows: list[bytes],
+    cb_rows: list[bytes],
+    cr_rows: list[bytes],
+    sampling: tuple[int, int] = (2, 2),
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a YCbCr image as a spec-valid baseline JPEG with chroma
+    subsampling — sampling (2,2) = 4:2:0 (the dominant web-corpus flavor),
+    (2,1) = 4:2:2, (1,1) = 4:4:4. ``y_rows`` is full resolution (h x w);
+    ``cb_rows``/``cr_rows`` are the subsampled planes the caller supplies at
+    ceil(w/hs) x ceil(h/vs). Interleaved scan, one MCU = hs*vs luma blocks +
+    1 block per chroma component; luma uses the Annex-K luminance Huffman
+    pair as table 0, chroma the Annex-K chrominance pair as table 1 (the
+    two-table layout real camera/web files carry); one shared quant table
+    keeps the DC-step-8 exactness argument for every plane.
+    ``restart_interval=N`` emits DRI + byte-aligned RSTn every N MCUs,
+    resetting all three DC predictors (T.81 E.1.4)."""
+    import struct
+
+    h = len(y_rows)
+    w = len(y_rows[0]) if y_rows else 0
+    hs, vs = sampling
+    if hs not in (1, 2) or vs not in (1, 2):
+        raise ValueError("sampling factors must be 1 or 2")
+    cw, ch = -(-w // hs), -(-h // vs)
+    if len(cb_rows) != ch or len(cr_rows) != ch:
+        raise ValueError(f"chroma planes must be {cw}x{ch}")
+    dc_l = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_l = _huff_codes(_AC_BITS, _AC_VALS)
+    dc_c = _huff_codes(_DC_BITS_C, _DC_VALS_C)
+    ac_c = _huff_codes(_AC_BITS_C, _AC_VALS_C)
+    # (plane, pw, ph, hc, vc, dc_codes, ac_codes) in interleave order
+    comps = [
+        (y_rows, w, h, hs, vs, dc_l, ac_l),
+        (cb_rows, cw, ch, 1, 1, dc_c, ac_c),
+        (cr_rows, cw, ch, 1, 1, dc_c, ac_c),
+    ]
+    mcus_x = -(-w // (8 * hs))
+    mcus_y = -(-h // (8 * vs))
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    mcu = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                prev = [0, 0, 0]
+            mcu += 1
+            for ci, (plane, pw, ph, hc, vc, dcc, acc) in enumerate(comps):
+                for byy in range(vc):
+                    for bxx in range(hc):
+                        q = _quantize_block(
+                            plane, pw, ph, (my * vc + byy) * 8, (mx * hc + bxx) * 8
+                        )
+                        prev[ci] = _encode_block(bw, q, prev[ci], dcc, acc)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(_JPEG_QTAB))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = (
+        seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + seg(0xFFC4, bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+        + seg(0xFFC4, bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
+    )
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
 
 
@@ -806,23 +929,106 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
-    """Pure-stdlib baseline JPEG decode (8-bit single-component): walk the
-    marker stream, build quant/Huffman tables from the file's own DQT/DHT,
-    entropy-decode each 8x8 block (DC differential + AC run-length),
-    dequantize, inverse-zigzag, IDCT, clamp, crop to (width, height).
+    """Pure-stdlib baseline JPEG decode, LUMA view: walk the marker stream,
+    build quant/Huffman tables from the file's own DQT/DHT, entropy-decode
+    each 8x8 block (DC differential + AC run-length), dequantize,
+    inverse-zigzag, IDCT, clamp, crop to (width, height). Returns the
+    first (luminance) component's scanlines — the whole image for
+    grayscale files, the Y plane for color ones (luma carries the maximal
+    sampling factors in every supported layout, so it is always full
+    resolution). Use :func:`decode_jpeg_planes` for chroma.
     Malformed/truncated streams raise ValueError (the documented contract
     class); unsupported-but-valid flavors raise NotImplementedError."""
     import struct
 
     try:
-        return _decode_jpeg_impl(payload)
+        width, height, planes = _decode_jpeg_impl(payload)
+        return width, height, planes[0][0]
     except (IndexError, KeyError, struct.error) as exc:
         # truncated segment bodies / dangling table ids surface as raw
         # indexing errors deep in the parse — normalize to the contract
         raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
 
 
-def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
+def _upsample_plane(
+    lines: list[bytes], width: int, height: int, hc: int, vc: int, hmax: int, vmax: int
+) -> list[bytes]:
+    """Box (pixel-replication) chroma upsample to full resolution — the
+    bit-exact inverse of the synth fixtures' block subsampling, and the
+    classic fast path real decoders offer. full[y][x] = plane[y*vc//vmax]
+    [x*hc//hmax]."""
+    if hc == hmax and vc == vmax:
+        return [ln[:width] for ln in lines]
+    return [
+        bytes(lines[y * vc // vmax][x * hc // hmax] for x in range(width))
+        for y in range(height)
+    ]
+
+
+def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
+    """Pure-stdlib baseline JPEG decode, ALL components at full resolution:
+    (width, height, [component scanlines...]) — [Y] for grayscale,
+    [Y, Cb, Cr] for color, chroma box-upsampled to (width, height). This is
+    the round-9 4:2:0/4:2:2 surface: subsampled chroma planes decode at
+    native resolution and replicate up, exactly what a feature-extraction
+    kernel needs from a web-corpus JPEG without Pillow."""
+    import struct
+
+    try:
+        width, height, planes = _decode_jpeg_impl(payload)
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
+    hmax = max(h for _, h, _ in planes)
+    vmax = max(v for _, _, v in planes)
+    return (
+        width,
+        height,
+        [
+            _upsample_plane(lines, width, height, hc, vc, hmax, vmax)
+            for lines, hc, vc in planes
+        ],
+    )
+
+
+def _decode_block_into(br, dct, act, qt, prev_dc, grid, row0, col0) -> int:
+    """Entropy-decode one block, dequantize, IDCT, place at (row0, col0) of
+    ``grid``; returns the new DC predictor."""
+    zz = [0] * 64
+    s = _read_huff(br, dct)
+    diff = _extend(br.bits(s), s) if s else 0
+    prev_dc += diff
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_huff(br, act)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        s = sym & 0xF
+        if k > 63:
+            raise ValueError("AC index overflow")
+        zz[k] = _extend(br.bits(s), s)
+        k += 1
+    coef = [0.0] * 64
+    for i in range(64):
+        coef[_ZIGZAG[i]] = float(zz[i] * qt[i])
+    px = _idct_block(coef)
+    for x in range(8):
+        row = grid[row0 + x]
+        for y in range(8):
+            row[col0 + y] = px[x][y]
+    return prev_dc
+
+
+def _decode_jpeg_impl(
+    payload: bytes,
+) -> tuple[int, int, list[tuple[list[bytes], int, int]]]:
+    """Returns (width, height, planes) — one (lines, h_factor, v_factor)
+    per SOF component, each plane at its NATIVE (subsampled) resolution,
+    cropped to ceil(width*h/hmax) x ceil(height*v/vmax)."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -832,7 +1038,8 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     width = height = None
-    comp_q = comp_dc = comp_ac = 0
+    comps: list[tuple[int, int, int, int]] = []  # (comp_id, h, v, tq)
+    scan_order: list[tuple[int, int, int]] = []  # (comp_id, dc_id, ac_id)
     restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -860,12 +1067,34 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
                 i += 65
         elif marker == 0xC0:  # SOF0 baseline
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1 or body[7] != 0x11:
+            if prec != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "stdlib decoder handles 8-bit single-component baseline "
-                    "JPEG (1x1 sampling); install Pillow for other flavors"
+                    "stdlib decoder handles 8-bit 1- or 3-component baseline "
+                    "JPEG; install Pillow for other flavors"
                 )
-            comp_q = body[8]
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            if ncomp == 1 and (comps[0][1], comps[0][2]) != (1, 1):
+                raise NotImplementedError(
+                    "single-component JPEG must be 1x1-sampled; install "
+                    "Pillow for other flavors"
+                )
+            if ncomp == 3:
+                # supported: luma factors in {1,2} (4:4:4 / 4:2:2 / 4:2:0 /
+                # 4:4:0), chroma strictly 1x1 — the shapes web corpora carry
+                (y_c, cb_c, cr_c) = comps
+                if (
+                    y_c[1] not in (1, 2)
+                    or y_c[2] not in (1, 2)
+                    or (cb_c[1], cb_c[2]) != (1, 1)
+                    or (cr_c[1], cr_c[2]) != (1, 1)
+                ):
+                    raise NotImplementedError(
+                        "unsupported chroma sampling layout (luma must be "
+                        "1x1/2x1/1x2/2x2 with 1x1 chroma); install Pillow"
+                    )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 "non-baseline JPEG (progressive/extended); install Pillow"
@@ -882,64 +1111,71 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS: header then entropy-coded data
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG; install Pillow"
+                )
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan_order.append((cid, tt >> 4, tt & 0xF))
             pos += 2 + ln
             break
         pos += 2 + ln
     if width is None:
         raise ValueError("no SOF before SOS")
-    qt = qtabs[comp_q]
-    dct, act = dc_tabs[comp_dc], ac_tabs[comp_ac]
+    if not scan_order:
+        raise ValueError("no SOS marker")
+    sof_by_id = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps}
+    hmax = max(hc for _, hc, _, _ in comps)
+    vmax = max(vc for _, _, vc, _ in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    # per scan component: tables, factors, block grid at native resolution
+    state = []
+    for cid, dc_id, ac_id in scan_order:
+        hc, vc, tq = sof_by_id[cid]
+        grid = [[0] * (mcus_x * hc * 8) for _ in range(mcus_y * vc * 8)]
+        state.append((qtabs[tq], dc_tabs[dc_id], ac_tabs[ac_id], hc, vc, grid))
     br = _BitReader(payload[pos:])
-    bw_blocks = (width + 7) // 8
-    bh_blocks = (height + 7) // 8
-    grid = [[0] * (bw_blocks * 8) for _ in range(bh_blocks * 8)]
-    prev_dc = 0
+    prev = [0] * len(state)
     mcu = 0
     rst = 0
-    for by in range(bh_blocks):
-        for bx in range(bw_blocks):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # RSTn sits byte-aligned between MCU groups: drop the pad
                 # bits, consume the marker, verify the cyclic index, reset
-                # the DC predictor (T.81 E.1.4 / F.2.1.3.1)
+                # every DC predictor (T.81 E.1.4 / F.2.1.3.1)
                 got = br.expect_rst()
                 if got != rst:
                     raise ValueError(
                         f"restart marker out of sequence: RST{got} != RST{rst}"
                     )
                 rst = (rst + 1) % 8
-                prev_dc = 0
+                prev = [0] * len(state)
             mcu += 1
-            zz = [0] * 64
-            s = _read_huff(br, dct)
-            diff = _extend(br.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _read_huff(br, act)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                s = sym & 0xF
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                zz[k] = _extend(br.bits(s), s)
-                k += 1
-            coef = [0.0] * 64
-            for i in range(64):
-                coef[_ZIGZAG[i]] = float(zz[i] * qt[i])
-            px = _idct_block(coef)
-            for x in range(8):
-                row = grid[by * 8 + x]
-                for y in range(8):
-                    row[bx * 8 + y] = px[x][y]
-    lines = [bytes(grid[r][:width]) for r in range(height)]
-    return width, height, lines
+            for ci, (qt, dct, act, hc, vc, grid) in enumerate(state):
+                for byy in range(vc):
+                    for bxx in range(hc):
+                        prev[ci] = _decode_block_into(
+                            br,
+                            dct,
+                            act,
+                            qt,
+                            prev[ci],
+                            grid,
+                            (my * vc + byy) * 8,
+                            (mx * hc + bxx) * 8,
+                        )
+    planes: list[tuple[list[bytes], int, int]] = []
+    for cid, hc, vc, _tq in comps:
+        idx = next(i for i, (c, _, _) in enumerate(scan_order) if c == cid)
+        grid = state[idx][5]
+        cw = -(-width * hc // hmax)
+        ch = -(-height * vc // vmax)
+        planes.append(([bytes(grid[r][:cw]) for r in range(ch)], hc, vc))
+    return width, height, planes
 
 
 def decode_jpeg(payload: bytes) -> dict:
@@ -1041,6 +1277,110 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and this is a no-op (catalog.spread docstring)
     d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(jpeg_roundtrip_kernel, schema=JPEG_SCHEMA).orderBy("doc_id")
+
+
+JPEG420_SCHEMA = (
+    "doc_id long, width long, height long, y_sum long, cb_sum long, cr_sum long"
+)
+
+
+def synth_jpeg420_media(doc_id: int) -> bytes:
+    """Block-constant YCbCr 4:2:0 JPEG at 16·(2+id%3) × 16·(1+id%2): luma
+    block (bx,by) holds (5bx+11by+3id)%256; the half-resolution chroma
+    planes hold (7bx+13by+id)%256 (Cb) and (3bx+17by+5id)%256 (Cr) per
+    chroma-grid block. Dimensions are multiples of 16 so every plane tiles
+    exactly into 8×8 blocks and each chroma sample replicates to exactly a
+    2×2 full-resolution quad — the same DC-step-8 exactness argument as
+    synth_jpeg_media makes the LOSSY codec roundtrip all three planes
+    bit-exactly, giving the decoded plane sums a closed-form SQL oracle.
+    id%4 as the restart interval drives DRI/RSTn (including the
+    all-predictors reset) through the interleaved color path too."""
+    w, h = 16 * (2 + doc_id % 3), 16 * (1 + doc_id % 2)
+    y = [
+        bytes((5 * (x // 8) + 11 * (yy // 8) + 3 * doc_id) % 256 for x in range(w))
+        for yy in range(h)
+    ]
+    cb = [
+        bytes((7 * (x // 8) + 13 * (yy // 8) + doc_id) % 256 for x in range(w // 2))
+        for yy in range(h // 2)
+    ]
+    cr = [
+        bytes((3 * (x // 8) + 17 * (yy // 8) + 5 * doc_id) % 256 for x in range(w // 2))
+        for yy in range(h // 2)
+    ]
+    return encode_jpeg_ycbcr(
+        y, cb, cr, sampling=(2, 2), restart_interval=doc_id % 4
+    )
+
+
+def jpeg420_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: synthesize a 4:2:0 JPEG per item, stdlib-decode
+    ALL planes (decode_jpeg_planes — never Pillow: this gate pins OUR
+    subsampled-chroma path), reduce each full-resolution plane to its pixel
+    sum so the chroma box-upsample is part of the verified value."""
+    for pdf in batches:
+        recs = []
+        for doc_id in pdf["doc_id"]:
+            w, h, (yp, cbp, crp) = decode_jpeg_planes(
+                synth_jpeg420_media(int(doc_id))
+            )
+            recs.append(
+                {
+                    "doc_id": doc_id,
+                    "width": w,
+                    "height": h,
+                    "y_sum": sum(sum(ln) for ln in yp),
+                    "cb_sum": sum(sum(ln) for ln in cbp),
+                    "cr_sum": sum(sum(ln) for ln in crp),
+                }
+            )
+        yield pd.DataFrame.from_records(recs)
+
+
+@register(
+    "q_multimodal_jpeg420_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 2 * (2 + doc_id % 3) AS nbx, 2 * (1 + doc_id % 2) AS nby
+      FROM documents
+    ),
+    b1 AS (SELECT doc_id, nbx, nby, unnest(range(0, nbx)) AS bx FROM d),
+    b2 AS (SELECT doc_id, nbx, nby, bx, unnest(range(0, nby)) AS by FROM b1)
+    SELECT doc_id,
+           CAST(MAX(nbx) * 8 AS BIGINT) AS width,
+           CAST(MAX(nby) * 8 AS BIGINT) AS height,
+           CAST(64 * SUM((5 * bx + 11 * by + 3 * doc_id) % 256) AS BIGINT)
+             AS y_sum,
+           CAST(256 * SUM(CASE WHEN bx < nbx // 2 AND by < nby // 2
+                THEN (7 * bx + 13 * by + doc_id) % 256 ELSE 0 END) AS BIGINT)
+             AS cb_sum,
+           CAST(256 * SUM(CASE WHEN bx < nbx // 2 AND by < nby // 2
+                THEN (3 * bx + 17 * by + 5 * doc_id) % 256 ELSE 0 END) AS BIGINT)
+             AS cr_sum
+    FROM b2 GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="REAL 4:2:0 chroma-subsampled JPEG decode, value-hash-gated "
+    "(round-9: web corpora are mostly 4:2:0, which round-8's grayscale "
+    "decoder refused): a spec-valid interleaved YCbCr baseline JPEG — "
+    "2x2-sampled luma MCUs, per-component DC predictors, the Annex-K "
+    "two-Huffman-table layout, DRI/RSTn on a doc_id stride — is "
+    "synthesized per document and decoded by the pure-stdlib decoder; "
+    "half-resolution chroma planes are box-upsampled to full size and "
+    "every plane reduced to its pixel sum. Block-constant fixtures at "
+    "16-multiple dimensions keep the DC-step-8 quantizer exact "
+    "(synth_jpeg420_media docstring), so the lossy codec roundtrips "
+    "bit-for-bit and DuckDB computes the sums in closed form — the "
+    "chroma sums verify the upsample arithmetic (4x replication), not "
+    "just the entropy decode. Scale shape: one narrow Arrow map over "
+    "doc_id, decode parallelism = partition count, zero shuffles before "
+    "the final sort.",
+    tags=("multimodal", "pandas-udf", "decode", "jpeg"),
+)
+def q_multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+    return d.mapInPandas(jpeg420_kernel, schema=JPEG420_SCHEMA).orderBy("doc_id")
 
 
 # fixture generators: deterministic, closed-form content so DuckDB can

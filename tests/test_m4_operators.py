@@ -281,3 +281,151 @@ def test_jpeg_restart_intervals_roundtrip():
     i = p.find(b"\xff\xd1")
     with pytest.raises(ValueError, match="out of sequence"):
         decode_jpeg_pixels(p[:i] + b"\xff\xd5" + p[i + 2 :])
+
+
+# round-9: chroma-subsampled YCbCr (4:2:0 / 4:2:2 / 4:4:4) — the encoder is
+# again the decoder's harness; chroma planes verify via the box upsample.
+
+
+def _ycbcr_planes(w, h, hs, vs, seed=7):
+    y = [
+        bytes((5 * (x // 8) + 11 * (yy // 8) + seed) % 256 for x in range(w))
+        for yy in range(h)
+    ]
+    cw, ch = -(-w // hs), -(-h // vs)
+    cb = [
+        bytes((7 * (x // 8) + 13 * (yy // 8) + seed) % 256 for x in range(cw))
+        for yy in range(ch)
+    ]
+    cr = [
+        bytes((3 * (x // 8) + 17 * (yy // 8) + 5 * seed) % 256 for x in range(cw))
+        for yy in range(ch)
+    ]
+    return y, cb, cr
+
+
+def test_jpeg_ycbcr_roundtrip_all_samplings():
+    """Block-constant planes roundtrip BIT-EXACTLY through every supported
+    sampling layout; chroma comes back box-replicated to full resolution
+    (full[y][x] == plane[y*v//vmax][x*h//hmax])."""
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_planes,
+        encode_jpeg_ycbcr,
+    )
+
+    w, h = 32, 16
+    for hs, vs in ((2, 2), (2, 1), (1, 2), (1, 1)):
+        y, cb, cr = _ycbcr_planes(w, h, hs, vs)
+        W, H, planes = decode_jpeg_planes(encode_jpeg_ycbcr(y, cb, cr, (hs, vs)))
+        assert (W, H) == (w, h)
+        assert planes[0] == y
+        assert planes[1] == [
+            bytes(cb[yy // vs][x // hs] for x in range(w)) for yy in range(h)
+        ]
+        assert planes[2] == [
+            bytes(cr[yy // vs][x // hs] for x in range(w)) for yy in range(h)
+        ]
+
+
+def test_jpeg_420_gradient_lossy_but_bounded():
+    """Gradient luma + gradient chroma through 4:2:0: the full AC path on
+    all three components; error bounded by the AC quant step on each
+    plane (compared at native chroma resolution, pre-upsample)."""
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_planes,
+        encode_jpeg_ycbcr,
+    )
+
+    w, h = 32, 32
+    y = [bytes((x + 3 * yy) % 256 for x in range(w)) for yy in range(h)]
+    cb = [bytes((2 * x + yy) % 256 for x in range(w // 2)) for yy in range(h // 2)]
+    cr = [bytes((x + 5 * yy) % 256 for x in range(w // 2)) for yy in range(h // 2)]
+    W, H, planes = decode_jpeg_planes(encode_jpeg_ycbcr(y, cb, cr, (2, 2)))
+    assert (W, H) == (w, h)
+    for plane, ref, step in ((planes[0], y, 1), (planes[1], cb, 2), (planes[2], cr, 2)):
+        # chroma planes: compare the upsampled result's 2x2 quads' top-left
+        native = (
+            plane
+            if step == 1
+            else [bytes(plane[yy * 2][x * 2] for x in range(w // 2)) for yy in range(h // 2)]
+        )
+        errs = [
+            abs(a - b) for ra, rb in zip(ref, native) for a, b in zip(ra, rb)
+        ]
+        assert sum(errs) / len(errs) < 4.0, "mean error exceeds AC quant bound"
+        assert max(errs) < 48
+
+
+def test_jpeg_420_restart_and_odd_dims():
+    """4:2:0 with restart markers resets ALL THREE DC predictors; odd
+    (non-16-multiple) dimensions pad on encode and crop on decode."""
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_planes,
+        encode_jpeg_ycbcr,
+    )
+
+    w, h = 40, 24  # 4:2:0 MCUs are 16x16 -> 3x2 grid with padded edges
+    y, cb, cr = _ycbcr_planes(w, h, 2, 2, seed=19)
+    base = decode_jpeg_planes(encode_jpeg_ycbcr(y, cb, cr, (2, 2)))[2]
+    for ri in (1, 2, 5):
+        got = decode_jpeg_planes(
+            encode_jpeg_ycbcr(y, cb, cr, (2, 2), restart_interval=ri)
+        )[2]
+        assert got == base
+    w2, h2 = 19, 13  # odd dims: chroma planes are ceil(19/2) x ceil(13/2)
+    y2, cb2, cr2 = _ycbcr_planes(w2, h2, 2, 2, seed=3)
+    W, H, planes = decode_jpeg_planes(encode_jpeg_ycbcr(y2, cb2, cr2, (2, 2)))
+    assert (W, H) == (w2, h2)
+    assert planes[0] == y2
+    assert planes[1] == [
+        bytes(cb2[yy // 2][x // 2] for x in range(w2)) for yy in range(h2)
+    ]
+
+
+def test_jpeg_chroma_tables_wellformed():
+    """The Annex-K chrominance Huffman specs must be internally consistent
+    (BITS sums to len(HUFFVAL); canonical assignment yields a prefix code
+    the decoder can rebuild from the file's own DHT)."""
+    from poc_juma_etl_spark.operators.multimodal import (
+        _AC_BITS_C,
+        _AC_VALS_C,
+        _DC_BITS_C,
+        _DC_VALS_C,
+        _huff_codes,
+    )
+
+    assert sum(_DC_BITS_C) == len(_DC_VALS_C) == 12
+    assert sum(_AC_BITS_C) == len(_AC_VALS_C) == 162
+    for bits, vals in ((_DC_BITS_C, _DC_VALS_C), (_AC_BITS_C, _AC_VALS_C)):
+        codes = _huff_codes(bits, vals)
+        assert len(codes) == len(vals)  # no duplicate symbols
+        # prefix property: no code is a prefix of a longer one
+        seen = sorted(codes.values(), key=lambda cl: cl[1])
+        for i, (c1, l1) in enumerate(seen):
+            for c2, l2 in seen[i + 1 :]:
+                assert not (l2 > l1 and (c2 >> (l2 - l1)) == c1), "prefix clash"
+
+
+def test_jpeg_420_pillow_interop():
+    """Where Pillow exists it must read our 4:2:0 files and agree on the
+    luma plane of a block-constant fixture (skip-marked tier: this
+    container lacks Pillow)."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_planes,
+        synth_jpeg420_media,
+    )
+
+    payload = synth_jpeg420_media(4)
+    im = PIL.open(io.BytesIO(payload)).draft(None, None) or PIL.open(
+        io.BytesIO(payload)
+    )
+    im = im.convert("YCbCr")
+    W, H, planes = decode_jpeg_planes(payload)
+    assert (im.width, im.height) == (W, H)
+    got_y = list(im.getdata(0))
+    assert got_y == [px for ln in planes[0] for px in ln]

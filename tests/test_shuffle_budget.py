@@ -39,6 +39,11 @@ BUDGETS = {
     # pins the single-shuffle rewrite: fragment write (round-robin
     # repartition) + ONE grouped exchange of the table; measured 0.30 MB
     "etl_compact_plan_exec_e2e": 650_000,
+    # the decode gates' ONLY shuffle is the final orderBy's range exchange
+    # of 500 stat rows (measured 4.6 KB each) — the ceiling pins that no
+    # payload bytes ever enter an Exchange (decode stays in the Arrow map)
+    "q_multimodal_jpeg_decode": 20_000,
+    "q_multimodal_jpeg420_decode": 20_000,
 }
 
 
