@@ -131,6 +131,8 @@ HEADLINE: list[str] = [
     # round-8 operator families
     "etl_compact_plan_exec_e2e",
     "q_multimodal_jpeg_decode",
+    # round-9 operator families
+    "q_multimodal_jpeg420_decode",
 ]
 
 

@@ -976,13 +976,30 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kcore_peel(
-    spark: SparkSession, sym: DataFrame, k: int, max_rounds: int
+    spark: SparkSession,
+    sym: DataFrame,
+    k: int,
+    max_rounds: int,
+    recut_threshold: float = 0.5,
 ) -> DataFrame:
     """Exactly ``max_rounds`` k-core peels over a SYMMETRIC edge list
     (u, v) — the delta-peeling engine behind q_graph_kcore, factored so
     units can pin the incremental-degree math against brute force on
     adversarial synthetic graphs (cascading removals, zero-degree
-    survivors) that the fixture's K never exercises."""
+    survivors) that the fixture's K never exercises.
+
+    ``recut_threshold`` (round-9, the pagerank measured-switch idiom
+    applied to the cache): once the alive-node count falls below
+    threshold × the count at the last edge re-cut, the cached edge list —
+    which every round's delta join scans in full — is re-cut to
+    survivors-only edges and re-cached. Each re-cut pays one shuffle of
+    the (now much smaller) surviving edges; the halving rule bounds total
+    re-cut volume at ~2× the round-1 edge set while the per-round scans
+    shrink geometrically — the term that dominates deep peels (many
+    rounds, steadily shrinking core). Correctness is unaffected: the
+    incremental degree table is the state; the cache only ever loses
+    edges incident to already-removed nodes, whose decrements can no
+    longer reach an alive row."""
     prev_n = sym.select("u").distinct().count()
     # -- round 1: bulk peel (most nodes die here at any K worth peeling) --
     deg0 = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
@@ -1004,6 +1021,7 @@ def kcore_peel(
     n_surv = surv.count()
     rounds = [(1, prev_n - n_surv, n_surv)]
     prev_n = n_surv
+    nodes_at_cut = n_surv  # alive count when the edge cache was last re-cut
     # deg_1: degree among survivors — LEFT join keeps zero-degree survivors
     # (all neighbors peeled) in the node universe at count 0, so they are
     # counted alive this round and removed next round, exactly like the
@@ -1045,6 +1063,25 @@ def kcore_peel(
         n_surv = deg.count()
         rounds.append((r, prev_n - n_surv, n_surv))
         prev_n = n_surv
+        if 0 < n_surv < recut_threshold * nodes_at_cut and r < max_rounds:
+            # the alive set halved since the cache was cut: every remaining
+            # round would still scan the stale (larger) edge set, so pay one
+            # shuffle of the small surviving edges now and scan less forever
+            # after. Semi-joins against the CURRENT alive nodes drop edges
+            # whose decrements could only land on already-removed rows.
+            alive_nodes = deg.select("node")
+            recut = scoped_cache(
+                alive_edges.join(
+                    alive_nodes.select(F.col("node").alias("u")), "u", "left_semi"
+                )
+                .join(alive_nodes.select(F.col("node").alias("v")), "v", "left_semi")
+                .select("u", "v")
+                .repartition(F.col("u"))
+            )
+            recut.count()  # materialize before dropping the old cache
+            alive_edges.unpersist()
+            alive_edges = recut
+            nodes_at_cut = n_surv
     core = deg.select("node")  # n_R: survivors after the final executed peel
     core_rows = core.agg(
         F.count(F.lit(1)).cast("bigint").alias("core_size"),

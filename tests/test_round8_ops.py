@@ -210,6 +210,13 @@ def test_kcore_peel_property_random_graphs(spark):
         assert [(r.round, r.n_removed, r.n_remaining) for r in got] == want_rounds
         assert got[0].core_size == len(want_core)
         assert got[0].core_id_sum == sum(want_core)
+        # r9: a forced edge-cache re-cut after EVERY shrinking round must
+        # be trace-invisible (the cache only ever loses edges incident to
+        # removed nodes — recut_threshold tunes cost, never results)
+        got2 = kcore_peel(spark, sym, k, R, recut_threshold=1.1).collect()
+        assert [(r.round, r.n_removed, r.n_remaining) for r in got2] == want_rounds
+        assert got2[0].core_size == len(want_core)
+        assert got2[0].core_id_sum == sum(want_core)
 
     check()
 
