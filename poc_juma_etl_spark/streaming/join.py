@@ -27,29 +27,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import stream_table
 from ..plans.queries import register
 from .events import drain_to_memory
 
 RANGE_GAP_S = 300  # keep in lockstep with plans/advanced.q_range_join_close_events
 
 
-def _event_stream(spark: SparkSession, sf_dir: str, alias: str) -> DataFrame:
-    return (
-        stream_table(spark, sf_dir, "events")
-        .select(
+def stream_close_event_pairs(
+    spark: SparkSession, sf_dir: str, rows_per_batch: int = 50_000
+) -> DataFrame:
+    """Drain the bounded stream-stream join; returns (event_a, event_b,
+    user_id, gap_s) as a batch DataFrame. Sources are staged as
+    time-ordered micro-batch file groups (same round-9 treatment as the
+    outer variant): an unthrottled availableNow drain would build BOTH
+    sides' full-table state in one micro-batch — the sf1 stall class —
+    while N range-ordered batches build and evict state incrementally.
+    The far-future sentinel row the staging adds is inert here: it is
+    alone at max(ts)+35d, pairs with nothing inside the gap, and an inner
+    join emits matched pairs only."""
+    import shutil
+
+    from ..catalog import normalize_timestamps
+
+    d = _sentinel_events_dir(spark, sf_dir, rows_per_batch=rows_per_batch)
+    physical = spark.read.parquet(d).schema
+
+    def side(alias: str) -> DataFrame:
+        raw = (
+            spark.readStream.schema(physical)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        return normalize_timestamps(raw, "events").select(
             F.col("event_id").alias(f"{alias}_event_id"),
             F.col("user_id").alias(f"{alias}_user_id"),
             F.col("ts").alias(f"{alias}_ts"),
         )
-    )
 
-
-def stream_close_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drain the bounded stream-stream join; returns (event_a, event_b,
-    user_id, gap_s) as a batch DataFrame."""
-    left = _event_stream(spark, sf_dir, "a").withWatermark("a_ts", "1 hour")
-    right = _event_stream(spark, sf_dir, "b").withWatermark("b_ts", "1 hour")
+    left = side("a").withWatermark("a_ts", "1 hour")
+    right = side("b").withWatermark("b_ts", "1 hour")
     # same predicate discipline as the OUTER variant below (r8 review fix):
     # the interval term (+1 s superset) bounds the state watermark; the
     # floor-second term is the exact batch-twin gap semantics — without it
@@ -72,7 +89,12 @@ def stream_close_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_user_id").alias("user_id"),
         (F.col("b_ts").cast("long") - F.col("a_ts").cast("long")).alias("gap_s"),
     )
-    return drain_to_memory(joined, "stream_pairs_out", "append")
+    try:
+        return drain_to_memory(joined, "stream_pairs_out", "append")
+    finally:
+        # memory sink holds the drained rows on the driver; the staged
+        # fixture copy is dead weight once the stream terminates
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _sentinel_events_dir(
