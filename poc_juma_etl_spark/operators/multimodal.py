@@ -86,9 +86,9 @@ def decode_real(payload: bytes) -> dict:
     if payload[:3] == b"\xff\xd8\xff":  # JPEG
         if Image is not None:
             return _pil_stats("jpeg")
-        # pure-stdlib baseline decoder (sequential DCT, grayscale or
-        # subsampled YCbCr); progressive/extended flavors still raise the
-        # NotImplementedError contract inside
+        # pure-stdlib decoder (sequential baseline or progressive DCT,
+        # grayscale or subsampled YCbCr); extended/lossless/arithmetic
+        # flavors still raise the NotImplementedError contract inside
         return decode_jpeg(payload)
     raise ValueError(f"unrecognized media container: {payload[:8]!r}")
 
@@ -533,9 +533,11 @@ def decode_wav(payload: bytes) -> dict:
 # its tables from the FILE's own DQT/DHT segments, never from shared
 # constants. Scope: baseline sequential DCT, 8-bit, grayscale AND
 # interleaved YCbCr with 4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 chroma subsampling
-# (round-9 — web corpora are mostly 4:2:0); progressive/extended/
-# arithmetic flavors raise the NotImplementedError contract (Pillow, when
-# present, takes over first in decode_real).
+# (round-9 — web corpora are mostly 4:2:0) and full Annex-G PROGRESSIVE
+# mode (round-9: spectral selection + successive approximation, see the
+# progressive section below); extended/lossless/arithmetic flavors raise
+# the NotImplementedError contract (Pillow, when present, takes over first
+# in decode_real).
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -1095,9 +1097,12 @@ def _decode_jpeg_impl(
                         "unsupported chroma sampling layout (luma must be "
                         "1x1/2x1/1x2/2x2 with 1x1 chroma); install Pillow"
                     )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC2:  # SOF2: progressive — its own multi-scan path
+            return _decode_jpeg_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "non-baseline JPEG (progressive/extended); install Pillow"
+                "non-baseline JPEG (extended/lossless/arithmetic); "
+                "install Pillow"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -1176,6 +1181,580 @@ def _decode_jpeg_impl(
         ch = -(-height * vc // vmax)
         planes.append(([bytes(grid[r][:cw]) for r in range(ch)], hc, vc))
     return width, height, planes
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (round 9): full ITU T.81 Annex G sequential-DCT
+# progressive mode — spectral selection AND successive approximation, DC/AC
+# first and refinement scans, EOB run-lengths, per-scan Huffman tables read
+# from the file. Same contract style as the baseline path: the encoder twin
+# below (a libjpeg-like multi-scan script) is the decoder's harness, and
+# the strongest test is EXACTNESS — progressive re-encoding transmits the
+# same quantized coefficients as baseline, so decoded pixels must equal the
+# baseline codec's bit-for-bit (pinned in tests/test_m4_operators.py).
+
+
+def _decode_jpeg_progressive(
+    payload: bytes,
+) -> tuple[int, int, list[tuple[list[bytes], int, int]]]:
+    """Multi-scan progressive decode. Coefficients accumulate per component
+    across scans (zigzag order — band indices Ss..Se ARE zigzag indices);
+    dequant + IDCT run once at EOI. Returns the same (width, height,
+    [(native-res lines, h, v)...]) shape as the baseline path."""
+    import struct
+
+    qtabs: dict[int, list[int]] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    width = height = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
+    coef: dict[int, list[list[list[int]]]] = {}  # cid -> [brow][bcol][64]
+    dims: dict[int, tuple[int, int, int, int]] = {}  # cid -> (bw, bh, pw, ph)
+    restart_interval = 0
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    pos = 2
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+
+    def entropy_end(start: int) -> int:
+        i = start
+        n = len(payload)
+        while i + 1 < n:
+            if payload[i] == 0xFF:
+                nxt = payload[i + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    i += 2
+                    continue
+                return i
+            i += 1
+        return n
+
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qtabs[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC2:
+            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp not in (1, 3):
+                raise NotImplementedError(
+                    "stdlib decoder handles 8-bit 1- or 3-component "
+                    "progressive JPEG; install Pillow for other flavors"
+                )
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            if ncomp == 3:
+                (y_c, cb_c, cr_c) = comps
+                if (
+                    y_c[1] not in (1, 2)
+                    or y_c[2] not in (1, 2)
+                    or (cb_c[1], cb_c[2]) != (1, 1)
+                    or (cr_c[1], cr_c[2]) != (1, 1)
+                ):
+                    raise NotImplementedError(
+                        "unsupported chroma sampling layout; install Pillow"
+                    )
+            elif (comps[0][1], comps[0][2]) != (1, 1):
+                raise NotImplementedError(
+                    "single-component JPEG must be 1x1-sampled; install Pillow"
+                )
+            hmax = max(hc for _, hc, _, _ in comps)
+            vmax = max(vc for _, _, vc, _ in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for cid, hc, vc, _tq in comps:
+                pw = mcus_x * hc  # padded block dims (interleaved traversal)
+                ph = mcus_y * vc
+                cw = -(-width * hc // hmax)  # real pixel dims
+                ch = -(-height * vc // vmax)
+                bw = -(-cw // 8)  # real block dims (non-interleaved scans)
+                bh = -(-ch // 8)
+                dims[cid] = (bw, bh, pw, ph)
+                coef[cid] = [[[0] * 64 for _ in range(pw)] for _ in range(ph)]
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decoder(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            if width is None:
+                raise ValueError("no SOF before SOS")
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan_comps.append((cid, tt >> 4, tt & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            data_start = pos + 2 + ln
+            data_stop = entropy_end(data_start)
+            _progressive_scan(
+                payload[data_start:data_stop],
+                scan_comps,
+                ss,
+                se,
+                ah,
+                al,
+                comps,
+                dims,
+                coef,
+                dc_tabs,
+                ac_tabs,
+                restart_interval,
+                mcus_x,
+                mcus_y,
+            )
+            pos = data_stop
+            continue
+        pos += 2 + ln
+    if width is None:
+        raise ValueError("no SOF in progressive stream")
+    # final reconstruction: dequant + inverse zigzag + IDCT on REAL blocks
+    sof_by_id = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps}
+    planes: list[tuple[list[bytes], int, int]] = []
+    for cid, hc, vc, tq in comps:
+        bw, bh, _pw, _ph = dims[cid]
+        qt = qtabs[tq]
+        grid = [[0] * (bw * 8) for _ in range(bh * 8)]
+        for brow in range(bh):
+            for bcol in range(bw):
+                zz = coef[cid][brow][bcol]
+                cf = [0.0] * 64
+                for i in range(64):
+                    cf[_ZIGZAG[i]] = float(zz[i] * qt[i])
+                px = _idct_block(cf)
+                for x in range(8):
+                    row = grid[brow * 8 + x]
+                    for y in range(8):
+                        row[bcol * 8 + y] = px[x][y]
+        cw = -(-width * hc // hmax)
+        ch = -(-height * vc // vmax)
+        planes.append(([bytes(grid[r][:cw]) for r in range(ch)], hc, vc))
+    return width, height, planes
+
+
+def _progressive_scan(
+    data: bytes,
+    scan_comps,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    comps,
+    dims,
+    coef,
+    dc_tabs,
+    ac_tabs,
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+) -> None:
+    """Execute one progressive scan over the coefficient store. Four scan
+    kinds (T.81 G.2): DC first (Ah=0, Ss=0), DC refinement (Ah>0, Ss=0) —
+    either may be interleaved; AC first and AC refinement (Ss>0) — always
+    single-component. Restart markers reset DC predictors and the EOB run."""
+    br = _BitReader(data)
+    sof_by_id = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps}
+    state = {"eobrun": 0, "rst": 0}
+    prev = {cid: 0 for cid, _, _ in scan_comps}
+
+    def check_restart(unit: int) -> None:
+        if restart_interval and unit and unit % restart_interval == 0:
+            got = br.expect_rst()
+            if got != state["rst"]:
+                raise ValueError(
+                    f"restart marker out of sequence: RST{got} != RST{state['rst']}"
+                )
+            state["rst"] = (state["rst"] + 1) % 8
+            state["eobrun"] = 0
+            for cid in prev:
+                prev[cid] = 0
+
+    if ss == 0:  # ---- DC scan ----
+        if se != 0:
+            raise ValueError("DC scan must have Se = 0")
+
+        def dc_unit(cid: int, dct, blk: list[int]) -> None:
+            if ah == 0:
+                s = _read_huff(br, dct)
+                diff = _extend(br.bits(s), s) if s else 0
+                prev[cid] += diff
+                blk[0] = prev[cid] << al
+            elif br.bit():
+                blk[0] |= 1 << al
+
+        if len(scan_comps) > 1:  # interleaved MCU traversal (padded grids)
+            unit = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    check_restart(unit)
+                    unit += 1
+                    for cid, dc_id, _ac_id in scan_comps:
+                        hc, vc, _tq = sof_by_id[cid]
+                        dct = dc_tabs[dc_id] if ah == 0 else None
+                        for byy in range(vc):
+                            for bxx in range(hc):
+                                dc_unit(
+                                    cid,
+                                    dct,
+                                    coef[cid][my * vc + byy][mx * hc + bxx],
+                                )
+        else:  # single-component: raster over the REAL block grid
+            cid, dc_id, _ac_id = scan_comps[0]
+            bw, bh, _pw, _ph = dims[cid]
+            dct = dc_tabs[dc_id] if ah == 0 else None
+            unit = 0
+            for brow in range(bh):
+                for bcol in range(bw):
+                    check_restart(unit)
+                    unit += 1
+                    dc_unit(cid, dct, coef[cid][brow][bcol])
+        return
+
+    # ---- AC scan: always one component (T.81 G.1.1.1.1) ----
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid, _dc_id, ac_id = scan_comps[0]
+    act = ac_tabs[ac_id]
+    bw, bh, _pw, _ph = dims[cid]
+    p1 = 1 << al
+    m1 = -(1 << al)
+    unit = 0
+    for brow in range(bh):
+        for bcol in range(bw):
+            check_restart(unit)
+            unit += 1
+            blk = coef[cid][brow][bcol]
+            if ah == 0:  # -- AC first pass (G.1.2.2) --
+                if state["eobrun"] > 0:
+                    state["eobrun"] -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _read_huff(br, act)
+                    r, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if r != 15:  # EOBn: run of 2^r + extra blocks
+                            state["eobrun"] = (1 << r) - 1
+                            if r:
+                                state["eobrun"] += br.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index overflow in band")
+                    blk[k] = _extend(br.bits(s), s) << al
+                    k += 1
+            else:  # -- AC refinement (G.1.2.3; the libjpeg control flow) --
+                k = ss
+                if state["eobrun"] == 0:
+                    while k <= se:
+                        sym = _read_huff(br, act)
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r != 15:
+                                state["eobrun"] = 1 << r
+                                if r:
+                                    state["eobrun"] += br.bits(r)
+                                break
+                            val = 0  # ZRL: skip 16 zero-history coefficients
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "AC refinement symbol must have size 1"
+                                )
+                            val = p1 if br.bit() else m1
+                        while k <= se:
+                            if blk[k] != 0:
+                                # history coefficient: correction bit
+                                if br.bit() and not (blk[k] & p1):
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if state["eobrun"] > 0:
+                    # post-EOB: remaining history coefficients still take
+                    # correction bits
+                    while k <= se:
+                        if blk[k] != 0:
+                            if br.bit() and not (blk[k] & p1):
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    state["eobrun"] -= 1
+
+
+# custom AC Huffman spec for the progressive ENCODER: every symbol an AC
+# scan can emit — EOBn (r<<4, r 0..14), ZRL (0xF0), and (run, size) for
+# size 1..10 — as a flat 8-bit canonical code (176 symbols, Kraft 176/256).
+# Real encoders optimize per-scan tables; a fixture encoder values
+# simplicity, and the DECODER only ever sees tables via the file's own DHT.
+_AC_VALS_P = sorted(
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_BITS_P = [0] * 16
+_AC_BITS_P[7] = len(_AC_VALS_P)  # all codes length 8
+
+
+def encode_jpeg_progressive(
+    y_rows: list[bytes],
+    cb_rows: list[bytes] | None = None,
+    cr_rows: list[bytes] | None = None,
+    sampling: tuple[int, int] = (2, 2),
+) -> bytes:
+    """Encode a progressive (SOF2) JPEG with the classic libjpeg-style
+    script: DC first with one successive-approximation level (Al=1) for
+    all components interleaved, a DC refinement pass, spectral-selection
+    AC first passes at Al=1 (luma split 1-5 / 6-63, chroma full band),
+    then AC refinement passes to Al=0. Transmits exactly the same
+    quantized coefficients as the baseline encoder, so decoded pixels are
+    bit-identical to the baseline codec's — the exactness gate the tests
+    pin. Grayscale when ``cb_rows`` is None; chroma planes are subsampled
+    by ``sampling`` as in :func:`encode_jpeg_ycbcr`."""
+    import struct
+
+    h = len(y_rows)
+    w = len(y_rows[0]) if y_rows else 0
+    gray = cb_rows is None
+    hs, vs = (1, 1) if gray else sampling
+    if hs not in (1, 2) or vs not in (1, 2):
+        raise ValueError("sampling factors must be 1 or 2")
+    cw, ch = -(-w // hs), -(-h // vs)
+    if not gray and (len(cb_rows) != ch or len(cr_rows) != ch):
+        raise ValueError(f"chroma planes must be {cw}x{ch}")
+    mcus_x = -(-w // (8 * hs))
+    mcus_y = -(-h // (8 * vs))
+    # (plane, pw, ph, hc, vc); block coefficients cached on demand — DC
+    # scans traverse the padded interleaved grid, AC scans the real grid
+    planes = [(y_rows, w, h, hs, vs)]
+    if not gray:
+        planes += [(cb_rows, cw, ch, 1, 1), (cr_rows, cw, ch, 1, 1)]
+    cache: dict[tuple[int, int, int], list[int]] = {}
+
+    def qblock(ci: int, brow: int, bcol: int) -> list[int]:
+        key = (ci, brow, bcol)
+        if key not in cache:
+            plane, pw, ph, _hc, _vc = planes[ci]
+            cache[key] = _quantize_block(plane, pw, ph, brow * 8, bcol * 8)
+        return cache[key]
+
+    def real_dims(ci: int) -> tuple[int, int]:
+        _plane, pw, ph, _hc, _vc = planes[ci]
+        return -(-pw // 8), -(-ph // 8)
+
+    dc_codes = [_huff_codes(_DC_BITS, _DC_VALS)] + (
+        [] if gray else [_huff_codes(_DC_BITS_C, _DC_VALS_C)] * 2
+    )
+    ac_codes = _huff_codes(_AC_BITS_P, _AC_VALS_P)
+
+    def dc_scan(comp_ids: list[int], ah_: int, al_: int) -> bytes:
+        bw_ = _BitWriter()
+        prev = {ci: 0 for ci in comp_ids}
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in comp_ids:
+                    _plane, _pw, _ph, hc, vc = planes[ci]
+                    for byy in range(vc):
+                        for bxx in range(hc):
+                            dc = qblock(ci, my * vc + byy, mx * hc + bxx)[0]
+                            if ah_ == 0:
+                                v = dc >> al_  # arithmetic shift (T.81 G.1.2.1)
+                                diff = v - prev[ci]
+                                prev[ci] = v
+                                s = _category(diff)
+                                code, ln = dc_codes[ci][s]
+                                bw_.write(code, ln)
+                                if s:
+                                    bw_.write(
+                                        diff if diff >= 0 else diff + (1 << s) - 1,
+                                        s,
+                                    )
+                            else:
+                                bw_.write((dc >> al_) & 1, 1)
+        return bw_.flush()
+
+    def ac_first_scan(ci: int, ss_: int, se_: int, al_: int) -> bytes:
+        bw_ = _BitWriter()
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                code, ln = ac_codes[nbits << 4]
+                bw_.write(code, ln)
+                if nbits:
+                    bw_.write(eobrun, nbits)
+                eobrun = 0
+
+        bw_blocks, bh_blocks = real_dims(ci)
+        for brow in range(bh_blocks):
+            for bcol in range(bw_blocks):
+                q = qblock(ci, brow, bcol)
+                run = 0
+                emitted = False
+                for k in range(ss_, se_ + 1):
+                    av = abs(q[k]) >> al_  # magnitude shift (G.1.2.2)
+                    if av == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        bw_.write(code, ln)
+                        run -= 16
+                    s = av.bit_length()
+                    code, ln = ac_codes[(run << 4) | s]
+                    bw_.write(code, ln)
+                    v = av if q[k] >= 0 else -av
+                    bw_.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                    emitted = True
+                if run > 0 or not emitted:
+                    eobrun += 1
+                    if eobrun == 0x3FFF:  # cap within EOB14's range
+                        flush_eob()
+        flush_eob()
+        return bw_.flush()
+
+    def ac_refine_scan(ci: int, ss_: int, se_: int, al_: int) -> bytes:
+        # the libjpeg encode_mcu_AC_refine control flow: newly-significant
+        # coefficients emit (run,1)+sign; already-significant ones buffer a
+        # correction bit appended after the next emitted symbol; trailing
+        # content folds into an EOB run whose flush also drains the buffer
+        bw_ = _BitWriter()
+        eobrun = 0
+        be: list[int] = []  # correction bits owed to a future EOBn/symbol
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                code, ln = ac_codes[nbits << 4]
+                bw_.write(code, ln)
+                if nbits:
+                    bw_.write(eobrun, nbits)
+                eobrun = 0
+                for b in be:
+                    bw_.write(b, 1)
+                be.clear()
+
+        bw_blocks, bh_blocks = real_dims(ci)
+        for brow in range(bh_blocks):
+            for bcol in range(bw_blocks):
+                q = qblock(ci, brow, bcol)
+                av = [0] * (se_ + 1)
+                eob = 0
+                for k in range(ss_, se_ + 1):
+                    av[k] = abs(q[k]) >> al_
+                    if av[k] == 1:
+                        eob = k  # last newly-significant position
+                run = 0
+                br_bits: list[int] = []  # corrections since last symbol
+                for k in range(ss_, se_ + 1):
+                    t = av[k]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob:
+                        flush_eob()
+                        code, ln = ac_codes[0xF0]
+                        bw_.write(code, ln)
+                        run -= 16
+                        for b in br_bits:
+                            bw_.write(b, 1)
+                        br_bits = []
+                    if t > 1:  # history: owes one correction bit
+                        br_bits.append(t & 1)
+                        continue
+                    flush_eob()
+                    code, ln = ac_codes[(run << 4) | 1]
+                    bw_.write(code, ln)
+                    bw_.write(1 if q[k] >= 0 else 0, 1)
+                    for b in br_bits:
+                        bw_.write(b, 1)
+                    br_bits = []
+                    run = 0
+                if run > 0 or br_bits:
+                    eobrun += 1
+                    be.extend(br_bits)
+                    if eobrun == 0x3FFF or len(be) > 900:
+                        flush_eob()
+        flush_eob()
+        return bw_.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    ncomp = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0]) + bytes(_JPEG_QTAB))
+    sof_comps = bytes([1, (hs << 4) | vs, 0])
+    if not gray:
+        sof_comps += bytes([2, 0x11, 0, 3, 0x11, 0])
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    if not gray:
+        out += seg(0xFFC4, bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS_P) + bytes(_AC_VALS_P))
+
+    def sos(comp_tabs: list[tuple[int, int]], ss_, se_, ah_, al_, data: bytes):
+        body = bytes([len(comp_tabs)])
+        for cid, tt in comp_tabs:
+            body += bytes([cid, tt])
+        body += bytes([ss_, se_, (ah_ << 4) | al_])
+        return seg(0xFFDA, body) + data
+
+    all_ids = list(range(1, ncomp + 1))
+    dc_tabs_sos = [(cid, ((0 if cid == 1 else 1) << 4)) for cid in all_ids]
+    # scan script (DC SA level 1; AC spectral split + SA level 1)
+    out += sos(dc_tabs_sos, 0, 0, 0, 1, dc_scan(list(range(ncomp)), 0, 1))
+    out += sos(dc_tabs_sos, 0, 0, 1, 0, dc_scan(list(range(ncomp)), 1, 0))
+    out += sos([(1, 0x00)], 1, 5, 0, 1, ac_first_scan(0, 1, 5, 1))
+    out += sos([(1, 0x00)], 6, 63, 0, 1, ac_first_scan(0, 6, 63, 1))
+    if not gray:
+        out += sos([(2, 0x00)], 1, 63, 0, 1, ac_first_scan(1, 1, 63, 1))
+        out += sos([(3, 0x00)], 1, 63, 0, 1, ac_first_scan(2, 1, 63, 1))
+    out += sos([(1, 0x00)], 1, 63, 1, 0, ac_refine_scan(0, 1, 63, 0))
+    if not gray:
+        out += sos([(2, 0x00)], 1, 63, 1, 0, ac_refine_scan(1, 1, 63, 0))
+        out += sos([(3, 0x00)], 1, 63, 1, 0, ac_refine_scan(2, 1, 63, 0))
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def decode_jpeg(payload: bytes) -> dict:

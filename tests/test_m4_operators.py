@@ -429,3 +429,109 @@ def test_jpeg_420_pillow_interop():
     assert (im.width, im.height) == (W, H)
     got_y = list(im.getdata(0))
     assert got_y == [px for ln in planes[0] for px in ln]
+
+
+# round-9: progressive JPEG (SOF2, Annex G) — the encoder twin emits the
+# classic libjpeg scan script (DC successive approximation + spectral
+# selection + AC refinement); since progressive transmits the SAME quantized
+# coefficients as baseline, decoded pixels must be bit-identical to the
+# baseline codec's on every input.
+
+
+def test_jpeg_progressive_equals_baseline_gray():
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    w, h = 37, 23  # odd dims: edge-padded blocks through every scan kind
+    for img in (
+        [bytes((x + 3 * y) % 256 for x in range(w)) for y in range(h)],
+        [bytes((5 * (x // 8) + 11 * (y // 8) + 37) % 256 for x in range(w)) for y in range(h)],
+        [bytes([128] * w) for _ in range(h)],  # all-EOB AC bands
+    ):
+        base = decode_jpeg_pixels(encode_jpeg_gray(img))
+        prog = decode_jpeg_pixels(encode_jpeg_progressive(img))
+        assert base == prog
+
+
+def test_jpeg_progressive_equals_baseline_color():
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_planes,
+        encode_jpeg_progressive,
+        encode_jpeg_ycbcr,
+    )
+
+    W, H = 48, 32
+    y = [bytes((x + 3 * yy) % 256 for x in range(W)) for yy in range(H)]
+    for hs, vs in ((2, 2), (2, 1), (1, 1)):
+        cw, ch = -(-W // hs), -(-H // vs)
+        cb = [bytes((2 * x + yy) % 256 for x in range(cw)) for yy in range(ch)]
+        cr = [bytes((x + 5 * yy) % 256 for x in range(cw)) for yy in range(ch)]
+        b = decode_jpeg_planes(encode_jpeg_ycbcr(y, cb, cr, (hs, vs)))
+        p = decode_jpeg_planes(encode_jpeg_progressive(y, cb, cr, (hs, vs)))
+        assert b == p, f"sampling {(hs, vs)}"
+
+
+def test_jpeg_progressive_random_noise_stress():
+    """Deterministic pseudo-noise maximizes AC density and sign mix —
+    EOBRUN accumulation across blocks, ZRL runs, newly-significant vs
+    correction-bit paths in the refinement scans all fire. Progressive
+    must still equal baseline bit-for-bit."""
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        decode_jpeg_planes,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        encode_jpeg_ycbcr,
+    )
+
+    def noise(w, h, seed):
+        return [
+            bytes((x * 197 + y * 83 + seed * 131 + (x * y * 7)) % 256 for x in range(w))
+            for y in range(h)
+        ]
+
+    for seed, (w, h) in enumerate(((16, 16), (40, 24), (17, 9))):
+        img = noise(w, h, seed)
+        assert decode_jpeg_pixels(encode_jpeg_progressive(img)) == decode_jpeg_pixels(
+            encode_jpeg_gray(img)
+        )
+    W, H = 32, 32
+    y, cb, cr = noise(W, H, 1), noise(W // 2, H // 2, 2), noise(W // 2, H // 2, 3)
+    assert decode_jpeg_planes(encode_jpeg_progressive(y, cb, cr, (2, 2))) == (
+        decode_jpeg_planes(encode_jpeg_ycbcr(y, cb, cr, (2, 2)))
+    )
+
+
+def test_jpeg_progressive_decode_real_dispatch():
+    """decode_real must route a progressive payload through the stdlib
+    path (previously the NotImplementedError tier) and report luma stats
+    identical to the baseline encoding of the same plane."""
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_real,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    w, h = 24, 16
+    img = [bytes((x + 2 * y) % 256 for x in range(w)) for y in range(h)]
+    d_prog = decode_real(encode_jpeg_progressive(img))
+    d_base = decode_real(encode_jpeg_gray(img))
+    assert d_prog["media_kind"] == "jpeg"
+    assert d_prog == d_base
+
+
+def test_jpeg_progressive_truncation_raises_valueerror():
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_progressive,
+    )
+
+    import pytest
+
+    img = [bytes((x + y) % 256 for x in range(24)) for y in range(16)]
+    p = encode_jpeg_progressive(img)
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(p[: len(p) // 2])
