@@ -254,14 +254,16 @@ class TestMediaCodec:
         assert r["sample_sq_sum"] == sum(s * s for s in samples)
 
     def test_jpeg_contract_without_pillow(self):
-        """Round-8 contract change: BASELINE grayscale JPEG decodes for
-        real via the stdlib codec (no Pillow needed) — the
-        NotImplementedError contract moved to non-baseline flavors
-        (progressive SOF2) and to truncated/invalid streams (ValueError)."""
+        """Round-8/9 contract: BASELINE grayscale JPEG decodes for real via
+        the stdlib codec (no Pillow needed); round-9 moved PROGRESSIVE
+        (SOF2) from the NotImplementedError tier to a real decode. The
+        scoped contract error now covers extended/lossless/arithmetic
+        frames; truncated/invalid streams stay ValueError."""
         import pytest as _pytest
 
         from poc_juma_etl_spark.operators.multimodal import (
             decode_real,
+            encode_jpeg_progressive,
             synth_jpeg_media,
         )
 
@@ -273,10 +275,21 @@ class TestMediaCodec:
             pass
         d = decode_real(synth_jpeg_media(2))
         assert d["media_kind"] == "jpeg" and d["n_units"] > 0
-        # progressive marker (SOF2) still raises the scoped contract error
-        with _pytest.raises(NotImplementedError, match="progressive"):
+        # progressive (SOF2) decodes for real as of round 9
+        img = [bytes((x + 2 * y) % 256 for x in range(16)) for y in range(16)]
+        dp = decode_real(encode_jpeg_progressive(img))
+        assert dp["media_kind"] == "jpeg" and dp["n_units"] == 256
+        # a progressive stream with no quant tables / no scans is a
+        # malformed stream (ValueError), not a crash class
+        with _pytest.raises(ValueError):
             decode_real(
                 b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+                + b"\xff\xd9"
+            )
+        # extended-sequential (SOF1) keeps the scoped contract error
+        with _pytest.raises(NotImplementedError, match="extended"):
+            decode_real(
+                b"\xff\xd8\xff\xc1\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
                 + b"\xff\xd9"
             )
         # garbage after the magic is a malformed stream, not a crash class
@@ -286,12 +299,11 @@ class TestMediaCodec:
         # bare IndexError out of the bit reader
         with _pytest.raises(ValueError, match="truncated|malformed"):
             decode_real(synth_jpeg_media(2)[:-12])
-        # a progressive SOF2 after a DRI still raises the scoped contract
-        # error (restart intervals themselves decode for real since r8)
-        with _pytest.raises(NotImplementedError, match="progressive"):
+        # arithmetic-coded progressive (SOF10) after a DRI: scoped error too
+        with _pytest.raises(NotImplementedError):
             decode_real(
                 b"\xff\xd8\xff\xdd\x00\x04\x00\x08"
-                + b"\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00\xff\xd9"
+                + b"\xff\xca\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00\xff\xd9"
             )
 
     def test_unknown_container_rejected(self):
