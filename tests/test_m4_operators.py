@@ -535,3 +535,53 @@ def test_jpeg_progressive_truncation_raises_valueerror():
     p = encode_jpeg_progressive(img)
     with pytest.raises(ValueError):
         decode_jpeg_pixels(p[: len(p) // 2])
+
+
+def test_jpeg_progressive_property_random_images():
+    """Hypothesis: random images x random dims x gray/color — progressive
+    decode must equal baseline decode bit-for-bit on every example (both
+    transmit the same quantized coefficients; only scan packaging differs).
+    Bounded examples: the codec is pure Python."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        decode_jpeg_planes,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        encode_jpeg_ycbcr,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        w=st.integers(9, 40),
+        h=st.integers(9, 32),
+        seed=st.integers(0, 2**31),
+        color=st.booleans(),
+        data=st.data(),
+    )
+    def check(w, h, seed, color, data):
+        def plane(pw, ph, s):
+            return [
+                bytes((x * 197 + y * 83 + s * 131 + x * y * 7) % 256 for x in range(pw))
+                for y in range(ph)
+            ]
+
+        if not color:
+            img = plane(w, h, seed)
+            assert decode_jpeg_pixels(encode_jpeg_progressive(img)) == (
+                decode_jpeg_pixels(encode_jpeg_gray(img))
+            )
+        else:
+            hs = data.draw(st.sampled_from([1, 2]))
+            vs = data.draw(st.sampled_from([1, 2]))
+            cw, ch = -(-w // hs), -(-h // vs)
+            y = plane(w, h, seed)
+            cb = plane(cw, ch, seed + 1)
+            cr = plane(cw, ch, seed + 2)
+            assert decode_jpeg_planes(encode_jpeg_progressive(y, cb, cr, (hs, vs))) == (
+                decode_jpeg_planes(encode_jpeg_ycbcr(y, cb, cr, (hs, vs)))
+            )
+
+    check()
