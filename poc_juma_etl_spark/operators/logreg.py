@@ -1,0 +1,172 @@
+"""Distributed full-batch logistic regression by fixed-point gradient
+descent — the canonical "train a quality classifier over the corpus" shape
+of an LLM-data pipeline, expressed the only way a 100 TB engine can afford:
+each step is ONE scan + ONE map-side-combined aggregation (per-feature
+gradient sums), the weight vector lives on the driver and enters the next
+step's expression as literals (constant-folded, effectively broadcast).
+
+Exactness is the point (the PageRank/TWAP idiom applied to training): all
+arithmetic is INTEGER fixed-point —
+
+- features are small integers derived from orders columns,
+- weights are bigints at scale 2**16,
+- the sigmoid is the rational fast-sigmoid  p = (1 + z/(1+|z|)) / 2
+  evaluated as all-positive integer division (trunc == floor, so Spark's
+  ``DIV`` and DuckDB's ``//`` agree),
+- gradient/error sums are exact bigint aggregates (order-independent, so a
+  1000-way parallel aggregation hash-matches a sequential engine; the
+  squared-error term is bounded by WS² · n ≈ 2³² · n, far inside bigint),
+- the weight update happens in exact Python/SQL integer arithmetic.
+
+A DuckDB oracle replays the identical K steps as an unrolled CTE chain
+(:func:`logreg_oracle_sql`) — value-hash equality, not approximate
+agreement. The rational sigmoid is a standard bounded surrogate; fitting
+behavior (squared error strictly decreasing from w = 0 via the bias term)
+is pinned by unit tests.
+
+Registration as a driver gate is deferred to the next round (this round's
+one net-new registration was spent on the 4:2:0 JPEG gate so the whole
+r04 evidence tail retires in one window); tests/test_logreg.py already
+runs the full Spark-vs-DuckDB parity the gate will run.
+
+Reference behavior: the reference pipeline (fe-malveira-87/poc-juma-etl)
+delegates all analytics to BigQuery and has no ML surface; this operator
+extends the engine's native training-data toolbox (SURVEY.md §2.5).
+
+Scale shape: K passes over a 4-integer-column projection (column-pruned
+scan), each reduced map-side to one 6-value row; no shuffle wider than the
+aggregation's partial-merge, no driver state beyond the weight vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+WS = 1 << 16  # weight / probability fixed-point scale
+LR_DEN = 16  # learning rate 1/16
+STEPS = 6
+
+# feature expressions over the orders table — identical text works in both
+# Spark SQL and DuckDB (floor of an IEEE-exact double division; EXTRACT day;
+# integer modulus), so the two engines derive bit-identical integer inputs
+FEATURES: tuple[tuple[str, str], ...] = (
+    # ranges kept small (0..7) so the shared fixed learning rate is stable
+    # for every coordinate — fixed-point GD has no per-feature scaling, so
+    # normalization happens in the feature map, as it would in production
+    ("x_bias", "CAST(1 AS BIGINT)"),
+    ("x_price", "CAST(FLOOR(o_totalprice / 65536) AS BIGINT)"),
+    ("x_day", "CAST((EXTRACT(DAY FROM o_orderdate) - 1) AS BIGINT) % 8"),
+    ("x_cust", "CAST(o_custkey % 8 AS BIGINT)"),
+)
+LABEL = "CAST(CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END AS BIGINT)"
+
+
+def _p_expr(weights: list[int], idiv: str) -> str:
+    """Fixed-point fast-sigmoid probability (scale WS) with the CURRENT
+    weights inlined as literals. ``idiv`` is the engine's integer-division
+    operator (Spark ``DIV``, DuckDB ``//``); every division here has
+    non-negative operands, so truncating and flooring division agree."""
+    z = " + ".join(f"({w} * {name})" for (name, _), w in zip(FEATURES, weights))
+    return (
+        f"(({WS} + (CASE WHEN ({z}) >= 0 THEN 1 ELSE -1 END) * "
+        f"((ABS({z}) * {WS}) {idiv} ({WS} + ABS({z})))) {idiv} 2)"
+    )
+
+
+def _update(weights: list[int], grads: list[int], n: int) -> list[int]:
+    """One exact integer GD step: w -= lr * mean-gradient, evaluated as
+    sign-split all-positive division (both engines floor positives)."""
+    out = []
+    for w, g in zip(weights, grads):
+        step = abs(g) // (LR_DEN * n)
+        out.append(w - step if g >= 0 else w + step)
+    return out
+
+
+def logreg_gd(spark: SparkSession, sf_dir: str, steps: int = STEPS) -> DataFrame:
+    """Train ``steps`` full-batch GD steps on the orders table; returns one
+    row per step: the squared-error and accuracy metrics computed with the
+    weights ENTERING the step, plus the updated weights leaving it —
+    integer-exact, so the whole trace is hash-comparable across engines."""
+    feats = load_table(spark, sf_dir, "orders").selectExpr(
+        *(f"{expr} AS {name}" for name, expr in FEATURES),
+        f"{LABEL} AS y",
+    )
+    n = feats.count()
+    weights = [0] * len(FEATURES)
+    rows = []
+    for step in range(1, steps + 1):
+        p = _p_expr(weights, "DIV")
+        err = f"({p} - y * {WS})"
+        aggs = [
+            F.expr(f"SUM({err} * {name})").alias(f"g_{name}")
+            for name, _ in FEATURES
+        ] + [
+            F.expr(f"SUM({err} * {err})").alias("sq"),
+            F.expr(
+                f"SUM(CASE WHEN ({p} >= {WS // 2}) = (y = 1) THEN 1 ELSE 0 END)"
+            ).alias("correct"),
+        ]
+        r = feats.agg(*aggs).collect()[0]
+        grads = [int(r[f"g_{name}"] or 0) for name, _ in FEATURES]
+        if n:
+            weights = _update(weights, grads, n)
+        rows.append((step, int(r["sq"] or 0), int(r["correct"] or 0), *weights))
+    schema = "step int, sq_err bigint, n_correct bigint, " + ", ".join(
+        f"w_{name} bigint" for name, _ in FEATURES
+    )
+    return spark.createDataFrame(rows, schema).orderBy("step")
+
+
+def logreg_oracle_sql(steps: int = STEPS) -> str:
+    """The identical K steps as a DuckDB CTE chain: metric CTE ``m{i}``
+    aggregates with the weights entering step i (zero for step 1); weight
+    CTE ``s{i}`` applies the exact integer update. Every output is cast to
+    BIGINT (DuckDB widens integer SUMs to HUGEINT) so the schema matches
+    the Spark side column for column."""
+
+    feat_cols = ",\n        ".join(f"{expr} AS {name}" for name, expr in FEATURES)
+    parts = [
+        f"feats AS MATERIALIZED (\n        SELECT {feat_cols},\n        {LABEL} AS y FROM orders)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM feats)",
+    ]
+    prev_w = ["CAST(0 AS BIGINT)"] * len(FEATURES)
+    for i in range(1, steps + 1):
+        p = _p_expr(prev_w, "//")
+        err = f"({p} - y * {WS})"
+        g_cols = ",\n            ".join(
+            f"SUM({err} * {name}) AS g_{name}" for name, _ in FEATURES
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (\n        SELECT {g_cols},\n"
+            f"            SUM({err} * {err}) AS sq,\n"
+            f"            SUM(CASE WHEN ({p} >= {WS // 2}) = (y = 1) THEN 1 ELSE 0 END) AS correct\n"
+            f"        FROM feats)"
+        )
+        w_cols = ",\n            ".join(
+            f"CAST(CASE WHEN m{i}.g_{name} >= 0 "
+            f"THEN ({pw}) - (ABS(m{i}.g_{name}) // ({LR_DEN} * nn.n)) "
+            f"ELSE ({pw}) + (ABS(m{i}.g_{name}) // ({LR_DEN} * nn.n)) END "
+            f"AS BIGINT) AS w_{name}"
+            for (name, _), pw in zip(FEATURES, prev_w)
+        )
+        parts.append(f"s{i} AS MATERIALIZED (\n        SELECT {w_cols} FROM m{i}, nn)")
+        prev_w = [f"(SELECT w_{name} FROM s{i})" for name, _ in FEATURES]
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, CAST((SELECT sq FROM m{i}) AS BIGINT) AS sq_err, "
+        f"CAST((SELECT correct FROM m{i}) AS BIGINT) AS n_correct, "
+        + ", ".join(
+            f"(SELECT w_{name} FROM s{i}) AS w_{name}" for name, _ in FEATURES
+        )
+        for i in range(1, steps + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    SELECT CAST(step AS INTEGER) AS step, sq_err, n_correct, "
+        + ", ".join(f"w_{name}" for name, _ in FEATURES)
+        + f" FROM (\n    {selects}\n    ) ORDER BY step"
+    )
