@@ -236,6 +236,42 @@ def _verified_counts() -> dict[str, float]:
 
 
 @_evidence_cache
+def _latest_green_rounds() -> dict[str, int]:
+    """The most recent driver round where each query was fully hash-GREEN
+    (rows+schema+hash). Compared against :func:`_latest_sample_rounds` in
+    the rotation: a name whose latest sample is newer than its latest green
+    was RED at its most recent driver look — a live regression — and must
+    re-enter the window immediately instead of rotating to the back the way
+    its (stale) accumulated evidence would otherwise send it."""
+    import json
+    import re
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    root = Path(__file__).resolve().parent.parent
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)", f.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, r in rows.items():
+            if (
+                isinstance(r, dict)
+                and r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match")
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+@_evidence_cache
 def _latest_sample_rounds() -> dict[str, int]:
     """The most recent driver round that SAMPLED each query (appeared in a
     CORRECTNESS_r*.json at all, green or not). Used as the staleness tiebreak
@@ -284,26 +320,36 @@ def effective_evidence(name: str, verified: dict[str, float]) -> float:
 
 
 def rotation_key(
-    name: str, verified: dict[str, float], latest: dict[str, int]
+    name: str,
+    verified: dict[str, float],
+    latest: dict[str, int],
+    latest_green: dict[str, int] | None = None,
 ) -> tuple[float, int, float]:
     """The driver-window rotation key (ascending sort; smallest 50 = the
-    next round's correctness window). Two regimes:
+    next round's correctness window). Three regimes:
 
     - **Never hash-green** (effective evidence < 1.0: new registrations,
-      red rows, rows-only ``no_oracle`` samples, late additions): these
-      lead unconditionally, ordered by how weak their evidence is. A query
-      that FAILED last round (evidence 0, latest = last round) must re-enter
-      immediately — which is why staleness cannot be the primary key.
-    - **Hash-green at least once** (evidence >= 1.0): the primary component
-      saturates at 1.0 and STALENESS drives the rotation — oldest driver
-      sample re-enters first, raw evidence only as tiebreak within a round.
-      Without the saturation, a twice-green query sampled in r04 would sort
-      behind every once-green query forever and its evidence would never
-      refresh (the r08→r09 tail: 4 names at 2.0 evidence stuck at an r04
-      latest sample behind 200 once-green names).
+      rows-only ``no_oracle`` samples, late additions): these lead
+      unconditionally, ordered by how weak their evidence is.
+    - **Regressed** (hash-green historically but the LATEST driver sample
+      was not green): a live regression — seated at 0.9, after the
+      never-verified backlog but before every healthy query, so the fix
+      gets re-verified at the very next gate instead of rotating to the
+      back the way its stale accumulated evidence would send it.
+    - **Hash-green at latest sample** (evidence >= 1.0): the primary
+      component saturates at 1.0 and STALENESS drives the rotation —
+      oldest driver sample re-enters first, raw evidence only as tiebreak
+      within a round. Without the saturation, a twice-green query sampled
+      in r04 would sort behind every once-green query forever and its
+      evidence would never refresh (the r08→r09 tail: 4 names at 2.0
+      evidence stuck at an r04 latest sample behind 200 once-green names).
     """
     eff = effective_evidence(name, verified)
-    return (min(eff, 1.0), latest.get(name, 0), eff)
+    last = latest.get(name, 0)
+    if eff >= 1.0 and latest_green is not None:
+        if last > latest_green.get(name, 0):
+            return (0.9, last, eff)  # most recent driver look FAILED
+    return (min(eff, 1.0), last, eff)
 
 
 def all_queries():
@@ -377,12 +423,13 @@ def all_queries():
 
     verified = _verified_counts()
     latest = _latest_sample_rounds()
+    latest_green = _latest_green_rounds()
     prio = {n: i for i, n in enumerate(DRIVER_WINDOW_PRIORITY)}
     reg = {n: i for i, n in enumerate(_q.QUERIES)}
     names = sorted(
         _q.QUERIES,
         key=lambda n: (
-            *rotation_key(n, verified, latest),
+            *rotation_key(n, verified, latest, latest_green),
             prio.get(n, len(prio)),
             reg[n],
         ),

@@ -4,6 +4,7 @@ them (no Spark needed — pure ordering logic)."""
 
 from poc_juma_etl_spark import (
     DRIVER_WINDOW_PRIORITY,
+    _latest_green_rounds,
     _latest_sample_rounds,
     _verified_counts,
     all_queries,
@@ -40,11 +41,13 @@ def test_least_verified_lead_the_window():
     # modulo tiebreaks among equal keys).
     counts = _verified_counts()
     latest = _latest_sample_rounds()
+    green = _latest_green_rounds()
     names = list(all_queries())
     window, rest = names[:WINDOW], names[WINDOW:]
-    max_in_window = max(rotation_key(n, counts, latest) for n in window)
+    max_in_window = max(rotation_key(n, counts, latest, green) for n in window)
     min_outside = min(
-        (rotation_key(n, counts, latest) for n in rest), default=max_in_window
+        (rotation_key(n, counts, latest, green) for n in rest),
+        default=max_in_window,
     )
     assert min_outside >= max_in_window, (
         f"window mis-allocated: a name outside the window has rotation key "
@@ -110,3 +113,20 @@ def test_late_additions_queue_behind_backlog():
             continue  # verified in a later round — rotates normally
         assert all(pos[la] > pos[b] for b in backlog), la
         assert all(pos[la] < pos[v] for v in verified), la
+
+
+def test_rotation_key_regressed_regime():
+    # A historically-green query whose LATEST driver sample was red is a
+    # live regression: it must seat after the never-verified backlog but
+    # before every healthy hash-green query — not rotate to the back on
+    # its stale accumulated evidence.
+    v = {"regressed": 2.0, "healthy": 1.0, "fresh": 0.0}
+    latest = {"regressed": 9, "healthy": 4, "fresh": 0}
+    green = {"regressed": 4, "healthy": 4}
+    k_reg = rotation_key("regressed", v, latest, green)
+    k_healthy = rotation_key("healthy", v, latest, green)
+    k_fresh = rotation_key("fresh", v, latest, green)
+    assert k_fresh < k_reg < k_healthy
+    # once re-verified green, it rejoins the staleness rotation normally
+    green2 = {"regressed": 9, "healthy": 4}
+    assert rotation_key("regressed", v, latest, green2) > k_healthy

@@ -229,10 +229,11 @@ def test_rotation_orders_by_evidence_then_staleness():
 
     verified = p._verified_counts()
     latest = p._latest_sample_rounds()
+    green = p._latest_green_rounds()
     names = list(p.all_queries())
 
     def score(n):
-        return p.rotation_key(n, verified, latest)
+        return p.rotation_key(n, verified, latest, green)
 
     for a, b in zip(names, names[1:]):
         assert score(a) <= score(b), f"{a} ({score(a)}) after {b} ({score(b)})"
