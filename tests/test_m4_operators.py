@@ -585,3 +585,47 @@ def test_jpeg_progressive_property_random_images():
             )
 
     check()
+
+
+def test_jpeg_corrupt_stream_fuzz_contract():
+    """Web corpora contain corrupt payloads: any truncation or byte flip of
+    a valid (baseline or progressive) stream must either still decode or
+    raise the documented contract classes (ValueError for malformed,
+    NotImplementedError for valid-but-unsupported) — never a raw
+    IndexError/KeyError/struct.error out of the parser internals, and never
+    an out-of-range pixel. Deterministic seeds keep the sweep replayable."""
+    import random
+
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_planes,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        encode_jpeg_ycbcr,
+    )
+
+    w, h = 24, 16
+    img = [bytes((x * 7 + y * 3) % 256 for x in range(w)) for y in range(h)]
+    cb = [bytes((x + y) % 256 for x in range(w // 2)) for y in range(h // 2)]
+    payloads = [
+        encode_jpeg_gray(img, restart_interval=2),
+        encode_jpeg_ycbcr(img, cb, cb, (2, 2)),
+        encode_jpeg_progressive(img),
+        encode_jpeg_progressive(img, cb, cb, (2, 2)),
+    ]
+    rng = random.Random(20260815)
+    for p in payloads:
+        for cut in range(2, len(p), max(len(p) // 37, 1)):  # truncations
+            try:
+                decode_jpeg_planes(p[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(150):  # byte flips
+            i = rng.randrange(len(p))
+            mutated = p[:i] + bytes([p[i] ^ (1 << rng.randrange(8))]) + p[i + 1 :]
+            try:
+                _, _, planes = decode_jpeg_planes(mutated)
+                for plane in planes:
+                    for ln in plane:
+                        assert all(0 <= px <= 255 for px in ln)
+            except (ValueError, NotImplementedError):
+                pass
