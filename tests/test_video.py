@@ -1,0 +1,118 @@
+"""AVI container codec + frame sampling (operators/video.py): the full
+Spark-vs-DuckDB parity its future driver gate will run, codec roundtrip
+pins (including orientation and stride), the idx1 cross-check, and the
+corrupt-stream fuzz contract."""
+
+import struct
+
+import duckdb
+import pytest
+
+from poc_juma_etl_spark.operators.video import (
+    SAMPLE_EVERY,
+    VIDEO_ORACLE,
+    decode_avi,
+    encode_avi_rgb24,
+    pixel_bgr,
+    q_multimodal_video_frames,
+)
+
+from .conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_roundtrip_pixels_exact():
+    """Decode returns logical top-down rows with stride padding stripped —
+    every pixel equals the closed-form generator."""
+    for doc_id in (0, 3, 11, 29, 12345):
+        v = decode_avi(encode_avi_rgb24(doc_id))
+        w, h = v["width"], v["height"]
+        assert v["usec_per_frame"] == 40000 + doc_id % 100
+        for f, rows in enumerate(v["frames"]):
+            assert len(rows) == h
+            for y, row in enumerate(rows):
+                assert len(row) == 3 * w  # padding stripped
+                for x in range(w):
+                    assert tuple(row[3 * x : 3 * x + 3]) == pixel_bgr(
+                        doc_id, f, x, y
+                    ), (doc_id, f, x, y)
+
+
+def test_bottom_up_flip_matters():
+    """The fixture frames are not vertically symmetric: a decoder that
+    skipped the bottom-up flip would return different rows (guards the
+    orientation-sensitive feature)."""
+    v = decode_avi(encode_avi_rgb24(7))
+    rows = v["frames"][0]
+    assert rows != rows[::-1]
+
+
+def test_idx1_cross_check_catches_corruption():
+    payload = bytearray(encode_avi_rgb24(5))
+    i = payload.rindex(b"idx1")
+    # corrupt the first index entry's offset field
+    off_pos = i + 8 + 8
+    payload[off_pos] ^= 0xFF
+    with pytest.raises(ValueError, match="idx1"):
+        decode_avi(bytes(payload))
+
+
+def test_frame_count_cross_check():
+    payload = bytearray(encode_avi_rgb24(5))
+    i = payload.index(b"avih")
+    # dwTotalFrames is the 5th DWORD of avih (payload offset 16)
+    struct.pack_into("<I", payload, i + 8 + 16, 999)
+    with pytest.raises(ValueError, match="frame count"):
+        decode_avi(bytes(payload))
+
+
+def test_unsupported_compression_raises_contract():
+    payload = bytearray(encode_avi_rgb24(5))
+    i = payload.index(b"strf")
+    # biCompression is at strf payload offset 16
+    struct.pack_into("<I", payload, i + 8 + 16, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        decode_avi(bytes(payload))
+
+
+def test_corrupt_stream_fuzz_contract():
+    """Truncations and byte flips must decode or raise the documented
+    contract classes — never a raw struct.error/IndexError (the JPEG fuzz
+    idiom, test_m4_operators.py)."""
+    import random
+
+    p = encode_avi_rgb24(9)
+    for cut in range(0, len(p), max(len(p) // 41, 1)):
+        try:
+            decode_avi(p[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    rng = random.Random(20260816)
+    for _ in range(200):
+        i = rng.randrange(len(p))
+        mutated = p[:i] + bytes([p[i] ^ (1 << rng.randrange(8))]) + p[i + 1 :]
+        try:
+            decode_avi(mutated)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_video_frames_match_duckdb_oracle(spark):
+    """The exact check the registry gate will run in round 10."""
+    got = [tuple(r) for r in q_multimodal_video_frames(spark, SF_ORACLE).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_ORACLE}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(VIDEO_ORACLE).fetchall()]
+    assert got == want
+    assert len(got) > 0
+    # sampling really drops frames
+    assert all(r[4] == (r[3] + SAMPLE_EVERY - 1) // SAMPLE_EVERY for r in got)
+
+
+def test_video_frames_empty_input(spark, tmp_path):
+    empty = str(tmp_path / "sf_empty")
+    spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(0).write.parquet(
+        f"{empty}/documents.parquet"
+    )
+    assert q_multimodal_video_frames(spark, empty).count() == 0
