@@ -94,7 +94,15 @@ def _estimate(sketch: list[int]) -> int:
 def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ska = _sketch(spark, sf_dir, PRED_A)
     skb = _sketch(spark, sf_dir, PRED_B)
+    return setops_result(spark, sf_dir, ska, skb)
 
+
+def setops_result(
+    spark: SparkSession, sf_dir: str, ska: list[int], skb: list[int]
+) -> DataFrame:
+    """Estimates + exact ground truth from two per-segment sketches (shared
+    with the streaming twin, streaming/sketch.py, whose gate is exactly
+    this output computed from incrementally-maintained sketches)."""
     # union sketch: bottom-k of the merged distinct hash sets (the KMV
     # merge is a k-merge of sorted lists — done here on two k-sized lists)
     sku = sorted(set(ska) | set(skb))[:K]
