@@ -81,12 +81,17 @@ def wav_frame_features(payload: bytes) -> dict:
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getsampwidth() != 2 or w.getnchannels() != 1:
-            raise NotImplementedError("feature kernel contract is PCM16 mono")
-        n = w.getnframes()
-        rate = w.getframerate()
-        raw = struct.unpack(f"<{n}h", w.readframes(n))
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise NotImplementedError("feature kernel contract is PCM16 mono")
+            n = w.getnframes()
+            rate = w.getframerate()
+            raw = struct.unpack(f"<{n}h", w.readframes(n))
+    # corrupt payloads fail TYPED, never raw (the shared fuzz contract —
+    # see multimodal.decode_wav for the stdlib error-class inventory)
+    except (wave.Error, EOFError, RuntimeError, struct.error) as e:
+        raise ValueError(f"corrupt WAV stream: {e}") from e
     n_frames = n // FRAME
     s = np.asarray(raw[: n_frames * FRAME], dtype=np.int64).reshape(n_frames, FRAME)
     fe = (s * s).sum(axis=1)

@@ -418,14 +418,20 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
     width = height = None
     idat = bytearray()
     while pos < len(payload):
+        if pos + 12 > len(payload):
+            raise ValueError("truncated PNG chunk stream")
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError(f"PNG {tag!r} chunk overruns the payload")
         body = payload[pos + 8 : pos + 8 + length]
         if struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])[0] != (
             zlib.crc32(tag + body) & 0xFFFFFFFF
         ):
             raise ValueError(f"bad CRC in {tag!r} chunk")
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("IHDR is not 13 bytes")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -439,7 +445,12 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
         elif tag == b"IEND":
             break
         pos += 12 + length
-    raw = zlib.decompress(bytes(idat))
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt web payloads fail TYPED, never raw
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = width + 1
     if len(raw) != stride * height:
         raise ValueError("inflated size mismatch")
@@ -507,12 +518,19 @@ def decode_wav(payload: bytes) -> dict:
     import struct
     import wave
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getsampwidth() != 2 or w.getnchannels() != 1:
-            raise NotImplementedError("decoder fixture contract is PCM16 mono")
-        n = w.getnframes()
-        rate = w.getframerate()
-        samples = struct.unpack(f"<{n}h", w.readframes(n))
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise NotImplementedError("decoder fixture contract is PCM16 mono")
+            n = w.getnframes()
+            rate = w.getframerate()
+            samples = struct.unpack(f"<{n}h", w.readframes(n))
+    # the stdlib wave/chunk modules signal malformed containers with
+    # wave.Error, EOFError, and a bare RuntimeError (chunk.seek); a declared
+    # frame count larger than the data raises struct.error — corrupt web
+    # payloads must fail TYPED, never raw (the JPEG/AVI fuzz contract)
+    except (wave.Error, EOFError, RuntimeError, struct.error) as e:
+        raise ValueError(f"corrupt WAV stream: {e}") from e
     return {
         "media_kind": "wav",
         "width": None,

@@ -629,3 +629,44 @@ def test_jpeg_corrupt_stream_fuzz_contract():
                         assert all(0 <= px <= 255 for px in ln)
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_png_wav_corrupt_stream_fuzz_contract():
+    """The JPEG/AVI fuzz contract extended to the other stdlib decoders:
+    truncations and byte flips of PNG and WAV payloads must decode or raise
+    the typed contract classes — never a raw zlib.error / wave.Error /
+    EOFError / RuntimeError / struct.error out of the stdlib parsers
+    (round-9: decode_png guards the chunk walk and wraps inflate;
+    decode_wav and audio.wav_frame_features wrap the wave/chunk modules'
+    whole error-class inventory)."""
+    import random
+
+    from poc_juma_etl_spark.operators.audio import synth_wav, wav_frame_features
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_png,
+        decode_wav,
+        encode_png_gray,
+        encode_wav_pcm16,
+    )
+
+    rows = [bytes((x * 7 + y * 3) % 256 for x in range(24)) for y in range(16)]
+    wav = encode_wav_pcm16([((i * 31) % 65536) - 32768 for i in range(100)], 8000)
+    targets = [
+        (decode_png, encode_png_gray(rows)),
+        (decode_wav, wav),
+        (wav_frame_features, synth_wav(11)),
+    ]
+    rng = random.Random(20260816)
+    for fn, p in targets:
+        for cut in range(0, len(p), max(len(p) // 53, 1)):
+            try:
+                fn(p[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(300):
+            i = rng.randrange(len(p))
+            mutated = p[:i] + bytes([p[i] ^ (1 << rng.randrange(8))]) + p[i + 1 :]
+            try:
+                fn(mutated)
+            except (ValueError, NotImplementedError):
+                pass
