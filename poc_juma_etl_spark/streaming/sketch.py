@@ -74,11 +74,12 @@ def stream_kmv_state(
         from pyspark.sql.window import Window
 
         def merge_batch(df: DataFrame, epoch_id: int) -> None:
+            import os
+
             fresh = _batch_bottomk(df)
-            try:
-                prev = spark.read.parquet(state)
-                merged_src = fresh.unionByName(prev)
-            except Exception:  # first batch: no state yet
+            if os.path.isdir(state):  # no state table before the first batch
+                merged_src = fresh.unionByName(spark.read.parquet(state))
+            else:
                 merged_src = fresh
             w = Window.partitionBy("label").orderBy("h")
             merged = (

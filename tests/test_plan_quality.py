@@ -371,3 +371,27 @@ def test_containment_uses_posting_lists_not_self_join(spark):
     plan = plan_of(spark, "q_dedup_containment")
     assert "Generate explode" in plan or "Generate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_sketch_is_takeordered_over_partial_distinct(spark):
+    """The round-10-queue KMV sketch must keep its mergeable shape: the
+    segment predicate pushed to the parquet scan, a 2-column ReadSchema,
+    partial+final HashAggregate for the distinct, and TakeOrderedAndProject
+    (per-partition bottom-k heaps = the KMV merge) — never a global sort."""
+    from poc_juma_etl_spark.catalog import load_table
+    from poc_juma_etl_spark.operators.kmv import K, PRED_A, SPARK_H44
+
+    df = (
+        load_table(spark, SF_ORACLE, "orders")
+        .where(PRED_A)
+        .selectExpr(f"{SPARK_H44} AS h")
+        .distinct()
+        .orderBy("h")
+        .limit(K)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final distinct
+    assert "PushedFilters: [In(o_orderpriority" in plan
+    read = plan.split("ReadSchema")[1][:200]
+    assert "o_custkey" in read and "o_totalprice" not in read
