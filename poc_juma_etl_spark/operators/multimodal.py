@@ -83,6 +83,21 @@ def decode_real(payload: bytes) -> dict:
         return decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from .video import decode_avi  # real chunk-walk parser (round 9)
+
+        v = decode_avi(payload)
+        return {
+            "media_kind": "avi",
+            "width": v["width"],
+            "height": v["height"],
+            "sample_rate": None,
+            "n_units": len(v["frames"]),  # units = frames for video
+            "pixel_sum": sum(
+                sum(sum(row) for row in frame) for frame in v["frames"]
+            ),
+            "sample_sq_sum": None,
+        }
     if payload[:3] == b"\xff\xd8\xff":  # JPEG
         if Image is not None:
             return _pil_stats("jpeg")

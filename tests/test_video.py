@@ -116,3 +116,23 @@ def test_video_frames_empty_input(spark, tmp_path):
         f"{empty}/documents.parquet"
     )
     assert q_multimodal_video_frames(spark, empty).count() == 0
+
+
+def test_decode_real_dispatches_avi():
+    """The unified media dispatcher recognizes all four container families;
+    AVI reports frames as units and the exact whole-clip pixel-byte sum."""
+    from poc_juma_etl_spark.operators.multimodal import decode_real
+
+    doc_id = 13
+    got = decode_real(encode_avi_rgb24(doc_id))
+    v = decode_avi(encode_avi_rgb24(doc_id))
+    want_sum = sum(
+        sum(pixel_bgr(doc_id, f, x, y))
+        for f in range(len(v["frames"]))
+        for y in range(v["height"])
+        for x in range(v["width"])
+    )
+    assert got["media_kind"] == "avi"
+    assert (got["width"], got["height"]) == (v["width"], v["height"])
+    assert got["n_units"] == len(v["frames"])
+    assert got["pixel_sum"] == want_sum
