@@ -52,6 +52,41 @@ def _batch_bottomk(df: DataFrame) -> DataFrame:
     return out
 
 
+def merge_sketch_state(spark: SparkSession, state: str, df: DataFrame) -> None:
+    """One KMV merge step: shrink ``df`` to per-segment bottom-k, union the
+    state table (if any), keep the k smallest distinct hashes per segment,
+    swap the state atomically. IDEMPOTENT: merging the same batch twice is
+    a no-op (bottom-k of a set union is insensitive to re-unioning a
+    subset), which is what makes the stream exact under the at-least-once
+    re-delivery a checkpoint restart can produce."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    fresh = _batch_bottomk(df)
+    if os.path.isdir(state):  # no state table before the first batch
+        merged_src = fresh.unionByName(spark.read.parquet(state))
+    else:
+        merged_src = fresh
+    w = Window.partitionBy("label").orderBy("h")
+    merged = (
+        merged_src.distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= K)
+        .drop("rk")
+        .localCheckpoint()  # materialize before overwriting its source
+    )
+    merged.write.mode("overwrite").parquet(state)
+
+
+def read_sketch_state(spark: SparkSession, state: str) -> dict[str, list[int]]:
+    rows = spark.read.parquet(state).orderBy("label", "h").collect()
+    sketches: dict[str, list[int]] = {"a": [], "b": []}
+    for r in rows:
+        sketches[r.label].append(r.h)
+    return sketches
+
+
 def stream_kmv_state(
     spark: SparkSession, sf_dir: str, n_batches: int = 4
 ) -> dict[str, list[int]]:
@@ -71,38 +106,16 @@ def stream_kmv_state(
             .parquet(src)
         )
 
-        from pyspark.sql.window import Window
-
-        def merge_batch(df: DataFrame, epoch_id: int) -> None:
-            import os
-
-            fresh = _batch_bottomk(df)
-            if os.path.isdir(state):  # no state table before the first batch
-                merged_src = fresh.unionByName(spark.read.parquet(state))
-            else:
-                merged_src = fresh
-            w = Window.partitionBy("label").orderBy("h")
-            merged = (
-                merged_src.distinct()
-                .withColumn("rk", F.row_number().over(w))
-                .where(F.col("rk") <= K)
-                .drop("rk")
-                .localCheckpoint()  # materialize before overwriting its source
-            )
-            merged.write.mode("overwrite").parquet(state)
-
         q = (
-            stream.writeStream.foreachBatch(merge_batch)
+            stream.writeStream.foreachBatch(
+                lambda df, epoch_id: merge_sketch_state(spark, state, df)
+            )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        rows = spark.read.parquet(state).orderBy("label", "h").collect()
-        sketches: dict[str, list[int]] = {"a": [], "b": []}
-        for r in rows:
-            sketches[r.label].append(r.h)
-        return sketches
+        return read_sketch_state(spark, state)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
