@@ -89,7 +89,11 @@ def wav_frame_features(payload: bytes) -> dict:
             rate = w.getframerate()
             raw = struct.unpack(f"<{n}h", w.readframes(n))
     # corrupt payloads fail TYPED, never raw (the shared fuzz contract —
-    # see multimodal.decode_wav for the stdlib error-class inventory)
+    # see multimodal.decode_wav for the stdlib error-class inventory).
+    # NotImplementedError subclasses RuntimeError: re-raise it first so the
+    # valid-but-unsupported contract is not rewritten as corruption.
+    except NotImplementedError:
+        raise
     except (wave.Error, EOFError, RuntimeError, struct.error) as e:
         raise ValueError(f"corrupt WAV stream: {e}") from e
     n_frames = n // FRAME

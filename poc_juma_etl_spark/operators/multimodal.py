@@ -543,7 +543,11 @@ def decode_wav(payload: bytes) -> dict:
     # the stdlib wave/chunk modules signal malformed containers with
     # wave.Error, EOFError, and a bare RuntimeError (chunk.seek); a declared
     # frame count larger than the data raises struct.error — corrupt web
-    # payloads must fail TYPED, never raw (the JPEG/AVI fuzz contract)
+    # payloads must fail TYPED, never raw (the JPEG/AVI fuzz contract).
+    # NotImplementedError is a RuntimeError SUBCLASS: re-raise it first or
+    # the valid-but-unsupported contract above would read as corruption.
+    except NotImplementedError:
+        raise
     except (wave.Error, EOFError, RuntimeError, struct.error) as e:
         raise ValueError(f"corrupt WAV stream: {e}") from e
     return {

@@ -95,13 +95,23 @@ def _list(listtype: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", listtype + payload)
 
 
-def encode_avi_rgb24(doc_id: int) -> bytes:
+def encode_avi_rgb24(
+    doc_id: int,
+    *,
+    w: int | None = None,
+    h: int | None = None,
+    n: int | None = None,
+    usec: int | None = None,
+) -> bytes:
     """Spec-valid uncompressed AVI for ``doc_id``: hdrl (avih + one 'vids'
-    stream, 'DIB ' handler, 24bpp BI_RGB) + movi ('00db' frames) + idx1."""
-    w = W_BASE + doc_id % W_MOD
-    h = H_BASE + doc_id % H_MOD
-    n = F_BASE + doc_id % F_MOD
-    usec = USEC_BASE + doc_id % USEC_MOD
+    stream, 'DIB ' handler, 24bpp BI_RGB) + movi ('00db' frames) + idx1.
+    Geometry defaults to the doc_id fixture formulas; the keyword overrides
+    exist so property sweeps can drive THIS encoder over arbitrary shapes
+    instead of maintaining a private copy of the container layout."""
+    w = W_BASE + doc_id % W_MOD if w is None else w
+    h = H_BASE + doc_id % H_MOD if h is None else h
+    n = F_BASE + doc_id % F_MOD if n is None else n
+    usec = USEC_BASE + doc_id % USEC_MOD if usec is None else usec
     frame_size = ((3 * w + 3) & ~3) * h
 
     avih = struct.pack(

@@ -52,17 +52,38 @@ def _batch_bottomk(df: DataFrame) -> DataFrame:
     return out
 
 
+def _heal_state(state: str) -> None:
+    """Recover from a crash inside the rename window of a previous merge
+    (the compact.recover_table idiom): a missing live dir with a
+    ``__old`` survivor is rolled back; stale ``__new``/``__old`` leftovers
+    next to a live dir are dropped."""
+    import os
+    import shutil
+
+    old, new = f"{state}__old", f"{state}__new"
+    if not os.path.isdir(state) and os.path.isdir(old):
+        os.rename(old, state)
+    for leftover in (old, new):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+
+
 def merge_sketch_state(spark: SparkSession, state: str, df: DataFrame) -> None:
     """One KMV merge step: shrink ``df`` to per-segment bottom-k, union the
     state table (if any), keep the k smallest distinct hashes per segment,
-    swap the state atomically. IDEMPOTENT: merging the same batch twice is
-    a no-op (bottom-k of a set union is insensitive to re-unioning a
-    subset), which is what makes the stream exact under the at-least-once
-    re-delivery a checkpoint restart can produce."""
+    swap the state ATOMICALLY (write to ``__new``, rename old aside, rename
+    new in — an in-place overwrite would be delete-then-write, and a crash
+    inside that window silently drops every earlier batch's hashes because
+    the checkpoint will not re-deliver them). IDEMPOTENT: merging the same
+    batch twice is a no-op (bottom-k of a set union is insensitive to
+    re-unioning a subset), which is what makes the stream exact under the
+    at-least-once re-delivery a checkpoint restart can produce."""
     import os
+    import shutil
 
     from pyspark.sql.window import Window
 
+    _heal_state(state)
     fresh = _batch_bottomk(df)
     if os.path.isdir(state):  # no state table before the first batch
         merged_src = fresh.unionByName(spark.read.parquet(state))
@@ -74,9 +95,13 @@ def merge_sketch_state(spark: SparkSession, state: str, df: DataFrame) -> None:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= K)
         .drop("rk")
-        .localCheckpoint()  # materialize before overwriting its source
     )
-    merged.write.mode("overwrite").parquet(state)
+    old, new = f"{state}__old", f"{state}__new"
+    merged.write.mode("overwrite").parquet(new)
+    if os.path.isdir(state):
+        os.rename(state, old)
+    os.rename(new, state)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def read_sketch_state(spark: SparkSession, state: str) -> dict[str, list[int]]:

@@ -79,3 +79,27 @@ def test_audio_features_empty_input(spark, tmp_path):
     assert out.schema.simpleString() == (
         "struct<" + OUT_SCHEMA.replace(" long", ":bigint").replace(", ", ",") + ">"
     )
+
+
+def test_unsupported_wav_flavor_keeps_its_contract():
+    """Stereo PCM16 is VALID but unsupported: it must raise
+    NotImplementedError, not be rewritten into the corrupt-stream
+    ValueError (NotImplementedError subclasses RuntimeError, which the
+    fuzz wrap catches — regression for the round-9 review finding)."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from poc_juma_etl_spark.operators.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 1, -1, 2, -2))
+    for fn in (decode_wav, wav_frame_features):
+        with pytest.raises(NotImplementedError):
+            fn(buf.getvalue())

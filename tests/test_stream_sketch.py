@@ -116,3 +116,24 @@ def test_restart_drill_resumes_from_checkpoint(spark, tmp_path):
         assert final[label] == want, label
     # and phase 1 really was partial (the drill exercised a true resume)
     assert partial != final
+
+
+def test_state_swap_crash_window_heals(spark, tmp_path):
+    """A crash between the two renames leaves only state__old; the next
+    merge must roll it back instead of rebuilding from one batch (which
+    would silently drop every earlier batch's hashes)."""
+    import os
+
+    from poc_juma_etl_spark.catalog import load_table
+    from poc_juma_etl_spark.streaming.sketch import (
+        merge_sketch_state,
+        read_sketch_state,
+    )
+
+    state = str(tmp_path / "state")
+    orders = load_table(spark, SF_ORACLE, "orders")
+    merge_sketch_state(spark, state, orders.where("o_orderkey % 2 = 0"))
+    before = read_sketch_state(spark, state)
+    os.rename(state, f"{state}__old")  # simulate the crash window
+    merge_sketch_state(spark, state, orders.where("o_orderkey % 2 = 0"))
+    assert read_sketch_state(spark, state) == before  # healed + idempotent

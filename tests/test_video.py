@@ -139,9 +139,11 @@ def test_decode_real_dispatches_avi():
 
 
 def test_avi_roundtrip_property_sweep():
-    """Hypothesis sweep over random geometry: encode/decode must roundtrip
-    bit-exactly for any (width, height, frames) — including 4-aligned
-    strides (no padding) and 1-pixel edges — and idx1 must verify."""
+    """Hypothesis sweep over random geometry THROUGH THE PRODUCTION
+    ENCODER (keyword overrides on encode_avi_rgb24): encode/decode must
+    roundtrip bit-exactly for any (width, height, frames) — including
+    4-aligned strides (no padding) and 1-pixel edges — and idx1 must
+    verify."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -155,13 +157,7 @@ def test_avi_roundtrip_property_sweep():
         doc_id=st.integers(min_value=0, max_value=10**7),
     )
     def check(w, h, n, doc_id):
-        # drive the module geometry directly (bypass the doc_id formulas)
-        import struct
-
-        frames = [V._frame_bytes(doc_id, f, w, h) for f in range(n)]
-        # build via the public encoder with patched geometry: reuse the
-        # doc_id-derived path when it matches, else assemble by hand
-        payload = _assemble_avi(V, doc_id, w, h, n, frames)
+        payload = V.encode_avi_rgb24(doc_id, w=w, h=h, n=n)
         v = V.decode_avi(payload)
         assert (v["width"], v["height"]) == (w, h)
         assert len(v["frames"]) == n
@@ -172,41 +168,5 @@ def test_avi_roundtrip_property_sweep():
                     assert tuple(row[3 * x : 3 * x + 3]) == V.pixel_bgr(
                         doc_id, f, x, y
                     )
-
-    def _assemble_avi(V, doc_id, w, h, n, frames):
-        import struct
-
-        usec = 40000
-        frame_size = ((3 * w + 3) & ~3) * h
-        avih = struct.pack(
-            "<14I", usec, frame_size * 25, 0, 0x10, n, 0, 1, frame_size,
-            w, h, 0, 0, 0, 0,
-        )
-        strh = b"vids" + b"DIB " + struct.pack(
-            "<10I4H", 0, 0, 0, usec, 1_000_000, 0, n, frame_size,
-            0xFFFFFFFF, frame_size, 0, 0, w, h,
-        )
-        strf = struct.pack(
-            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
-        )
-        hdrl = V._list(
-            b"hdrl",
-            V._chunk(b"avih", avih)
-            + V._list(b"strl", V._chunk(b"strh", strh) + V._chunk(b"strf", strf)),
-        )
-        movi_payload = b""
-        idx = []
-        for data in frames:
-            idx.append((4 + len(movi_payload), len(data)))
-            movi_payload += V._chunk(b"00db", data)
-        movi = V._list(b"movi", movi_payload)
-        idx1 = V._chunk(
-            b"idx1",
-            b"".join(
-                b"00db" + struct.pack("<III", 0x10, off, size) for off, size in idx
-            ),
-        )
-        riff = b"AVI " + hdrl + movi + idx1
-        return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
     check()
