@@ -108,12 +108,15 @@ def setops_result(
     sku = sorted(set(ska) | set(skb))[:K]
     est_a, est_b, est_u = _estimate(ska), _estimate(skb), _estimate(sku)
 
-    if len(sku) < K:  # both sides exact -> sketch intersection is exact
+    if len(sku) < K:  # both sides exact -> sketch set algebra is exact
         est_i = len(set(ska) & set(skb))
+        est_d = len(set(ska) - set(skb))
     else:
         theta_u = sku[K - 1]
         n_i = len({h for h in set(ska) & set(skb) if h < theta_u})
+        n_d = len({h for h in set(ska) - set(skb) if h < theta_u})
         est_i = n_i * MAXH // theta_u
+        est_d = n_d * MAXH // theta_u
 
     # exact ground truth rides the same distinct-aggregation shape
     o = load_table(spark, sf_dir, "orders").selectExpr(
@@ -137,10 +140,12 @@ def setops_result(
 
     rows = [
         ("est_a", est_a),
+        ("est_a_minus_b", est_d),
         ("est_b", est_b),
         ("est_intersect", est_i),
         ("est_union", est_u),
         ("exact_a", int(ex.a)),
+        ("exact_a_minus_b", int(ex.a) - int(ex_i)),
         ("exact_b", int(ex.b)),
         ("exact_intersect", int(ex_i)),
         ("exact_union", int(ex.u)),
@@ -176,7 +181,11 @@ KMV_ORACLE = f"""
         (SELECT MAX(h) FROM sku) AS tu,
         (SELECT COUNT(*) FROM ska JOIN skb USING (h)
           WHERE h < (SELECT MAX(h) FROM sku)) AS ni,
-        (SELECT COUNT(*) FROM ska JOIN skb USING (h)) AS ni_all
+        (SELECT COUNT(*) FROM ska JOIN skb USING (h)) AS ni_all,
+        (SELECT COUNT(*) FROM ska WHERE h < (SELECT MAX(h) FROM sku)
+          AND h NOT IN (SELECT h FROM skb)) AS nd,
+        (SELECT COUNT(*) FROM ska
+          WHERE h NOT IN (SELECT h FROM skb)) AS nd_all
     ),
     est AS (
       SELECT
@@ -184,6 +193,7 @@ KMV_ORACLE = f"""
         CASE WHEN nb < {K} THEN nb ELSE ({K - 1} * {MAXH}::BIGINT) // tb END AS est_b,
         CASE WHEN nu < {K} THEN nu ELSE ({K - 1} * {MAXH}::BIGINT) // tu END AS est_u,
         CASE WHEN nu < {K} THEN ni_all ELSE (ni * {MAXH}::BIGINT) // tu END AS est_i,
+        CASE WHEN nu < {K} THEN nd_all ELSE (nd * {MAXH}::BIGINT) // tu END AS est_d,
         CASE WHEN nu < {K} THEN {MAXH}::BIGINT ELSE tu END AS theta_u
       FROM st
     ),
@@ -196,10 +206,12 @@ KMV_ORACLE = f"""
     )
     SELECT measure, CAST(value AS BIGINT) AS value FROM (
       SELECT 'est_a' AS measure, est_a AS value FROM est
+      UNION ALL SELECT 'est_a_minus_b', est_d FROM est
       UNION ALL SELECT 'est_b', est_b FROM est
       UNION ALL SELECT 'est_intersect', est_i FROM est
       UNION ALL SELECT 'est_union', est_u FROM est
       UNION ALL SELECT 'exact_a', xa FROM exact
+      UNION ALL SELECT 'exact_a_minus_b', xa - xi FROM exact
       UNION ALL SELECT 'exact_b', xb FROM exact
       UNION ALL SELECT 'exact_intersect', xi FROM exact
       UNION ALL SELECT 'exact_union', xu FROM exact

@@ -47,6 +47,10 @@ def test_kmv_estimates_within_bounds(spark):
     assert abs(m["est_intersect"] - m["exact_intersect"]) <= max(
         5 * rse * m["exact_union"], 1
     )
+    # difference error also scales with the union (same theta_u estimator)
+    assert abs(m["est_a_minus_b"] - m["exact_a_minus_b"]) <= max(
+        5 * rse * m["exact_union"], 1
+    )
 
 
 def test_kmv_saturation_regime(spark):
@@ -62,7 +66,7 @@ def test_kmv_below_saturation_is_exact(spark):
     """sf0.001 has ~150 customers (< k), so every sketch holds its whole
     set and all four estimates must equal the exact counts."""
     m = _run(spark, SF_SMOKE)
-    for which in ("a", "b", "union", "intersect"):
+    for which in ("a", "b", "union", "intersect", "a_minus_b"):
         assert m[f"est_{which}"] == m[f"exact_{which}"], which
     assert m["theta_union"] == MAXH
 
