@@ -158,16 +158,18 @@ def setops_result(
 
 
 KMV_ORACLE = f"""
-    WITH flags AS (
+    WITH flags AS MATERIALIZED (
       SELECT o_custkey,
              MAX(CASE WHEN {PRED_A} THEN 1 ELSE 0 END) AS in_a,
              MAX(CASE WHEN {PRED_B} THEN 1 ELSE 0 END) AS in_b,
              {SQL_H44} AS h
       FROM orders GROUP BY o_custkey
     ),
-    ska AS (SELECT DISTINCT h FROM flags WHERE in_a = 1 ORDER BY h LIMIT {K}),
-    skb AS (SELECT DISTINCT h FROM flags WHERE in_b = 1 ORDER BY h LIMIT {K}),
-    sku AS (
+    ska AS MATERIALIZED (
+      SELECT DISTINCT h FROM flags WHERE in_a = 1 ORDER BY h LIMIT {K}),
+    skb AS MATERIALIZED (
+      SELECT DISTINCT h FROM flags WHERE in_b = 1 ORDER BY h LIMIT {K}),
+    sku AS MATERIALIZED (
       SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
       ORDER BY h LIMIT {K}
     ),
