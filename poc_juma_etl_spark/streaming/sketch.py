@@ -105,6 +105,10 @@ def merge_sketch_state(spark: SparkSession, state: str, df: DataFrame) -> None:
 
 
 def read_sketch_state(spark: SparkSession, state: str) -> dict[str, list[int]]:
+    import os
+
+    if not os.path.isdir(state):  # zero micro-batches ever fired
+        return {"a": [], "b": []}
     rows = spark.read.parquet(state).orderBy("label", "h").collect()
     sketches: dict[str, list[int]] = {"a": [], "b": []}
     for r in rows:

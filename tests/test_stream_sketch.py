@@ -137,3 +137,18 @@ def test_state_swap_crash_window_heals(spark, tmp_path):
     os.rename(state, f"{state}__old")  # simulate the crash window
     merge_sketch_state(spark, state, orders.where("o_orderkey % 2 = 0"))
     assert read_sketch_state(spark, state) == before  # healed + idempotent
+
+
+def test_stream_kmv_empty_input(spark, tmp_path):
+    """Zero-row source: the drain may fire zero micro-batches (no state
+    table is ever written) — the query must still return the 12-measure
+    all-zero result instead of raising on the missing state dir."""
+    empty = str(tmp_path / "sf_empty")
+    spark.read.parquet(f"{SF_ORACLE}/orders.parquet").limit(0).write.parquet(
+        f"{empty}/orders.parquet"
+    )
+    from poc_juma_etl_spark.streaming.sketch import q_stream_kmv_sketch
+
+    m = {r.measure: r.value for r in q_stream_kmv_sketch(spark, empty).collect()}
+    assert m["est_a"] == m["exact_a"] == 0
+    assert m["est_union"] == m["exact_union"] == 0
