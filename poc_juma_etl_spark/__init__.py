@@ -347,7 +347,16 @@ def rotation_key(
     eff = effective_evidence(name, verified)
     last = latest.get(name, 0)
     if eff >= 1.0 and latest_green is not None:
-        if last > latest_green.get(name, 0):
+        green = latest_green.get(name, 0)
+        if green == 0:
+            # NEVER hash-green despite accumulated rows-only evidence
+            # (four 0.25 no_oracle samples sum to 1.0): such a name must
+            # stay in the leading bucket — after live regressions (0.9)
+            # but before every healthy hash-green query — not be
+            # misclassified as regressed or rotated like a green one
+            # (round-9 review finding).
+            return (0.95, last, eff)
+        if last > green:
             return (0.9, last, eff)  # most recent driver look FAILED
     return (min(eff, 1.0), last, eff)
 

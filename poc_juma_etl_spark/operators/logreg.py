@@ -95,7 +95,6 @@ def logreg_gd(spark: SparkSession, sf_dir: str, steps: int = STEPS) -> DataFrame
         *(f"{expr} AS {name}" for name, expr in FEATURES),
         f"{LABEL} AS y",
     )
-    n = feats.count()
     weights = [0] * len(FEATURES)
     rows = []
     for step in range(1, steps + 1):
@@ -109,8 +108,12 @@ def logreg_gd(spark: SparkSession, sf_dir: str, steps: int = STEPS) -> DataFrame
             F.expr(
                 f"SUM(CASE WHEN ({p} >= {WS // 2}) = (y = 1) THEN 1 ELSE 0 END)"
             ).alias("correct"),
+            # n rides the same aggregation — a standalone count() would be
+            # one extra full scan per training run (round-9 review)
+            F.count(F.lit(1)).alias("n"),
         ]
         r = feats.agg(*aggs).collect()[0]
+        n = int(r["n"])
         grads = [int(r[f"g_{name}"] or 0) for name, _ in FEATURES]
         if n:
             weights = _update(weights, grads, n)
@@ -147,7 +150,11 @@ def logreg_oracle_sql(steps: int = STEPS) -> str:
             f"        FROM feats)"
         )
         w_cols = ",\n            ".join(
-            f"CAST(CASE WHEN m{i}.g_{name} >= 0 "
+            # nn.n = 0 keeps the entering weights (the Spark side skips the
+            # update on an empty table; DuckDB's x // 0 would yield NULL and
+            # break the empty-input hash parity — round-9 review)
+            f"CAST(CASE WHEN nn.n = 0 THEN ({pw}) "
+            f"WHEN m{i}.g_{name} >= 0 "
             f"THEN ({pw}) - (ABS(m{i}.g_{name}) // ({LR_DEN} * nn.n)) "
             f"ELSE ({pw}) + (ABS(m{i}.g_{name}) // ({LR_DEN} * nn.n)) END "
             f"AS BIGINT) AS w_{name}"
@@ -156,8 +163,9 @@ def logreg_oracle_sql(steps: int = STEPS) -> str:
         parts.append(f"s{i} AS MATERIALIZED (\n        SELECT {w_cols} FROM m{i}, nn)")
         prev_w = [f"(SELECT w_{name} FROM s{i})" for name, _ in FEATURES]
     selects = "\n    UNION ALL ".join(
-        f"SELECT {i} AS step, CAST((SELECT sq FROM m{i}) AS BIGINT) AS sq_err, "
-        f"CAST((SELECT correct FROM m{i}) AS BIGINT) AS n_correct, "
+        f"SELECT {i} AS step, "
+        f"CAST(COALESCE((SELECT sq FROM m{i}), 0) AS BIGINT) AS sq_err, "
+        f"CAST(COALESCE((SELECT correct FROM m{i}), 0) AS BIGINT) AS n_correct, "
         + ", ".join(
             f"(SELECT w_{name} FROM s{i}) AS w_{name}" for name, _ in FEATURES
         )

@@ -576,6 +576,10 @@ def decode_wav(payload: bytes) -> dict:
 # the NotImplementedError contract (Pillow, when present, takes over first
 # in decode_real).
 
+# header-declared dimension bound (8K x 8K): corrupt/adversarial SOF dims
+# must fail typed before any O(width*height) allocation
+MAX_JPEG_PIXELS = 1 << 26
+
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -841,7 +845,12 @@ def encode_jpeg_ycbcr(
     if hs not in (1, 2) or vs not in (1, 2):
         raise ValueError("sampling factors must be 1 or 2")
     cw, ch = -(-w // hs), -(-h // vs)
-    if len(cb_rows) != ch or len(cr_rows) != ch:
+    if (
+        len(cb_rows) != ch
+        or len(cr_rows) != ch
+        or any(len(r) != cw for r in cb_rows)
+        or any(len(r) != cw for r in cr_rows)
+    ):
         raise ValueError(f"chroma planes must be {cw}x{ch}")
     dc_l = _huff_codes(_DC_BITS, _DC_VALS)
     ac_l = _huff_codes(_AC_BITS, _AC_VALS)
@@ -983,7 +992,7 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
     try:
         width, height, planes = _decode_jpeg_impl(payload)
         return width, height, planes[0][0]
-    except (IndexError, KeyError, struct.error) as exc:
+    except (IndexError, KeyError, StopIteration, struct.error) as exc:
         # truncated segment bodies / dangling table ids surface as raw
         # indexing errors deep in the parse — normalize to the contract
         raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
@@ -1015,7 +1024,7 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
 
     try:
         width, height, planes = _decode_jpeg_impl(payload)
-    except (IndexError, KeyError, struct.error) as exc:
+    except (IndexError, KeyError, StopIteration, struct.error) as exc:
         raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
     hmax = max(h for _, h, _ in planes)
     vmax = max(v for _, _, v in planes)
@@ -1062,6 +1071,76 @@ def _decode_block_into(br, dct, act, qt, prev_dc, grid, row0, col0) -> int:
     return prev_dc
 
 
+def _parse_dqt_segment(body: bytes, qtabs: dict[int, list[int]]) -> None:
+    """DQT: 8-bit quantization tables (shared by the baseline and
+    progressive marker walks — round-9 review deduplication; the two
+    copies had already diverged once)."""
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0xF
+        if pq != 0:
+            raise NotImplementedError("16-bit quant tables unsupported")
+        qtabs[tq] = list(body[i + 1 : i + 65])
+        i += 65
+
+
+def _parse_dht_segment(
+    body: bytes, dc_tabs: dict[int, dict], ac_tabs: dict[int, dict]
+) -> None:
+    """DHT: canonical Huffman tables from the file's own BITS/HUFFVAL."""
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0xF
+        bits = list(body[i + 1 : i + 17])
+        nv = sum(bits)
+        vals = list(body[i + 17 : i + 17 + nv])
+        (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decoder(bits, vals)
+        i += 17 + nv
+
+
+def _parse_sof_segment(
+    body: bytes, flavor: str
+) -> tuple[int, int, list[tuple[int, int, int, int]]]:
+    """SOF frame header: precision/component-count contract, the
+    implausible-dimension bound (BEFORE any O(w*h) allocation downstream),
+    and the supported sampling-layout validation. ``flavor`` only names
+    the path in the Pillow-tier messages."""
+    import struct
+
+    prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+    if prec != 8 or ncomp not in (1, 3):
+        raise NotImplementedError(
+            f"stdlib decoder handles 8-bit 1- or 3-component {flavor} "
+            "JPEG; install Pillow for other flavors"
+        )
+    if not width or not height or width * height > MAX_JPEG_PIXELS:
+        raise ValueError("implausible SOF dimensions")
+    comps = []
+    for ci in range(ncomp):
+        cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+        comps.append((cid, hv >> 4, hv & 0xF, tq))
+    if ncomp == 1 and (comps[0][1], comps[0][2]) != (1, 1):
+        raise NotImplementedError(
+            "single-component JPEG must be 1x1-sampled; install Pillow "
+            "for other flavors"
+        )
+    if ncomp == 3:
+        # supported: luma factors in {1,2} (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0),
+        # chroma strictly 1x1 — the shapes web corpora carry
+        (y_c, cb_c, cr_c) = comps
+        if (
+            y_c[1] not in (1, 2)
+            or y_c[2] not in (1, 2)
+            or (cb_c[1], cb_c[2]) != (1, 1)
+            or (cr_c[1], cr_c[2]) != (1, 1)
+        ):
+            raise NotImplementedError(
+                "unsupported chroma sampling layout (luma must be "
+                "1x1/2x1/1x2/2x2 with 1x1 chroma); install Pillow"
+            )
+    return width, height, comps
+
+
 def _decode_jpeg_impl(
     payload: bytes,
 ) -> tuple[int, int, list[tuple[list[bytes], int, int]]]:
@@ -1097,43 +1176,9 @@ def _decode_jpeg_impl(
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:  # DQT (8-bit tables only)
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
-                qtabs[tq] = list(body[i + 1 : i + 65])
-                i += 65
+            _parse_dqt_segment(body, qtabs)
         elif marker == 0xC0:  # SOF0 baseline
-            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp not in (1, 3):
-                raise NotImplementedError(
-                    "stdlib decoder handles 8-bit 1- or 3-component baseline "
-                    "JPEG; install Pillow for other flavors"
-                )
-            comps = []
-            for ci in range(ncomp):
-                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
-            if ncomp == 1 and (comps[0][1], comps[0][2]) != (1, 1):
-                raise NotImplementedError(
-                    "single-component JPEG must be 1x1-sampled; install "
-                    "Pillow for other flavors"
-                )
-            if ncomp == 3:
-                # supported: luma factors in {1,2} (4:4:4 / 4:2:2 / 4:2:0 /
-                # 4:4:0), chroma strictly 1x1 — the shapes web corpora carry
-                (y_c, cb_c, cr_c) = comps
-                if (
-                    y_c[1] not in (1, 2)
-                    or y_c[2] not in (1, 2)
-                    or (cb_c[1], cb_c[2]) != (1, 1)
-                    or (cr_c[1], cr_c[2]) != (1, 1)
-                ):
-                    raise NotImplementedError(
-                        "unsupported chroma sampling layout (luma must be "
-                        "1x1/2x1/1x2/2x2 with 1x1 chroma); install Pillow"
-                    )
+            width, height, comps = _parse_sof_segment(body, "baseline")
         elif marker == 0xC2:  # SOF2: progressive — its own multi-scan path
             return _decode_jpeg_progressive(payload)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
@@ -1142,17 +1187,13 @@ def _decode_jpeg_impl(
                 "install Pillow"
             )
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0xF
-                bits = list(body[i + 1 : i + 17])
-                nv = sum(bits)
-                vals = list(body[i + 17 : i + 17 + nv])
-                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decoder(bits, vals)
-                i += 17 + nv
+            _parse_dht_segment(body, dc_tabs, ac_tabs)
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS: header then entropy-coded data
+            if width is None:  # malformed, NOT a Pillow-tier flavor: the
+                raise ValueError("no SOF before SOS")  # ns check below would
+                # otherwise misread an empty comps list as multi-scan
             ns = body[0]
             if ns != len(comps):
                 raise NotImplementedError(
@@ -1168,6 +1209,10 @@ def _decode_jpeg_impl(
         raise ValueError("no SOF before SOS")
     if not scan_order:
         raise ValueError("no SOS marker")
+    if {c for c, _, _ in scan_order} != {c for c, _, _, _ in comps}:
+        # a corrupt SOS can list duplicate/unknown component ids; the plane
+        # reconstruction below would otherwise StopIteration raw
+        raise ValueError("SOS component ids do not match SOF components")
     sof_by_id = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps}
     hmax = max(hc for _, hc, _, _ in comps)
     vmax = max(vc for _, _, vc, _ in comps)
@@ -1283,39 +1328,9 @@ def _decode_jpeg_progressive(
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
-                qtabs[tq] = list(body[i + 1 : i + 65])
-                i += 65
+            _parse_dqt_segment(body, qtabs)
         elif marker == 0xC2:
-            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp not in (1, 3):
-                raise NotImplementedError(
-                    "stdlib decoder handles 8-bit 1- or 3-component "
-                    "progressive JPEG; install Pillow for other flavors"
-                )
-            comps = []
-            for ci in range(ncomp):
-                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
-            if ncomp == 3:
-                (y_c, cb_c, cr_c) = comps
-                if (
-                    y_c[1] not in (1, 2)
-                    or y_c[2] not in (1, 2)
-                    or (cb_c[1], cb_c[2]) != (1, 1)
-                    or (cr_c[1], cr_c[2]) != (1, 1)
-                ):
-                    raise NotImplementedError(
-                        "unsupported chroma sampling layout; install Pillow"
-                    )
-            elif (comps[0][1], comps[0][2]) != (1, 1):
-                raise NotImplementedError(
-                    "single-component JPEG must be 1x1-sampled; install Pillow"
-                )
+            width, height, comps = _parse_sof_segment(body, "progressive")
             hmax = max(hc for _, hc, _, _ in comps)
             vmax = max(vc for _, _, vc, _ in comps)
             mcus_x = -(-width // (8 * hmax))
@@ -1330,14 +1345,7 @@ def _decode_jpeg_progressive(
                 dims[cid] = (bw, bh, pw, ph)
                 coef[cid] = [[[0] * 64 for _ in range(pw)] for _ in range(ph)]
         elif marker == 0xC4:
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0xF
-                bits = list(body[i + 1 : i + 17])
-                nv = sum(bits)
-                vals = list(body[i + 17 : i + 17 + nv])
-                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decoder(bits, vals)
-                i += 17 + nv
+            _parse_dht_segment(body, dc_tabs, ac_tabs)
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
@@ -1591,7 +1599,12 @@ def encode_jpeg_progressive(
     if hs not in (1, 2) or vs not in (1, 2):
         raise ValueError("sampling factors must be 1 or 2")
     cw, ch = -(-w // hs), -(-h // vs)
-    if not gray and (len(cb_rows) != ch or len(cr_rows) != ch):
+    if not gray and (
+        len(cb_rows) != ch
+        or len(cr_rows) != ch
+        or any(len(r) != cw for r in cb_rows)
+        or any(len(r) != cw for r in cr_rows)
+    ):
         raise ValueError(f"chroma planes must be {cw}x{ch}")
     mcus_x = -(-w // (8 * hs))
     mcus_y = -(-h // (8 * vs))

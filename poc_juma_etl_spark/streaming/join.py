@@ -129,8 +129,12 @@ def _sentinel_events_dir(
     d = tempfile.mkdtemp(prefix="stream_outer_")
     src = table_path(sf_dir, "events")
     events = spark.read.parquet(src)
-    n_rows = events.count()
-    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    # one aggregation returns both (a separate count() would be a second
+    # full read, paid on every drain of both streaming gates — r9 review)
+    stats = events.agg(
+        F.count(F.lit(1)).alias("n"), F.max("ts").alias("mx")
+    ).collect()[0]
+    n_rows, max_ts = int(stats["n"]), stats["mx"]
     if max_ts is None:  # empty source: any fixed anchor works — no real
         # event exists for the watermark to evict
         import datetime as dt

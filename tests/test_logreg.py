@@ -95,3 +95,25 @@ def test_logreg_empty_orders(spark, tmp_path):
         (1, 0, 0, 0, 0, 0, 0),
         (2, 0, 0, 0, 0, 0, 0),
     ]
+
+
+def test_logreg_empty_input_matches_oracle(spark, tmp_path):
+    """Empty orders: the Spark trace (all zeros, weights never updated)
+    must hash-match the DuckDB replay too — the oracle's NULL sums and
+    //0 previously diverged (round-9 review); a registered gate would run
+    exactly this comparison on a filtered-empty input."""
+    empty = str(tmp_path / "sf_empty")
+    spark.read.parquet(f"{SF_ORACLE}/orders.parquet").limit(0).write.parquet(
+        f"{empty}/orders.parquet"
+    )
+    got = [tuple(r) for r in logreg_gd(spark, empty, steps=2).collect()]
+    con = duckdb.connect()
+    # an empty Spark write leaves no part files for DuckDB's glob; the
+    # equivalent zero-row relation is a filtered-empty view
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_ORACLE}/orders.parquet' "
+        "WHERE 1 = 0"
+    )
+    want = [tuple(r) for r in con.execute(logreg_oracle_sql(steps=2)).fetchall()]
+    assert got == want
+    assert got[0][1:] == (0, 0, 0, 0, 0, 0)

@@ -623,10 +623,17 @@ def test_jpeg_corrupt_stream_fuzz_contract():
             i = rng.randrange(len(p))
             mutated = p[:i] + bytes([p[i] ^ (1 << rng.randrange(8))]) + p[i + 1 :]
             try:
-                _, _, planes = decode_jpeg_planes(mutated)
-                for plane in planes:
-                    for ln in plane:
-                        assert all(0 <= px <= 255 for px in ln)
+                w2, h2, planes = decode_jpeg_planes(mutated)
+                # structural invariants on whatever decodes: bounded dims
+                # and rectangular planes (a pixel-range check would be
+                # vacuous — plane lines are bytes, 0..255 by construction)
+                from poc_juma_etl_spark.operators.multimodal import (
+                    MAX_JPEG_PIXELS,
+                )
+
+                assert 0 < w2 * h2 <= MAX_JPEG_PIXELS
+                for lines, _hc, _vc in planes:
+                    assert len({len(ln) for ln in lines}) <= 1
             except (ValueError, NotImplementedError):
                 pass
 
@@ -670,3 +677,47 @@ def test_png_wav_corrupt_stream_fuzz_contract():
                 fn(mutated)
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_jpeg_malformed_header_contract_cases():
+    """Regression pins for the round-9 review findings: specific malformed
+    headers must raise the documented classes, never raw exceptions or the
+    misleading Pillow-tier NotImplementedError."""
+    import struct
+
+    import pytest
+
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_planes,
+        encode_jpeg_ycbcr,
+    )
+
+    # SOS before any SOF is MALFORMED (ValueError), not a Pillow flavor
+    stream = b"\xff\xd8\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00\xff\xd9"
+    with pytest.raises(ValueError, match="no SOF"):
+        decode_jpeg_planes(stream)
+
+    w, h = 16, 16
+    img = [bytes((x * 7 + y * 3) % 256 for x in range(w)) for y in range(h)]
+    cb = [bytes((x + y) % 256 for x in range(w // 2)) for y in range(h // 2)]
+    p = bytearray(encode_jpeg_ycbcr(img, cb, cb, (2, 2)))
+
+    # duplicate SOS component id -> typed ValueError (was raw StopIteration)
+    i = p.index(b"\xff\xda")
+    # SOS payload: len(2) ns(1) then (cid, tables) pairs — flip 2nd cid to 3
+    p2 = bytearray(p)
+    p2[i + 5 + 2] = 3
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg_planes(bytes(p2))
+
+    # implausible SOF dims -> typed ValueError BEFORE allocation
+    j = p.index(b"\xff\xc0")
+    p3 = bytearray(p)
+    struct.pack_into(">HH", p3, j + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="implausible"):
+        decode_jpeg_planes(bytes(p3))
+
+    # chroma rows with right count but wrong width -> typed ValueError
+    bad_cb = [row[:-1] for row in cb]
+    with pytest.raises(ValueError, match="chroma planes"):
+        encode_jpeg_ycbcr(img, bad_cb, cb, (2, 2))

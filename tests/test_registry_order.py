@@ -130,3 +130,17 @@ def test_rotation_key_regressed_regime():
     # once re-verified green, it rejoins the staleness rotation normally
     green2 = {"regressed": 9, "healthy": 4}
     assert rotation_key("regressed", v, latest, green2) > k_healthy
+
+
+def test_rotation_key_rows_only_saturation_regime():
+    # four rows-only (0.25) samples sum to eff = 1.0 with NO green round:
+    # the name must stay in the leading bucket (after live regressions,
+    # before every healthy hash-green query) — not read as "regressed" and
+    # not rotate like a green one (round-9 review finding)
+    v = {"rowsonly4": 1.0, "healthy": 1.0, "regressed": 2.0}
+    latest = {"rowsonly4": 8, "healthy": 8, "regressed": 8}
+    green = {"healthy": 8, "regressed": 6}  # rowsonly4 never green
+    k_rows = rotation_key("rowsonly4", v, latest, green)
+    k_heal = rotation_key("healthy", v, latest, green)
+    k_regr = rotation_key("regressed", v, latest, green)
+    assert k_regr < k_rows < k_heal
