@@ -64,12 +64,18 @@ FEATURES: tuple[tuple[str, str], ...] = (
 LABEL = "CAST(CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END AS BIGINT)"
 
 
-def _p_expr(weights: list[int], idiv: str) -> str:
+def _p_expr(
+    weights: list[int],
+    idiv: str,
+    features: tuple[tuple[str, str], ...] = FEATURES,
+) -> str:
     """Fixed-point fast-sigmoid probability (scale WS) with the CURRENT
     weights inlined as literals. ``idiv`` is the engine's integer-division
     operator (Spark ``DIV``, DuckDB ``//``); every division here has
-    non-negative operands, so truncating and flooring division agree."""
-    z = " + ".join(f"({w} * {name})" for (name, _), w in zip(FEATURES, weights))
+    non-negative operands, so truncating and flooring division agree.
+    ``features`` defaults to the orders feature map; the quality-filter
+    pipeline (operators/qualityfilter.py) passes its own."""
+    z = " + ".join(f"({w} * {name})" for (name, _), w in zip(features, weights))
     return (
         f"(({WS} + (CASE WHEN ({z}) >= 0 THEN 1 ELSE -1 END) * "
         f"((ABS({z}) * {WS}) {idiv} ({WS} + ABS({z})))) {idiv} 2)"
