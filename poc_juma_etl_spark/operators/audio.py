@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from .multimodal import WAV_MIX, encode_wav_pcm16
+from .multimodal import WAV_MIX, encode_wav_pcm16, wav_sample_sql
 
 FRAME = 32  # samples per analysis frame (hop == frame: non-overlapping)
 N_BASE, N_MOD = 96, 160  # n_samples = N_BASE + doc_id % N_MOD  (3..8 frames)
@@ -139,8 +139,8 @@ AUDIO_ORACLE = f"""
     e AS (SELECT doc_id, sr, n, unnest(range(0, n)) AS i FROM p),
     s AS (
       SELECT doc_id, sr, n, i, i // {FRAME} AS frame,
-             CAST((i * (doc_id + 7) * {WAV_MIX}) % 65536 - 32768 AS BIGINT) AS v,
-             CAST(((i + 1) * (doc_id + 7) * {WAV_MIX}) % 65536 - 32768 AS BIGINT) AS vn
+             CAST({wav_sample_sql('i')} - 32768 AS BIGINT) AS v,
+             CAST({wav_sample_sql('(i + 1)')} - 32768 AS BIGINT) AS vn
       FROM e
     ),
     f AS (

@@ -2017,6 +2017,20 @@ def q_multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 WAV_MIX = 2654435761  # Knuth multiplicative-hash constant
 
 
+def wav_sample_sql(i_expr: str) -> str:
+    """SQL for the unsigned WAV sample ``(i·(doc_id+7)·WAV_MIX) % 65536``
+    with every operand mod-reduced BEFORE multiplying: the raw triple
+    product overflows DuckDB's INT64 once doc_id exceeds ~1.36e7 (a loud
+    'Overflow in multiplication' at large scale factors), while the
+    mod-reduced form is congruent mod 65536 and keeps every intermediate
+    under 2^32. The Spark-side kernels compute the same value in
+    arbitrary-precision Python, so this is oracle-side hygiene only."""
+    return (
+        f"((((({i_expr}) % 65536) * ((doc_id + 7) % 65536)) % 65536) "
+        f"* {WAV_MIX % 65536}) % 65536"
+    )
+
+
 def synth_media(doc_id: int) -> bytes:
     """Even doc_id → PNG gradient pixel(x,y) = (x + 3y + doc_id) % 256 at
     (16 + id%16) × (8 + id%8); odd → PCM16 integer-noise track
@@ -2087,7 +2101,7 @@ def decode_media(df: DataFrame) -> DataFrame:
     we AS (SELECT doc_id, sr, n, unnest(range(0, n)) AS i FROM wav),
     wsum AS (
       SELECT doc_id, MAX(sr) AS sr, MAX(n) AS n,
-             CAST(SUM(POWER((i * (doc_id + 7) * {WAV_MIX}) % 65536 - 32768, 2))
+             CAST(SUM(POWER({wav_sample_sql("i")} - 32768, 2))
                   AS BIGINT) AS sq
       FROM we GROUP BY doc_id
     )
@@ -2148,7 +2162,7 @@ N_BINFILES = 200
     we AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM wav),
     wsum AS (
       SELECT doc_id, MAX(n) AS units,
-             CAST(SUM(POWER((i * (doc_id + 7) * {WAV_MIX}) % 65536 - 32768, 2))
+             CAST(SUM(POWER({wav_sample_sql("i")} - 32768, 2))
                   AS BIGINT) AS csum
       FROM we GROUP BY doc_id
     ),

@@ -137,12 +137,17 @@ def pca_oracle_sql(steps: int = STEPS) -> str:
             f"p{i} AS (SELECT {qs}, {_sdiv_sql('s', SDIV, '//')} AS sp, "
             f"{_sdiv_sql('s', RDIV, '//')} AS sr FROM ps{i})"
         )
+        # COALESCE: SUM over zero rows is NULL in DuckDB and would poison
+        # ray/mx and every v component on an empty embeddings table, while
+        # the Spark side coalesces to integer zeros (`int(r[...] or 0)`) —
+        # the logreg nn.n = 0 bug class (round-9 advice)
         g_cols = ",\n            ".join(
-            f"CAST(SUM(q{j} * sp) AS BIGINT) AS g{j}" for j in range(DIM)
+            f"CAST(COALESCE(SUM(q{j} * sp), 0) AS BIGINT) AS g{j}"
+            for j in range(DIM)
         )
         parts.append(
             f"g{i} AS MATERIALIZED (\n        SELECT {g_cols},\n"
-            f"            CAST(SUM(sr * sr) AS BIGINT) AS ray FROM p{i})"
+            f"            CAST(COALESCE(SUM(sr * sr), 0) AS BIGINT) AS ray FROM p{i})"
         )
         greatest = ", ".join(f"ABS(g{j})" for j in range(DIM))
         parts.append(f"m{i} AS (SELECT GREATEST({greatest}) AS mx, ray FROM g{i})")

@@ -125,7 +125,12 @@ def test_pca_energy_grows_on_real_table(spark):
     assert all(b >= a * 0.999 for a, b in zip(quotients, quotients[1:])), quotients
 
 
-def test_pca_empty_input(spark, tmp_path):
+def test_pca_empty_input_matches_oracle(spark, tmp_path):
+    """Empty embeddings: the Spark trace (zero ray/mx/components) must
+    hash-match the DuckDB replay too — the oracle's SUM-over-nothing NULLs
+    previously propagated through GREATEST and the sign-split division
+    (round-9 advice, the logreg nn.n = 0 bug class); the registered gate
+    runs exactly this comparison on a filtered-empty input."""
     empty = str(tmp_path / "sf_empty")
     spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(0).write.parquet(
         f"{empty}/embeddings.parquet"
@@ -133,3 +138,12 @@ def test_pca_empty_input(spark, tmp_path):
     rows = pca_power_iteration(spark, empty, steps=2).collect()
     assert len(rows) == 2
     assert all(r.ray == 0 and r.mx == 0 for r in rows)
+    con = duckdb.connect()
+    # an empty Spark write leaves no part files for DuckDB's glob; the
+    # equivalent zero-row relation is a filtered-empty view
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMOKE}/embeddings.parquet' "
+        "WHERE 1 = 0"
+    )
+    want = [tuple(r) for r in con.execute(pca_oracle_sql(steps=2)).fetchall()]
+    assert [tuple(r) for r in rows] == want
