@@ -415,6 +415,14 @@ def all_queries():
         "poc_juma_etl_spark.operators.entity",
         "poc_juma_etl_spark.operators.basket",
         "poc_juma_etl_spark.operators.compact",
+        "poc_juma_etl_spark.operators.logreg",
+        "poc_juma_etl_spark.operators.pca",
+        "poc_juma_etl_spark.operators.kmv",
+        "poc_juma_etl_spark.operators.audio",
+        "poc_juma_etl_spark.operators.video",
+        "poc_juma_etl_spark.operators.qualityfilter",
+        "poc_juma_etl_spark.plans.ivm",
+        "poc_juma_etl_spark.streaming.sketch",
         "poc_juma_etl_spark.streaming.events",
         "poc_juma_etl_spark.streaming.join",
         "poc_juma_etl_spark.streaming.enrich",

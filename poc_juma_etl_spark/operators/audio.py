@@ -160,3 +160,29 @@ AUDIO_ORACLE = f"""
            CAST(MAX(fe) AS BIGINT) AS frame_energy_max
     FROM f GROUP BY doc_id ORDER BY doc_id
     """
+
+
+def _register_audio_gate() -> None:
+    """Round-10 driver-gate registration (deferred to module end: the
+    oracle literal is defined below the query function)."""
+    from ..plans.queries import register
+
+    register(
+        "q_multimodal_audio_features",
+        oracle=AUDIO_ORACLE,
+        doc="Audio frame-feature extraction over a REAL RIFF parse — the "
+        "feature-extract stage after WAV decode: a spec-valid PCM16 WAV "
+        "is synthesized per document, a second kernel that knows nothing "
+        "of the generator parses the container (stdlib wave + struct) "
+        "and computes 32-sample framed energy / zero-crossings / peak in "
+        "vectorized int64 numpy, rolled up per document. Integer-exact "
+        "end to end, so the DuckDB oracle replays the closed-form sample "
+        "definition and hash-matches value for value — a flipped bit in "
+        "the encoder, the RIFF parse, or the framing hash-fails. Scale "
+        "shape: two Arrow-batched narrow maps, decode parallelism = "
+        "partition count, no shuffle before the final ORDER BY.",
+        tags=("multimodal", "pandas-udf", "audio", "features"),
+    )(q_multimodal_audio_features)
+
+
+_register_audio_gate()

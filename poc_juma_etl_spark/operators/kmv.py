@@ -97,6 +97,29 @@ def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setops_result(spark, sf_dir, ska, skb)
 
 
+def _register_kmv_gate() -> None:
+    """Deferred registration (KMV_ORACLE is defined at the bottom of the
+    module; the gate registers once both halves exist)."""
+    from ..plans.queries import register
+
+    register(
+        "q_sketch_kmv_setops",
+        oracle=KMV_ORACLE,
+        doc="KMV/theta bottom-k distinct sketch with UNION, INTERSECTION "
+        "and DIFFERENCE estimates — the set algebra HLL cannot do "
+        "(Beyer et al. SIGMOD'07 / theta-sketch inclusion-exclusion on "
+        "the union's theta). Hash is a portable 44-bit md5 slice, so "
+        "every estimate is deterministic and the DuckDB oracle "
+        "value-hash-matches ALL estimates plus exact ground truth — not "
+        "an error-bound verdict. Scale shape: each sketch is one "
+        "hash-partitioned DISTINCT + TakeOrderedAndProject bottom-k "
+        "(per-partition k-merge, driver sees k rows); set algebra runs "
+        "on two k-sized lists driver-side. Streaming twin: "
+        "q_stream_kmv_sketch maintains the same sketches per micro-batch.",
+        tags=("sketch", "distinct", "setops", "kmv"),
+    )(q_sketch_kmv_setops)
+
+
 def setops_result(
     spark: SparkSession, sf_dir: str, ska: list[int], skb: list[int]
 ) -> DataFrame:
@@ -221,3 +244,6 @@ KMV_ORACLE = f"""
       UNION ALL SELECT 'theta_union', theta_u FROM est
     ) ORDER BY measure
     """
+
+
+_register_kmv_gate()

@@ -184,3 +184,31 @@ def logreg_oracle_sql(steps: int = STEPS) -> str:
         + ", ".join(f"w_{name}" for name, _ in FEATURES)
         + f" FROM (\n    {selects}\n    ) ORDER BY step"
     )
+
+
+# ---------------------------------------------------------------------------
+# driver gate (round-10 registration of the round-9 queue)
+
+from ..plans.queries import register  # noqa: E402  (after the helpers it wraps)
+
+
+@register(
+    "q_logreg_gd",
+    oracle=logreg_oracle_sql(),
+    doc="Distributed full-batch logistic regression by INTEGER fixed-point "
+    "gradient descent over orders — the train-a-quality-classifier shape "
+    "of an LLM data pipeline. Each of the 6 steps is one column-pruned "
+    "scan + one map-side-combined aggregation (per-feature gradient sums "
+    "+ squared error + accuracy + n in the same pass); the weight vector "
+    "lives on the driver and enters the next step as constant-folded "
+    "literals. The rational fast-sigmoid and sign-split truncating "
+    "division keep every intermediate an exact bigint, so the DuckDB "
+    "oracle replays the identical steps as an unrolled CTE chain and the "
+    "gate is value-hash equality on the full training trace — not "
+    "approximate convergence. Scale shape: K passes over a 4-int "
+    "projection, no shuffle wider than the aggregation partial-merge, "
+    "driver state = the weight vector.",
+    tags=("ml", "training", "fixed-point", "gradient-descent"),
+)
+def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return logreg_gd(spark, sf_dir)

@@ -2366,3 +2366,148 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("keeper_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# progressive-JPEG driver gate (round-10 registration of the round-9 queue):
+# the Annex-G multi-scan decoder (_decode_jpeg_progressive) and its encoder
+# twin get their own value-hash gate, alternating grayscale and 4:2:0 color
+# so both progressive component paths (interleaved DC scans, single-
+# component spectral/refinement AC scans) are driver-verified.
+
+JPEG_PROG_SCHEMA = (
+    "doc_id long, media_kind string, width long, height long, "
+    "y_sum long, cb_sum long, cr_sum long"
+)
+
+
+def synth_jpeg_prog_media(doc_id: int) -> bytes:
+    """Even doc_id: grayscale progressive JPEG at 8·(2+id%4) × 8·(1+id%3),
+    luma block (bx,by) = (7bx+5by+id)%256. Odd: 4:2:0 color progressive at
+    16·(1+id%3) × 16·(1+id%2); luma block (7bx+5by+3id)%256 on the 8-px
+    grid, chroma-grid blocks (11bx+3by+7id)%256 (Cb) / (13bx+9by+id)%256
+    (Cr). Block-constant content at block-aligned dimensions keeps the
+    DC-step-8 quantizer exact (synth_jpeg_media docstring), and the
+    progressive encoder transmits the SAME quantized coefficients as the
+    baseline one (encode_jpeg_progressive docstring, bit-exactness pinned
+    in tests/test_m4_operators.py) — so the multi-scan decode roundtrips
+    bit-for-bit and the plane sums have a closed-form SQL oracle. The
+    content formulas deliberately differ from the baseline/420 gates'
+    fixtures, so a fixture mix-up hash-fails."""
+    if doc_id % 2 == 0:
+        w, h = 8 * (2 + doc_id % 4), 8 * (1 + doc_id % 3)
+        y = [
+            bytes((7 * (x // 8) + 5 * (yy // 8) + doc_id) % 256 for x in range(w))
+            for yy in range(h)
+        ]
+        return encode_jpeg_progressive(y)
+    w, h = 16 * (1 + doc_id % 3), 16 * (1 + doc_id % 2)
+    y = [
+        bytes((7 * (x // 8) + 5 * (yy // 8) + 3 * doc_id) % 256 for x in range(w))
+        for yy in range(h)
+    ]
+    cb = [
+        bytes((11 * (x // 8) + 3 * (yy // 8) + 7 * doc_id) % 256 for x in range(w // 2))
+        for yy in range(h // 2)
+    ]
+    cr = [
+        bytes((13 * (x // 8) + 9 * (yy // 8) + doc_id) % 256 for x in range(w // 2))
+        for yy in range(h // 2)
+    ]
+    return encode_jpeg_progressive(y, cb, cr, sampling=(2, 2))
+
+
+def jpeg_prog_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: synthesize a progressive JPEG per item, verify
+    it really is SOF2 (the gate must never silently test the baseline
+    path), stdlib-decode all planes, reduce each to its pixel sum."""
+    for pdf in batches:
+        recs = []
+        for doc_id in pdf["doc_id"]:
+            payload = synth_jpeg_prog_media(int(doc_id))
+            if b"\xff\xc2" not in payload:  # SOF2 marker
+                raise ValueError("fixture is not a progressive (SOF2) JPEG")
+            w, h, planes = decode_jpeg_planes(payload)
+            gray = len(planes) == 1
+            recs.append(
+                {
+                    "doc_id": doc_id,
+                    "media_kind": "jpeg-prog-gray" if gray else "jpeg-prog-420",
+                    "width": w,
+                    "height": h,
+                    "y_sum": sum(sum(ln) for ln in planes[0]),
+                    "cb_sum": None if gray else sum(sum(ln) for ln in planes[1]),
+                    "cr_sum": None if gray else sum(sum(ln) for ln in planes[2]),
+                }
+            )
+        yield pd.DataFrame.from_records(recs)
+
+
+@register(
+    "q_multimodal_jpeg_prog_decode",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 2 + doc_id % 4 AS nbx, 1 + doc_id % 3 AS nby
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    g1 AS (SELECT doc_id, nbx, nby, unnest(range(0, nbx)) AS bx FROM g),
+    g2 AS (SELECT doc_id, nbx, nby, bx, unnest(range(0, nby)) AS by FROM g1),
+    gsum AS (
+      SELECT doc_id, MAX(nbx) * 8 AS w, MAX(nby) * 8 AS h,
+             64 * SUM((7 * bx + 5 * by + doc_id) % 256) AS y_sum
+      FROM g2 GROUP BY doc_id
+    ),
+    c AS (
+      SELECT doc_id, 2 * (1 + doc_id % 3) AS nbx, 2 * (1 + doc_id % 2) AS nby
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    c1 AS (SELECT doc_id, nbx, nby, unnest(range(0, nbx)) AS bx FROM c),
+    c2 AS (SELECT doc_id, nbx, nby, bx, unnest(range(0, nby)) AS by FROM c1),
+    csum AS (
+      SELECT doc_id, MAX(nbx) * 8 AS w, MAX(nby) * 8 AS h,
+             64 * SUM((7 * bx + 5 * by + 3 * doc_id) % 256) AS y_sum,
+             256 * SUM(CASE WHEN bx < nbx // 2 AND by < nby // 2
+                  THEN (11 * bx + 3 * by + 7 * doc_id) % 256 ELSE 0 END)
+               AS cb_sum,
+             256 * SUM(CASE WHEN bx < nbx // 2 AND by < nby // 2
+                  THEN (13 * bx + 9 * by + doc_id) % 256 ELSE 0 END)
+               AS cr_sum
+      FROM c2 GROUP BY doc_id
+    )
+    SELECT doc_id, 'jpeg-prog-gray' AS media_kind,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(y_sum AS BIGINT) AS y_sum,
+           CAST(NULL AS BIGINT) AS cb_sum, CAST(NULL AS BIGINT) AS cr_sum
+    FROM gsum
+    UNION ALL
+    SELECT doc_id, 'jpeg-prog-420', CAST(w AS BIGINT), CAST(h AS BIGINT),
+           CAST(y_sum AS BIGINT), CAST(cb_sum AS BIGINT), CAST(cr_sum AS BIGINT)
+    FROM csum
+    ORDER BY doc_id
+    """,
+    doc="REAL progressive (SOF2, Annex G) JPEG decode, value-hash-gated: "
+    "a spec-valid multi-scan progressive JPEG — interleaved DC scans "
+    "with successive approximation, single-component spectral-selection "
+    "AC first scans, AC refinement scans with EOBRUN — is synthesized "
+    "per document (grayscale for even ids, 4:2:0 YCbCr for odd, the "
+    "classic libjpeg scan script) and decoded by the pure-stdlib "
+    "progressive decoder: coefficients accumulate per component across "
+    "scans, dequant + IDCT run once at EOI, subsampled chroma "
+    "box-upsamples to full resolution. Block-constant fixtures at "
+    "block-aligned dimensions keep the DC-step-8 quantizer exact and "
+    "the progressive encoder transmits exactly the baseline encoder's "
+    "quantized coefficients, so the lossy multi-scan codec roundtrips "
+    "bit-for-bit and DuckDB computes every plane sum in closed form. "
+    "The kernel additionally asserts the SOF2 marker, so the gate can "
+    "never silently degrade to the baseline path. Scale shape: one "
+    "narrow Arrow map over doc_id, decode parallelism = partition "
+    "count, zero shuffles before the final sort.",
+    tags=("multimodal", "pandas-udf", "decode", "jpeg", "progressive"),
+)
+def q_multimodal_jpeg_prog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import spread
+
+    # spread(): the single-file fixture scan yields one input partition and
+    # the codec is CPU-bound Python — at 100 TB the scan has real splits
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+    return d.mapInPandas(jpeg_prog_kernel, schema=JPEG_PROG_SCHEMA).orderBy("doc_id")

@@ -172,3 +172,30 @@ def pca_oracle_sql(steps: int = STEPS) -> str:
         + f"\n    SELECT CAST(step AS INTEGER) AS step, ray, mx, {v_names} FROM (\n"
         + f"    {selects}\n    ) ORDER BY step"
     )
+
+
+# ---------------------------------------------------------------------------
+# driver gate (round-10 registration of the round-9 queue)
+
+from ..plans.queries import register  # noqa: E402  (after the helpers it wraps)
+
+
+@register(
+    "q_pca_power_iteration",
+    oracle=pca_oracle_sql(),
+    doc="Gram-free top-principal-direction extraction by INTEGER "
+    "fixed-point power iteration over the embeddings table: each of the "
+    "4 steps computes G·v = Σ q·(qᵀv) as ONE column-pruned scan + ONE "
+    "map-side-combined aggregation (64 per-dimension sums + the Rayleigh "
+    "energy witness); the direction vector lives on the driver and "
+    "enters the next step as literals; renormalization is exact integer "
+    "max-norm. The Gram matrix is never materialized — the only shape "
+    "that survives 100 TB. DuckDB replays the identical steps as an "
+    "unrolled CTE chain; the gate is value-hash equality on the full "
+    "step trace (energy, max-gradient, all 64 components per step). "
+    "Directional correctness vs a float eigensolver is pinned in "
+    "tests/test_pca.py (|cos| > 0.99 on a planted-spike fixture).",
+    tags=("ml", "pca", "fixed-point", "vectors"),
+)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pca_power_iteration(spark, sf_dir)

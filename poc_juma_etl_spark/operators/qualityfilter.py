@@ -181,3 +181,112 @@ def quality_filter_oracle_sql(steps: int = STEPS) -> str:
            CAST(SUM({p}) AS BIGINT) AS sum_score
     FROM feats GROUP BY lang ORDER BY lang"""
     )
+
+
+# ---------------------------------------------------------------------------
+# PR-curve / threshold-sweep variant (round-9 verdict #8: pin the score
+# CALIBRATION shape, not just the fixed-threshold admission)
+
+N_BINS = 8  # score bins: LEAST(p DIV (WS/8), 7) — p spans [0, WS]
+
+
+def q_quality_filter_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-score-bin admission sweep with the trained weights: for every
+    bin, the document and positive-label counts, plus the cumulative
+    admitted/true-positive counts if the threshold were set at that bin's
+    lower edge (descending cumulative = the precision/recall curve's
+    integer numerators). The per-bin aggregation is one scan; the
+    cumulative runs driver-side over <= N_BINS rows (the bounded-collect
+    idiom — a windowless plan, since a global window would serialize the
+    corpus through one task and the registry-wide plan sweep bans it)."""
+    weights = train_quality_weights(spark, sf_dir)
+    feats = _projection(spark, sf_dir)
+    p = _p_expr(weights, "DIV", qf_features("DIV"))
+    per_bin = (
+        feats.selectExpr(f"LEAST(({p}) DIV {WS // N_BINS}, {N_BINS - 1}) AS bin", "y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .collect()
+    )
+    stats = sorted(((int(r.bin), int(r.n_docs), int(r.n_pos)) for r in per_bin),
+                   reverse=True)
+    rows, adm, tp = [], 0, 0
+    for b, nd, np_ in stats:
+        adm += nd
+        tp += np_
+        rows.append((b, nd, np_, adm, tp))
+    schema = "bin long, n_docs long, n_pos long, n_admitted long, n_tp long"
+    return spark.createDataFrame(rows, schema).orderBy("bin")
+
+
+def quality_filter_pr_oracle_sql(steps: int = STEPS) -> str:
+    """Replays the identical training chain, then the bin aggregation and
+    a descending cumulative window (oracle-side SQL is unconstrained)."""
+    full = quality_filter_oracle_sql(steps)
+    # reuse the training CTE chain: cut the final SELECT off the shared
+    # oracle and substitute the PR-curve aggregation
+    cut = full.rindex("\n    SELECT lang,")
+    head = full[:cut]
+    features = qf_features("//")
+    prev_w = [f"(SELECT w_{name} FROM s{steps})" for name, _ in features]
+    p = _p_expr(prev_w, "//", features)
+    return (
+        head
+        + f""",
+    binned AS (
+      SELECT LEAST(({p}) // {WS // N_BINS}, {N_BINS - 1}) AS bin, y
+      FROM feats
+    ),
+    per_bin AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM binned GROUP BY bin
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_pos,
+           CAST(SUM(n_docs) OVER (ORDER BY bin DESC) AS BIGINT) AS n_admitted,
+           CAST(SUM(n_pos) OVER (ORDER BY bin DESC) AS BIGINT) AS n_tp
+    FROM per_bin ORDER BY bin"""
+    )
+
+
+def _register_quality_gates() -> None:
+    from ..plans.queries import register
+
+    register(
+        "q_quality_filter",
+        oracle=quality_filter_oracle_sql(),
+        doc="Model-based corpus quality filtering end to end (the "
+        "CCNet / fastText-filter pipeline shape): TRAIN a fixed-point "
+        "logistic-regression classifier on weak rule labels over the "
+        "documents table (6 full-batch GD steps, each one column-pruned "
+        "scan + one map-side-combined aggregation, weights driver-side "
+        "as literals), SCORE the corpus with the learned weights in one "
+        "in-row expression, FILTER at p >= 1/2, and report per-language "
+        "admission statistics. Integer fixed-point throughout, so the "
+        "DuckDB oracle replays training AND scoring as an unrolled CTE "
+        "chain — full value-hash equality. The en*length interaction "
+        "feature lets squared-loss GD learn the conjunction rule "
+        "(without it training parks on the majority plateau — module "
+        "docstring). Scale: K+1 passes over a 3-column projection, no "
+        "shuffle beyond the per-language aggregation.",
+        tags=("ml", "quality", "filter", "training"),
+    )(q_quality_filter)
+    register(
+        "q_quality_filter_pr_curve",
+        oracle=quality_filter_pr_oracle_sql(),
+        doc="Threshold sweep over the trained quality filter's score "
+        "bins: per-bin doc/positive counts plus descending-cumulative "
+        "admitted/true-positive counts — the integer numerators of the "
+        "precision/recall curve at every candidate threshold, pinning "
+        "the score CALIBRATION shape, not just one operating point. "
+        "Same training chain as q_quality_filter; the sweep adds one "
+        "groupBy over 8 bins and a driver-side cumulative over <= 8 "
+        "rows (bounded collect — no global window).",
+        tags=("ml", "quality", "filter", "eval"),
+    )(q_quality_filter_pr_curve)
+
+
+_register_quality_gates()

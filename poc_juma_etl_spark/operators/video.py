@@ -358,3 +358,30 @@ VIDEO_ORACLE = f"""
     GROUP BY p.doc_id, w, h, n, usec
     ORDER BY p.doc_id
     """
+
+
+def _register_video_gate() -> None:
+    """Round-10 driver-gate registration (deferred to module end: the
+    oracle literal is defined below the query function)."""
+    from ..plans.queries import register
+
+    register(
+        "q_multimodal_video_frames",
+        oracle=VIDEO_ORACLE,
+        doc="VIDEO container decode + frame sampling over a REAL AVI "
+        "parser: a spec-valid uncompressed-DIB AVI (RIFF hdrl/movi/idx1) "
+        "is synthesized per document; an INDEPENDENT chunk-walk decoder "
+        "parses headers, enforces the 24bpp/BI_RGB contract, strips row "
+        "padding, flips bottom-up rows, cross-checks idx1 when present, "
+        "then every 2nd frame is sampled and reduced to integer features "
+        "— including a row-weighted sum that is deliberately "
+        "orientation-sensitive, so a missed bottom-up flip hash-fails. "
+        "The DuckDB oracle replays the closed-form frame content; a "
+        "flipped bit anywhere in encode, walk, stride strip, flip, or "
+        "sampling hash-fails. Scale shape: two Arrow-batched narrow "
+        "maps, decode parallelism = partition count.",
+        tags=("multimodal", "pandas-udf", "video", "decode"),
+    )(q_multimodal_video_frames)
+
+
+_register_video_gate()

@@ -112,3 +112,27 @@ IVM_JOIN_ORACLE = f"""
     FROM orders o JOIN cust_new cn ON cn.c_custkey = o.o_custkey
     ORDER BY o.o_orderkey
     """
+
+
+def _register_ivm_gate() -> None:
+    from .queries import register
+
+    register(
+        "etl_incremental_join_e2e",
+        oracle=IVM_JOIN_ORACLE,
+        doc="Incremental JOIN-view maintenance end to end: a materialized "
+        "orders-customer join view is kept current under BOTH change "
+        "kinds — dimension-attribute updates repaired FROM THE VIEW "
+        "ITSELF (broadcast anti/semi split by changed key + re-join of "
+        "only the touched rows; the fact table is never rescanned — the "
+        "Gupta-Mumick delta rule), and fact-delta inserts appended via a "
+        "delta-sized join against the broadcast dimension. The DuckDB "
+        "oracle performs the full recompute the maintained view must be "
+        "indistinguishable from — row-for-row hash equality. At 100 TB: "
+        "view bucketed by join key makes the changed-key split "
+        "partition-pruned; the base join runs exactly once at creation.",
+        tags=("etl", "ivm", "join", "incremental"),
+    )(etl_incremental_join_e2e)
+
+
+_register_ivm_gate()

@@ -155,3 +155,31 @@ def q_stream_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     coming from the incremental stream instead of one batch pass."""
     sk = stream_kmv_state(spark, sf_dir)
     return setops_result(spark, sf_dir, sk["a"], sk["b"])
+
+
+def _register_stream_kmv_gate() -> None:
+    """Round-10 registration: batch-equality IS the gate — the stream
+    maintains the same bottom-k sketches the one-pass batch SQL computes,
+    so the oracle is exactly operators/kmv.KMV_ORACLE."""
+    from ..operators.kmv import KMV_ORACLE
+    from ..plans.queries import register
+
+    register(
+        "q_stream_kmv_sketch",
+        oracle=KMV_ORACLE,
+        doc="Streaming KMV sketch maintenance: the orders table arrives "
+        "as a file stream (maxFilesPerTrigger=1, availableNow) and "
+        "foreachBatch merges each micro-batch's per-segment bottom-k "
+        "hashes into a bounded 2k-row state table (atomic directory "
+        "swap, crash-safe); the final sketches feed the same set-algebra "
+        "estimates as the batch twin q_sketch_kmv_setops, and the gate "
+        "is batch equality — the stream must land value-for-value on "
+        "the one-pass batch SQL's output (micro-batch slicing invariance "
+        "is separately property-tested). State is bounded at 2k rows "
+        "regardless of stream length — the 100 TB shape for distinct "
+        "counting over unbounded arrivals.",
+        tags=("streaming", "sketch", "kmv", "stateful"),
+    )(q_stream_kmv_sketch)
+
+
+_register_stream_kmv_gate()

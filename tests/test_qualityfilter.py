@@ -59,3 +59,35 @@ def test_quality_filter_empty_input(spark, tmp_path):
         f"{empty}/documents.parquet"
     )
     assert q_quality_filter(spark, empty).count() == 0
+
+
+def test_pr_curve_matches_duckdb_oracle(spark):
+    from poc_juma_etl_spark.operators.qualityfilter import (
+        q_quality_filter_pr_curve,
+        quality_filter_pr_oracle_sql,
+    )
+
+    got = [tuple(r) for r in q_quality_filter_pr_curve(spark, SF_ORACLE).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_ORACLE}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(quality_filter_pr_oracle_sql()).fetchall()]
+    assert got == want
+    # calibration-shape invariants: cumulative counts decrease with the
+    # threshold bin; the bottom bin's cumulative equals the corpus totals
+    assert got, "sweep must produce at least one bin"
+    n_adm = [r[3] for r in got]
+    assert n_adm == sorted(n_adm, reverse=True)
+    assert got[0][3] == sum(r[1] for r in got)
+    assert got[0][4] == sum(r[2] for r in got)
+
+
+def test_pr_curve_empty_input(spark, tmp_path):
+    from poc_juma_etl_spark.operators.qualityfilter import q_quality_filter_pr_curve
+
+    empty = str(tmp_path / "sf_empty")
+    spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(0).write.parquet(
+        f"{empty}/documents.parquet"
+    )
+    assert q_quality_filter_pr_curve(spark, empty).collect() == []

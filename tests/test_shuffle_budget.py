@@ -44,6 +44,21 @@ BUDGETS = {
     # payload bytes ever enter an Exchange (decode stays in the Arrow map)
     "q_multimodal_jpeg_decode": 20_000,
     "q_multimodal_jpeg420_decode": 20_000,
+    # round-10 registrations (measured 2026-08, round 10, same rig):
+    # kmv 89.8 KB (two DISTINCT aggregations + exact ground-truth agg);
+    # quality filter 1.4 KB / PR curve 1.1 KB (per-language / per-bin agg
+    # rows only — training passes shuffle NOTHING, the gradient rides a
+    # map-side-combined aggregate); IVM join 197 KB (view writes + final
+    # sort; the dim repair must stay broadcast — a sort-merge regression
+    # would blow straight through 2x); decode-family gates 15-24 KB
+    # (500-row stat exchanges, zero payload bytes)
+    "q_sketch_kmv_setops": 200_000,
+    "q_quality_filter": 10_000,
+    "q_quality_filter_pr_curve": 10_000,
+    "etl_incremental_join_e2e": 450_000,
+    "q_multimodal_jpeg_prog_decode": 50_000,
+    "q_multimodal_audio_features": 35_000,
+    "q_multimodal_video_frames": 45_000,
 }
 
 

@@ -170,3 +170,16 @@ def test_avi_roundtrip_property_sweep():
                     )
 
     check()
+
+
+def test_idx1_absent_is_tolerated():
+    """Real-world AVIs frequently omit idx1; the decoder's pure movi
+    chunk-walk must accept index-absent files and produce the identical
+    decode (round-9 verdict #7 — the cross-check is when-present only)."""
+    for doc_id in range(9):
+        payload = bytearray(encode_avi_rgb24(doc_id))
+        full = decode_avi(bytes(payload))
+        i = payload.rindex(b"idx1")
+        stripped = bytearray(payload[:i])  # idx1 is the final top-level chunk
+        struct.pack_into("<I", stripped, 4, len(stripped) - 8)  # RIFF size
+        assert decode_avi(bytes(stripped)) == full
