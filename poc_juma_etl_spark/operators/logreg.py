@@ -130,31 +130,82 @@ def logreg_gd(spark: SparkSession, sf_dir: str, steps: int = STEPS) -> DataFrame
     return spark.createDataFrame(rows, schema).orderBy("step")
 
 
-def logreg_oracle_sql(steps: int = STEPS) -> str:
+def logreg_oracle_sql(
+    steps: int = STEPS,
+    features: tuple[tuple[str, str], ...] = FEATURES,
+    feats_cte: str | None = None,
+) -> str:
     """The identical K steps as a DuckDB CTE chain: metric CTE ``m{i}``
     aggregates with the weights entering step i (zero for step 1); weight
     CTE ``s{i}`` applies the exact integer update. Every output is cast to
     BIGINT (DuckDB widens integer SUMs to HUGEINT) so the schema matches
-    the Spark side column for column."""
+    the Spark side column for column.
 
-    feat_cols = ",\n        ".join(f"{expr} AS {name}" for name, expr in FEATURES)
+    Weights from step i-1 enter step i's per-row expression by CROSS-
+    JOINING the one-row ``s{i-1}`` CTE into the scan (``FROM feats,
+    s{i-1}``) and referencing its columns — the pca_oracle_sql idiom.
+    The original scalar-subquery form (``(SELECT w FROM s{i-1})`` inlined
+    ~40x per row expression) re-evaluated per ROW in DuckDB: the sf1
+    replay that took the pca oracle seconds ran >25 minutes with
+    unbounded memory growth before the round-10 rewrite.
+
+    ``features``/``feats_cte`` parameterize the chain for reuse by the
+    quality-filter oracle (its own projection over documents)."""
+
+    feat_cols = ",\n        ".join(f"{expr} AS {name}" for name, expr in features)
+    if feats_cte is None:
+        feats_cte = (
+            f"feats AS MATERIALIZED (\n        SELECT {feat_cols},"
+            f"\n        {LABEL} AS y FROM orders)"
+        )
+    parts, prev_w, prev_from = training_chain_sql(steps, features, feats_cte)
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, "
+        f"CAST(COALESCE(m{i}.sq, 0) AS BIGINT) AS sq_err, "
+        f"CAST(COALESCE(m{i}.correct, 0) AS BIGINT) AS n_correct, "
+        + ", ".join(f"s{i}.w_{name} AS w_{name}" for name, _ in features)
+        + f" FROM m{i}, s{i}"
+        for i in range(1, steps + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    SELECT CAST(step AS INTEGER) AS step, sq_err, n_correct, "
+        + ", ".join(f"w_{name}" for name, _ in features)
+        + f" FROM (\n    {selects}\n    ) ORDER BY step"
+    )
+
+
+def training_chain_sql(
+    steps: int,
+    features: tuple[tuple[str, str], ...],
+    feats_cte: str,
+) -> tuple[list[str], list[str], str]:
+    """Build the K-step training CTE chain over a caller-supplied ``feats``
+    CTE (columns: the feature names + ``y``). Returns (CTE parts, the
+    final-weight column references, the FROM clause that scores ``feats``
+    with those weights) — shared by the logreg gate and the quality-filter
+    pipeline's oracles."""
     parts = [
-        f"feats AS MATERIALIZED (\n        SELECT {feat_cols},\n        {LABEL} AS y FROM orders)",
+        feats_cte,
         "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM feats)",
     ]
-    prev_w = ["CAST(0 AS BIGINT)"] * len(FEATURES)
+    prev_w = ["CAST(0 AS BIGINT)"] * len(features)
+    prev_from = "feats"
     for i in range(1, steps + 1):
-        p = _p_expr(prev_w, "//")
+        p = _p_expr(prev_w, "//", features)
         err = f"({p} - y * {WS})"
         g_cols = ",\n            ".join(
-            f"SUM({err} * {name}) AS g_{name}" for name, _ in FEATURES
+            f"SUM({err} * {name}) AS g_{name}" for name, _ in features
         )
         parts.append(
             f"m{i} AS MATERIALIZED (\n        SELECT {g_cols},\n"
             f"            SUM({err} * {err}) AS sq,\n"
             f"            SUM(CASE WHEN ({p} >= {WS // 2}) = (y = 1) THEN 1 ELSE 0 END) AS correct\n"
-            f"        FROM feats)"
+            f"        FROM {prev_from})"
         )
+        # the update needs m{i}, nn, and (for i >= 2) the one-row s{i-1}
+        upd_from = f"m{i}, nn" if i == 1 else f"m{i}, nn, s{i - 1}"
         w_cols = ",\n            ".join(
             # nn.n = 0 keeps the entering weights (the Spark side skips the
             # update on an empty table; DuckDB's x // 0 would yield NULL and
@@ -164,26 +215,14 @@ def logreg_oracle_sql(steps: int = STEPS) -> str:
             f"THEN ({pw}) - (ABS(m{i}.g_{name}) // ({LR_DEN} * nn.n)) "
             f"ELSE ({pw}) + (ABS(m{i}.g_{name}) // ({LR_DEN} * nn.n)) END "
             f"AS BIGINT) AS w_{name}"
-            for (name, _), pw in zip(FEATURES, prev_w)
+            for (name, _), pw in zip(features, prev_w)
         )
-        parts.append(f"s{i} AS MATERIALIZED (\n        SELECT {w_cols} FROM m{i}, nn)")
-        prev_w = [f"(SELECT w_{name} FROM s{i})" for name, _ in FEATURES]
-    selects = "\n    UNION ALL ".join(
-        f"SELECT {i} AS step, "
-        f"CAST(COALESCE((SELECT sq FROM m{i}), 0) AS BIGINT) AS sq_err, "
-        f"CAST(COALESCE((SELECT correct FROM m{i}), 0) AS BIGINT) AS n_correct, "
-        + ", ".join(
-            f"(SELECT w_{name} FROM s{i}) AS w_{name}" for name, _ in FEATURES
+        parts.append(
+            f"s{i} AS MATERIALIZED (\n        SELECT {w_cols} FROM {upd_from})"
         )
-        for i in range(1, steps + 1)
-    )
-    return (
-        "WITH "
-        + ",\n    ".join(parts)
-        + "\n    SELECT CAST(step AS INTEGER) AS step, sq_err, n_correct, "
-        + ", ".join(f"w_{name}" for name, _ in FEATURES)
-        + f" FROM (\n    {selects}\n    ) ORDER BY step"
-    )
+        prev_w = [f"s{i}.w_{name}" for name, _ in features]
+        prev_from = f"feats, s{i}"
+    return parts, prev_w, prev_from
 
 
 # ---------------------------------------------------------------------------

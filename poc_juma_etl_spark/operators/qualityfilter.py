@@ -132,41 +132,31 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_filter_oracle_sql(steps: int = STEPS) -> str:
-    """The identical pipeline as one DuckDB statement: materialized feature
-    projection, unrolled K-step training CTE chain (the logreg oracle
-    idiom, n = 0 carrying the entering weights), then the scoring
-    aggregation with the final weights."""
+def _qf_feats_cte() -> str:
+    """The documents-table feature projection as the training chain's
+    ``feats`` CTE (keeps ``lang`` for the per-language rollup)."""
     features = qf_features("//")
     feat_cols = ",\n        ".join(f"{expr} AS {name}" for name, expr in features)
-    parts = [
+    return (
         "base AS MATERIALIZED (\n        SELECT lang, n_chars,"
         " CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok"
-        "\n        FROM documents)",
+        "\n        FROM documents),\n    "
         f"feats AS MATERIALIZED (\n        SELECT lang, {feat_cols},\n"
-        f"        {LABEL} AS y FROM base)",
-        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM feats)",
-    ]
-    prev_w = ["CAST(0 AS BIGINT)"] * len(features)
-    for i in range(1, steps + 1):
-        p = _p_expr(prev_w, "//", features)
-        err = f"({p} - y * {WS})"
-        g_cols = ",\n            ".join(
-            f"SUM({err} * {name}) AS g_{name}" for name, _ in features
-        )
-        parts.append(
-            f"m{i} AS MATERIALIZED (\n        SELECT {g_cols} FROM feats)"
-        )
-        w_cols = ",\n            ".join(
-            f"CAST(CASE WHEN nn.n = 0 THEN ({pw}) "
-            f"WHEN m{i}.g_{name} >= 0 "
-            f"THEN ({pw}) - (ABS(m{i}.g_{name}) // ({LR_DEN} * nn.n)) "
-            f"ELSE ({pw}) + (ABS(m{i}.g_{name}) // ({LR_DEN} * nn.n)) END "
-            f"AS BIGINT) AS w_{name}"
-            for (name, _), pw in zip(features, prev_w)
-        )
-        parts.append(f"s{i} AS MATERIALIZED (\n        SELECT {w_cols} FROM m{i}, nn)")
-        prev_w = [f"(SELECT w_{name} FROM s{i})" for name, _ in features]
+        f"        {LABEL} AS y FROM base)"
+    )
+
+
+def quality_filter_oracle_sql(steps: int = STEPS) -> str:
+    """The identical pipeline as one DuckDB statement: materialized feature
+    projection, unrolled K-step training CTE chain (the shared
+    logreg.training_chain_sql — final weights enter the scoring scan as a
+    one-row CROSS JOIN, never per-row scalar subqueries: the round-10
+    rewrite that took the sf1 replay from >25 min to sub-second), then the
+    scoring aggregation with the final weights."""
+    from .logreg import training_chain_sql
+
+    features = qf_features("//")
+    parts, prev_w, prev_from = training_chain_sql(steps, features, _qf_feats_cte())
     p = _p_expr(prev_w, "//", features)
     return (
         "WITH "
@@ -179,7 +169,7 @@ def quality_filter_oracle_sql(steps: int = STEPS) -> str:
            CAST(SUM(CASE WHEN (({p}) >= {WS // 2}) = (y = 1) THEN 1 ELSE 0 END)
              AS BIGINT) AS n_agree,
            CAST(SUM({p}) AS BIGINT) AS sum_score
-    FROM feats GROUP BY lang ORDER BY lang"""
+    FROM {prev_from} GROUP BY lang ORDER BY lang"""
     )
 
 
@@ -223,22 +213,22 @@ def q_quality_filter_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quality_filter_pr_oracle_sql(steps: int = STEPS) -> str:
-    """Replays the identical training chain, then the bin aggregation and
-    a descending cumulative window (oracle-side SQL is unconstrained)."""
-    full = quality_filter_oracle_sql(steps)
-    # reuse the training CTE chain: cut the final SELECT off the shared
-    # oracle and substitute the PR-curve aggregation
-    cut = full.rindex("\n    SELECT lang,")
-    head = full[:cut]
+    """Replays the identical training chain (shared
+    logreg.training_chain_sql — final weights cross-joined, never per-row
+    scalar subqueries), then the bin aggregation and a descending
+    cumulative window (oracle-side SQL is unconstrained)."""
+    from .logreg import training_chain_sql
+
     features = qf_features("//")
-    prev_w = [f"(SELECT w_{name} FROM s{steps})" for name, _ in features]
+    parts, prev_w, prev_from = training_chain_sql(steps, features, _qf_feats_cte())
     p = _p_expr(prev_w, "//", features)
     return (
-        head
+        "WITH "
+        + ",\n    ".join(parts)
         + f""",
     binned AS (
       SELECT LEAST(({p}) // {WS // N_BINS}, {N_BINS - 1}) AS bin, y
-      FROM feats
+      FROM {prev_from}
     ),
     per_bin AS (
       SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
