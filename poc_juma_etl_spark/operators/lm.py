@@ -1,0 +1,152 @@
+"""Bigram language-model SURPRISAL scoring — the perplexity-filter stage
+of an LLM data pipeline (CCNet trains a 5-gram KenLM on a clean corpus
+and filters by per-document perplexity; this is that pipeline shape with
+the LM trained ON the corpus itself, self-scoring each document against
+the corpus-wide bigram statistics — the "how out-of-distribution is this
+document" signal that complements the feature-based quality filter,
+operators/qualityfilter.py).
+
+Exactness (the house fixed-point discipline applied to logarithms): the
+per-bigram surprisal is the FLOOR-log2 of the inverse conditional
+probability,
+
+    s(w1 w2) = floor(log2(c(w1) // c(w1 w2)))
+
+where c(w1 w2) is the corpus bigram count and c(w1) the context count
+(bigram occurrences starting with w1). Because the LM is trained on the
+corpus being scored, every scored bigram has c >= 1 — no smoothing needed
+and no division by zero. Both division and log are exact integer
+operations in BOTH engines: integer division (non-negative operands, so
+Spark DIV == DuckDB //), and floor-log2 as ``length(bin(q)) - 1`` —
+Spark's and DuckDB's ``bin()`` emit identical minimal binary strings, so
+the value is bit-exact with no libm involvement (a float ``log2`` can
+disagree by one ulp across libraries, which a hash gate cannot tolerate).
+
+Plan shape at 100 TB: the bigram explode is in-row (zip_with over shifted
+token-array slices — never a positional self-join); the LM tables are
+corpus-sized aggregations hash-partitioned on the n-gram key; scoring is
+two shuffle equi-joins on those same keys (bigram, then context word) —
+no corpus-sized broadcast anywhere (the BM25 audit rule) — followed by a
+per-document aggregation. Every stage is a standard hash exchange that
+AQE can coalesce/skew-split.
+
+Reference behavior: the reference pipeline (fe-malveira-87/poc-juma-etl)
+has no text surface; this extends the engine's corpus-quality toolbox
+(SURVEY.md north-star extension families, next to q_text_unigram_logprob
+— which scores UNIGRAM log-mass with a rational, division-based score;
+this adds conditional-probability context sensitivity and an exact log).
+
+Registration is queued for round 12: the round-10 driver window was
+soaked before this operator existed, and round 11 keeps net-new
+registrations at zero so the evidence floor reaches r06 (COVERAGE.md
+rotation plan). tests/test_lm.py already runs the full Spark-vs-DuckDB
+parity the gate will run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .text import tokens
+
+# mean surprisal is reported in 1/1000ths (integer) so the output stays
+# hash-exact while remaining readable as a filter threshold
+MEAN_SCALE = 1000
+
+OUT_COLS = (
+    "doc_id long, n_bigrams long, total_surprisal long, "
+    "max_surprisal long, mean_surprisal_x1000 long"
+)
+
+
+def _bigram_pairs(df: DataFrame) -> DataFrame:
+    """(doc_id, w1, bigram) per bigram occurrence, in-row explode."""
+    ts = tokens("text")
+    pairs = F.when(
+        F.size(ts) >= 2,
+        F.zip_with(
+            F.slice(ts, 1, F.size(ts) - 1),
+            F.slice(ts, 2, F.size(ts) - 1),
+            lambda a, b: F.struct(a.alias("w1"), F.concat(a, F.lit(" "), b).alias("bigram")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,bigram:string>>"))
+    return df.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.bigram"
+    )
+
+
+def q_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bg = _bigram_pairs(d)
+    # corpus LM: bigram counts and context counts (both hash-partitioned
+    # aggregations on the n-gram key; context count derives from the same
+    # bigram stream so the two engines can never disagree on tail tokens)
+    lm_bg = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    lm_ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(lm_bg, "bigram")
+        .join(lm_ctx, "w1")
+        .selectExpr(
+            "doc_id",
+            # c1 >= c12 >= 1 by construction: q >= 1, floor-log2 is exact
+            "CAST(length(bin(c1 DIV c12)) - 1 AS BIGINT) AS s",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("s").cast("long").alias("total_surprisal"),
+            F.max("s").cast("long").alias("max_surprisal"),
+        )
+    )
+    # documents with < 2 tokens score zero, not disappear (left join back)
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams",
+            "CAST(COALESCE(total_surprisal, 0) AS BIGINT) AS total_surprisal",
+            "CAST(COALESCE(max_surprisal, 0) AS BIGINT) AS max_surprisal",
+            f"CAST(CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0 ELSE "
+            f"(total_surprisal * {MEAN_SCALE}) DIV n_bigrams END AS BIGINT) "
+            "AS mean_surprisal_x1000",
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_SURPRISAL_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)),
+               i -> struct_pack(w1 := ts[i], bigram := ts[i] || ' ' || ts[i+1]))) AS p
+      FROM tok
+    ),
+    pairs AS (SELECT doc_id, p.w1 AS w1, p.bigram AS bigram FROM bg),
+    lm_bg AS MATERIALIZED (
+      SELECT bigram, COUNT(*) AS c12 FROM pairs GROUP BY bigram),
+    lm_ctx AS MATERIALIZED (
+      SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+    scored AS (
+      SELECT doc_id,
+             COUNT(*) AS n_bigrams,
+             SUM(length(bin(c1 // c12)) - 1) AS total_surprisal,
+             MAX(length(bin(c1 // c12)) - 1) AS max_surprisal
+      FROM pairs JOIN lm_bg USING (bigram) JOIN lm_ctx USING (w1)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(s.total_surprisal, 0) AS BIGINT) AS total_surprisal,
+           CAST(COALESCE(s.max_surprisal, 0) AS BIGINT) AS max_surprisal,
+           CAST(CASE WHEN COALESCE(s.n_bigrams, 0) = 0 THEN 0 ELSE
+             (s.total_surprisal * {MEAN_SCALE}) // s.n_bigrams END AS BIGINT)
+             AS mean_surprisal_x1000
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
