@@ -27,10 +27,9 @@ Reference behavior: the reference pipeline (fe-malveira-87/poc-juma-etl)
 has no media surface at all; this extends the engine's multimodal toolbox
 (SURVEY.md north-star extension families).
 
-Registration as a driver gate is queued for round 10 (round 9's one
-net-new registration was spent on the 4:2:0 JPEG gate so the r04 evidence
-tail retires in one window); tests/test_audio.py already runs the full
-Spark-vs-DuckDB parity the gate will run.
+Registered as the driver gate ``q_multimodal_audio_features`` in round
+10 (the round-9 queue drain); tests/test_audio.py runs the same
+Spark-vs-DuckDB parity the gate runs.
 """
 
 from __future__ import annotations

@@ -41,10 +41,9 @@ delegates all analytics to BigQuery (which ships exactly this capability
 as theta sketches); this implements it natively (SURVEY.md §2.5 sketch
 family, next to q_approx_sketches / q_hll_rollup_merge).
 
-Registration as a driver gate is queued for round 10 (round 9's one
-net-new registration was spent on the 4:2:0 JPEG gate so the r04 evidence
-tail retires in one window); tests/test_kmv.py already runs the full
-Spark-vs-DuckDB parity the gate will run.
+Registered as the driver gate ``q_sketch_kmv_setops`` in round 10 (the
+round-9 queue drain); tests/test_kmv.py runs the same Spark-vs-DuckDB
+parity the gate runs.
 """
 
 from __future__ import annotations

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..plans.queries import scoped_cache
 from .text import tokens
 
 # mean surprisal is reported in 1/1000ths (integer) so the output stays
@@ -79,7 +80,10 @@ def _bigram_pairs(df: DataFrame) -> DataFrame:
 
 def q_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    bg = _bigram_pairs(d)
+    # the explode feeds three plan subtrees (both LM aggregations and the
+    # scoring join's probe side) — cache it once or the full-corpus
+    # tokenize+explode recomputes three times (the cms.py idiom)
+    bg = scoped_cache(_bigram_pairs(d))
     # corpus LM: bigram counts and context counts (both hash-partitioned
     # aggregations on the n-gram key; context count derives from the same
     # bigram stream so the two engines can never disagree on tail tokens)

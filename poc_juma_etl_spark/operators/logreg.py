@@ -24,10 +24,9 @@ agreement. The rational sigmoid is a standard bounded surrogate; fitting
 behavior (squared error strictly decreasing from w = 0 via the bias term)
 is pinned by unit tests.
 
-Registration as a driver gate is deferred to the next round (this round's
-one net-new registration was spent on the 4:2:0 JPEG gate so the whole
-r04 evidence tail retires in one window); tests/test_logreg.py already
-runs the full Spark-vs-DuckDB parity the gate will run.
+Registered as the driver gate ``q_logreg_gd`` in round 10 (the round-9
+queue drain); tests/test_logreg.py runs the same Spark-vs-DuckDB parity
+the gate runs.
 
 Reference behavior: the reference pipeline (fe-malveira-87/poc-juma-etl)
 delegates all analytics to BigQuery and has no ML surface; this operator
@@ -158,7 +157,9 @@ def logreg_oracle_sql(
             f"feats AS MATERIALIZED (\n        SELECT {feat_cols},"
             f"\n        {LABEL} AS y FROM orders)"
         )
-    parts, prev_w, prev_from = training_chain_sql(steps, features, feats_cte)
+    parts, prev_w, prev_from = training_chain_sql(
+        steps, features, feats_cte, include_metrics=True
+    )
     selects = "\n    UNION ALL ".join(
         f"SELECT {i} AS step, "
         f"CAST(COALESCE(m{i}.sq, 0) AS BIGINT) AS sq_err, "
@@ -180,12 +181,16 @@ def training_chain_sql(
     steps: int,
     features: tuple[tuple[str, str], ...],
     feats_cte: str,
+    include_metrics: bool = False,
 ) -> tuple[list[str], list[str], str]:
     """Build the K-step training CTE chain over a caller-supplied ``feats``
     CTE (columns: the feature names + ``y``). Returns (CTE parts, the
     final-weight column references, the FROM clause that scores ``feats``
     with those weights) — shared by the logreg gate and the quality-filter
-    pipeline's oracles."""
+    pipeline's oracles. ``include_metrics`` adds the per-step squared-error
+    and accuracy sums (``m{i}.sq``/``m{i}.correct``) the logreg trace
+    outputs; callers that only need the weights skip two full-table
+    aggregate expressions per step."""
     parts = [
         feats_cte,
         "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM feats)",
@@ -198,10 +203,14 @@ def training_chain_sql(
         g_cols = ",\n            ".join(
             f"SUM({err} * {name}) AS g_{name}" for name, _ in features
         )
+        metric_cols = (
+            f",\n            SUM({err} * {err}) AS sq,\n"
+            f"            SUM(CASE WHEN ({p} >= {WS // 2}) = (y = 1) THEN 1 ELSE 0 END) AS correct"
+            if include_metrics
+            else ""
+        )
         parts.append(
-            f"m{i} AS MATERIALIZED (\n        SELECT {g_cols},\n"
-            f"            SUM({err} * {err}) AS sq,\n"
-            f"            SUM(CASE WHEN ({p} >= {WS // 2}) = (y = 1) THEN 1 ELSE 0 END) AS correct\n"
+            f"m{i} AS MATERIALIZED (\n        SELECT {g_cols}{metric_cols}\n"
             f"        FROM {prev_from})"
         )
         # the update needs m{i}, nn, and (for i >= 2) the one-row s{i-1}

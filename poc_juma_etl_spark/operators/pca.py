@@ -34,10 +34,9 @@ delegates all analytics to BigQuery and has no vector surface; this
 extends the engine's native embedding toolbox (SURVEY.md north-star
 extension families, next to q_embedding_gram_stats / q_semantic_dedup).
 
-Registration as a driver gate is queued for round 10 (round 9's one
-net-new registration was spent on the 4:2:0 JPEG gate so the r04 evidence
-tail retires in one window); tests/test_pca.py already runs the full
-Spark-vs-DuckDB parity the gate will run.
+Registered as the driver gate ``q_pca_power_iteration`` in round 10 (the
+round-9 queue drain); tests/test_pca.py runs the same Spark-vs-DuckDB
+parity the gate runs.
 """
 
 from __future__ import annotations

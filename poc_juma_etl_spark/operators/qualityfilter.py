@@ -29,8 +29,9 @@ meaningful fit check (pinned in tests), while the GATE is exactness, which
 holds for any label quality.
 
 Scale: K+1 passes over a 3-column projection; the filter itself adds no
-shuffle beyond the per-language aggregation. Registration queued for
-round 10 with the rest of the operator queue.
+shuffle beyond the per-language aggregation. Registered as the driver
+gates ``q_quality_filter`` and ``q_quality_filter_pr_curve`` in round 10
+(the round-9 queue drain).
 """
 
 from __future__ import annotations

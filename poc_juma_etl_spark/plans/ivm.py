@@ -25,10 +25,9 @@ Reference behavior: the reference pipeline (fe-malveira-87/poc-juma-etl)
 rebuilds its gold tables in full on every run (materialize_gold.py:42-79);
 this is the engine-native refresh that makes rebuild unnecessary.
 
-Registration as a driver gate is queued for round 10 (round 9's one
-net-new registration was spent on the 4:2:0 JPEG gate so the r04 evidence
-tail retires in one window); tests/test_ivm.py already runs the full
-Spark-vs-DuckDB parity the gate will run.
+Registered as the driver gate ``etl_incremental_join_e2e`` in round 10
+(the round-9 queue drain); tests/test_ivm.py runs the same
+Spark-vs-DuckDB parity the gate runs.
 """
 
 from __future__ import annotations

@@ -21,9 +21,9 @@ stronger statement than any streaming-specific oracle could make.
 Mergeability across different batch slicings is additionally pinned by
 tests/test_stream_sketch.py (2-batch == 5-batch == batch operator).
 
-Registration as a driver gate is queued for round 10 (round 9's one
-net-new registration was spent on the 4:2:0 JPEG gate so the r04 evidence
-tail retires in one window).
+Registered as the driver gate ``q_stream_kmv_sketch`` in round 10 (the
+round-9 queue drain); tests/test_stream_sketch.py runs the same
+batch-equality gate.
 """
 
 from __future__ import annotations

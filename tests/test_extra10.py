@@ -37,7 +37,11 @@ def test_orc_scan_pushes_filter_and_prunes_columns(spark):
         back = orc_read_back(spark, SF_SMOKE, tmp)
         plan = back._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [" in plan
-        assert "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+        # scope the check to the bracketed filter LIST itself — an empty
+        # 'PushedFilters: []' followed by l_shipdate in the ReadSchema text
+        # would otherwise satisfy a windowed substring check
+        pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+        assert "l_shipdate" in pushed, f"filter not pushed: [{pushed}]"
         read_schema = plan.split("ReadSchema:")[1][:400]
         assert "l_extendedprice" in read_schema
         assert "l_comment" not in read_schema

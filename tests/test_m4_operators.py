@@ -721,3 +721,51 @@ def test_jpeg_malformed_header_contract_cases():
     bad_cb = [row[:-1] for row in cb]
     with pytest.raises(ValueError, match="chroma planes"):
         encode_jpeg_ycbcr(img, bad_cb, cb, (2, 2))
+
+
+def test_jpeg_prog_fixture_matches_closed_form():
+    """The progressive gate's fixture generator + multi-scan decoder must
+    reproduce the closed-form plane sums the DuckDB oracle computes —
+    pure-Python local repro for the registered q_multimodal_jpeg_prog_decode
+    gate (the registry-wide oracle-parity sweep covers the Spark side)."""
+    from poc_juma_etl_spark.operators.multimodal import (
+        decode_jpeg_planes,
+        synth_jpeg_prog_media,
+    )
+
+    for doc_id in range(24):
+        payload = synth_jpeg_prog_media(doc_id)
+        assert b"\xff\xc2" in payload, "fixture must be SOF2 progressive"
+        w, h, planes = decode_jpeg_planes(payload)
+        if doc_id % 2 == 0:
+            nbx, nby = 2 + doc_id % 4, 1 + doc_id % 3
+            assert (w, h) == (8 * nbx, 8 * nby)
+            assert len(planes) == 1
+            want_y = 64 * sum(
+                (7 * bx + 5 * by + doc_id) % 256
+                for bx in range(nbx)
+                for by in range(nby)
+            )
+            assert sum(sum(ln) for ln in planes[0]) == want_y
+        else:
+            nbx, nby = 2 * (1 + doc_id % 3), 2 * (1 + doc_id % 2)
+            assert (w, h) == (8 * nbx, 8 * nby)
+            assert len(planes) == 3
+            want_y = 64 * sum(
+                (7 * bx + 5 * by + 3 * doc_id) % 256
+                for bx in range(nbx)
+                for by in range(nby)
+            )
+            want_cb = 256 * sum(
+                (11 * bx + 3 * by + 7 * doc_id) % 256
+                for bx in range(nbx // 2)
+                for by in range(nby // 2)
+            )
+            want_cr = 256 * sum(
+                (13 * bx + 9 * by + doc_id) % 256
+                for bx in range(nbx // 2)
+                for by in range(nby // 2)
+            )
+            assert sum(sum(ln) for ln in planes[0]) == want_y
+            assert sum(sum(ln) for ln in planes[1]) == want_cb
+            assert sum(sum(ln) for ln in planes[2]) == want_cr

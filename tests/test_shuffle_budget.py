@@ -52,6 +52,12 @@ BUDGETS = {
     # sort; the dim repair must stay broadcast — a sort-merge regression
     # would blow straight through 2x); decode-family gates 15-24 KB
     # (500-row stat exchanges, zero payload bytes)
+    # the iterative trainers' whole scale claim is "K map-side-combined
+    # passes, zero wide shuffles": logreg 1.1 KB / pca 3.6 KB measured —
+    # the ceilings pin that a regression re-shuffling the projection per
+    # step (K x volume, unchanged plan shape) cannot land silently
+    "q_logreg_gd": 8_000,
+    "q_pca_power_iteration": 20_000,
     "q_sketch_kmv_setops": 200_000,
     "q_quality_filter": 10_000,
     "q_quality_filter_pr_curve": 10_000,
