@@ -132,15 +132,32 @@ def bfs_hops(pairs: DataFrame, n_seeds: int, max_hops: int) -> DataFrame:
     smallest node ids in the undirected graph ``pairs`` (u, v). Pure
     DataFrame iteration — the driver sees only per-round emptiness checks,
     never node or edge data."""
-    # One materialization of the symmetric edge list: it feeds every round,
+    # One materialization of the distinct pair set: it feeds every round,
     # and without it each frontier join would re-execute the basket
     # pair-generation lineage — O(rounds) corpus passes at 100 TB. The
     # mirrored halves can't collide (pairs hold u < v), so the union needs
     # no distinct — that'd be a full extra shuffle of the edge list.
-    dd = pairs.select(
-        F.col("u").cast("bigint").alias("u"), F.col("v").cast("bigint").alias("v")
-    ).distinct()
-    sym = truncate_lineage(dd.union(dd.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    # Round-10 recut: CACHE the half-size pair set and derive the
+    # symmetric view lazily, instead of localCheckpointing the full
+    # mirrored list. Two wins, both measured at sf1: (a) the materialized
+    # footprint halves (each round's join scans the cache twice via the
+    # union — same bytes read as one scan of a double-size checkpoint);
+    # (b) scoped_cache releases the blocks deterministically when the
+    # harness finishes the query, where localCheckpoint blocks lingered
+    # until JVM GC — a second same-session BFS run degraded 56s -> 85s
+    # from dead-block pressure before this change. Per-round joins still
+    # broadcast the frontier (AQE BuildLeft), so edge bytes never cross a
+    # per-round Exchange either way; on a real cluster this persist is
+    # DISK_ONLY-eligible.
+    from .queries import scoped_cache
+
+    dd = scoped_cache(
+        pairs.select(
+            F.col("u").cast("bigint").alias("u"), F.col("v").cast("bigint").alias("v")
+        ).distinct()
+    )
+    dd.count()  # materialize once; rounds read the columnar cache
+    sym = dd.union(dd.select(F.col("v").alias("u"), F.col("u").alias("v")))
     seeds = (
         sym.select(F.col("u").alias("node")).distinct().orderBy("node").limit(n_seeds)
     )
