@@ -133,6 +133,15 @@ HEADLINE: list[str] = [
     "q_multimodal_jpeg_decode",
     # round-9 operator families
     "q_multimodal_jpeg420_decode",
+    # round-10 operator families (one per new family: fixed-point training,
+    # Gram-free PCA, KMV set-op sketches, AVI decode, model-based quality
+    # filtering, incremental join-view maintenance)
+    "q_logreg_gd",
+    "q_pca_power_iteration",
+    "q_sketch_kmv_setops",
+    "q_multimodal_video_frames",
+    "q_quality_filter",
+    "etl_incremental_join_e2e",
 ]
 
 
