@@ -154,3 +154,102 @@ BIGRAM_SURPRISAL_ORACLE = f"""
     FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
     ORDER BY d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# group-disjoint train/val/test split (same module: both are corpus-prep
+# stages queued for the round-12 registration window)
+
+SPLIT_BUCKETS = 10  # hash(source) % 10 -> 0-7 train, 8 val, 9 test
+SPLIT_EDGES = (8, 9)  # train < 8 <= val < 9 <= test
+
+
+def q_sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-disjoint corpus split: every document whose ``source`` hashes
+    to the same bucket lands in the same split, so near-duplicates and
+    templated documents — which cluster within a source — can never
+    straddle train and eval (decontamination by construction, the
+    group-aware split every training-data pipeline needs and a plain
+    row-hash split violates). Assignment is the portable md5 hash, so
+    both engines agree document for document; the output reports per-split
+    document/group/token mass plus a leakage AUDIT computed from the
+    assignment itself — ``n_leaked_groups`` counts groups observed in
+    more than one split and must be zero, making the gate fail loudly if
+    the assignment expression ever drifts to a per-document hash.
+
+    Scale: one hash-partitioned groupBy on (source), a per-group count of
+    distinct splits (algebraic MIN=MAX check, no second shuffle), then a
+    bucket-sized rollup. No corpus-sized broadcast, no window."""
+    from .text import md5_long, tokens
+
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    bucket = md5_long(F.col("source")) % SPLIT_BUCKETS
+    split = (
+        F.when(bucket < SPLIT_EDGES[0], "train")
+        .when(bucket < SPLIT_EDGES[1], "val")
+        .otherwise("test")
+    )
+    assigned = d.select(
+        "source",
+        split.alias("split"),
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+    )
+    per_group = assigned.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.min("split").alias("split_min"),
+        F.max("split").alias("split_max"),
+        # split is functionally determined by source; MIN picks the same
+        # deterministic value in both engines (the oracle mirrors it)
+        F.min("split").alias("split"),
+    )
+    leaked = F.sum(
+        F.when(F.col("split_min") != F.col("split_max"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        per_group.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            leaked.alias("n_leaked_groups"),
+        )
+        .orderBy("split")
+    )
+
+
+def _split_sql_expr() -> str:
+    from .text import SQL_MD5_LONG
+
+    h = SQL_MD5_LONG.format(x="source")
+    return (
+        f"CASE WHEN {h} % {SPLIT_BUCKETS} < {SPLIT_EDGES[0]} THEN 'train' "
+        f"WHEN {h} % {SPLIT_BUCKETS} < {SPLIT_EDGES[1]} THEN 'val' "
+        "ELSE 'test' END"
+    )
+
+
+def group_split_oracle_sql() -> str:
+    from .text import SQL_MD5_LONG  # noqa: F401  (via _split_sql_expr)
+
+    return f"""
+    WITH assigned AS (
+      SELECT source, {_split_sql_expr()} AS split,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    per_group AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             MIN(split) AS split_min, MAX(split) AS split_max,
+             MIN(split) AS split
+      FROM assigned GROUP BY source
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN split_min != split_max THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked_groups
+    FROM per_group GROUP BY split ORDER BY split
+    """

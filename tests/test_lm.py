@@ -100,3 +100,49 @@ def test_bigram_surprisal_empty_input(spark, tmp_path):
         "WHERE 1 = 0"
     )
     assert con.execute(BIGRAM_SURPRISAL_ORACLE).fetchall() == []
+
+
+def test_group_split_matches_duckdb_oracle(spark):
+    from poc_juma_etl_spark.operators.lm import (
+        group_split_oracle_sql,
+        q_sample_group_split,
+    )
+
+    got = [tuple(r) for r in q_sample_group_split(spark, SF_ORACLE).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_ORACLE}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(group_split_oracle_sql()).fetchall()]
+    assert got == want
+    assert got, "fixture corpus must produce at least one split"
+    # the audit column is the point: zero groups straddle splits
+    assert all(r[4] == 0 for r in got)
+
+
+def test_group_split_is_group_disjoint_by_construction(spark, tmp_path):
+    """Documents sharing a source land in one split even when a row-hash
+    split would scatter them (many docs per source)."""
+    docs = [
+        (i, f"text {i} " * 5, "en", f"site{i % 7}", 40) for i in range(200)
+    ]
+    path = str(tmp_path / "sf_groups")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{path}/documents.parquet")
+    from poc_juma_etl_spark.operators.lm import q_sample_group_split
+
+    rows = q_sample_group_split(spark, path).collect()
+    assert sum(r.n_docs for r in rows) == 200
+    assert sum(r.n_groups for r in rows) == 7
+    assert all(r.n_leaked_groups == 0 for r in rows)
+
+
+def test_group_split_empty_input(spark, tmp_path):
+    from poc_juma_etl_spark.operators.lm import q_sample_group_split
+
+    empty = str(tmp_path / "sf_empty")
+    spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(0).write.parquet(
+        f"{empty}/documents.parquet"
+    )
+    assert q_sample_group_split(spark, empty).collect() == []
