@@ -1,0 +1,209 @@
+"""Deterministic mergeable QUANTILE sketch (q-digest) with a full
+value-hash oracle — the rank-query member of the sketch family (KMV gives
+distinct+set-algebra, CMS heavy hitters, HLL cardinality; none answers
+"what is the p99?"). Spark's built-in ``percentile_approx`` can only be
+gated with error-bound verdicts (its GK sketch is engine-internal); this
+is the portable alternative: every merge decision is deterministic, so
+the digest CONTENTS — not just the estimates — replay bit-for-bit in
+DuckDB (the q_sketch_kmv_setops doctrine applied to quantiles).
+
+Algorithm (Shrivastava et al., SenSys'04, level-synchronous variant):
+values live on a complete binary tree over the integer domain [0, 2^B)
+(heap ids: leaf(v) = 2^B + v, parent = id DIV 2, depth(id) =
+floor(log2(id)) — computed as ``length(bin(id)) - 1``, the exact
+integer log the bigram-surprisal operator introduced). All mass starts
+at the leaves; B bottom-up passes then merge each parent's PRESENT
+children into it iff their combined count <= sigma = n DIV K. Heavy
+nodes (> sigma) stay at their depth, so the final digest holds at most
+~2K nodes per level and every merged node carries <= sigma mass —
+giving the classic rank-error bound |est_rank - true_rank| <= B * sigma
+= B*n/K, pinned in tests. The level-synchronous rule makes the build a
+PURE FUNCTION of the leaf histogram: Spark's loop and DuckDB's unrolled
+CTE chain replay it identically, and two digests merge by concatenating
+node lists and re-running the passes (mergeability pinned in tests —
+the property that lets 1000 executors sketch partitions independently).
+
+Quantile query: post-order over the digest (interval right-endpoint
+ascending, deeper nodes first), prefix-sum the counts, report the first
+node's right endpoint at cumulative rank >= ceil(p*n/100). The digest is
+O(K log D) rows, so the query runs driver-side on the collected sketch
+(the bounded-collect KMV posture; the oracle does the same with a window
+over the same few hundred rows).
+
+Scale shape: ONE hash-partitioned aggregation over the fact table (leaf
+histogram, bounded by the value domain), then B = 20 passes over the
+shrinking node table — each pass a small groupBy whose input is at most
+domain-sized and after a few passes K-sized. No global sort, no window,
+no corpus-sized collect.
+
+Reference behavior: the reference pipeline (fe-malveira-87/poc-juma-etl)
+delegates this to BigQuery (APPROX_QUANTILES); this implements it
+natively and deterministically (SURVEY.md §2.5 sketch family).
+
+Registration queued for round 12 with the rest of the round-10 inventory
+(COVERAGE.md rotation plan); tests/test_qdigest.py runs the full parity
+the gate will run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..checkpoint import truncate_lineage
+
+B = 20  # domain bits: values in [0, 2^20); o_totalprice dollars < ~600k
+K = 1024  # compression factor: sigma = n DIV K, rank error <= B*n/K (~2% of n)
+PCTS = (1, 5, 25, 50, 75, 95, 99)
+
+VALUE_EXPR = "CAST(FLOOR(o_totalprice) AS BIGINT)"  # integer dollars
+
+OUT_COLS = (
+    "pct long, est_value long, n_rows long, digest_nodes long, sigma long"
+)
+
+
+def qdigest_build(leaves: list[tuple[int, int]], n: int) -> list[tuple[int, int]]:
+    """Pure-Python twin of the build (tests pin Spark == this == DuckDB).
+    ``leaves``: (value, count) histogram; returns sorted (id, cnt)."""
+    sigma = n // K
+    digest = {(1 << B) + v: c for v, c in leaves}
+    for d in range(B, 0, -1):
+        lo, hi = 1 << d, 1 << (d + 1)
+        level = [i for i in digest if lo <= i < hi]
+        groups: dict[int, int] = {}
+        for i in level:
+            groups[i // 2] = groups.get(i // 2, 0) + digest[i]
+        for pid, s in groups.items():
+            if s <= sigma:
+                for child in (2 * pid, 2 * pid + 1):
+                    digest.pop(child, None)
+                digest[pid] = s
+    return sorted(digest.items())
+
+
+def qdigest_quantiles(
+    digest: list[tuple[int, int]], n: int
+) -> list[tuple[int, int]]:
+    """(pct, est_value) rows from a digest, post-order traversal: right
+    endpoint ascending, deeper (larger id) first at equal endpoints."""
+    if n == 0:
+        return []
+    spans = []
+    for i, c in digest:
+        d = i.bit_length() - 1
+        hi = ((i - (1 << d) + 1) << (B - d)) - 1
+        spans.append((hi, -i, c))
+    spans.sort()
+    out = []
+    for p in PCTS:
+        r = (p * n + 99) // 100
+        cum = 0
+        est = spans[-1][0] if spans else 0
+        for hi, _negid, c in spans:
+            cum += c
+            if cum >= r:
+                est = hi
+                break
+        out.append((p, est))
+    return out
+
+
+def q_sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").selectExpr(f"{VALUE_EXPR} AS v")
+    # leaf histogram: ONE aggregation over the fact table; everything after
+    # operates on (at most) domain-sized node tables
+    cur = truncate_lineage(
+        o.groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).selectExpr(
+            f"v + {1 << B} AS id", "cnt"
+        )
+    )
+    n = int(cur.agg(F.sum("cnt")).collect()[0][0] or 0)
+    sigma = n // K
+    for d in range(B, 0, -1):
+        lo, hi = 1 << d, 1 << (d + 1)
+        level = cur.filter((F.col("id") >= lo) & (F.col("id") < hi))
+        rest = cur.filter((F.col("id") < lo) | (F.col("id") >= hi))
+        groups = level.selectExpr("id DIV 2 AS pid", "cnt").groupBy("pid").agg(
+            F.sum("cnt").alias("s")
+        )
+        merged = groups.filter(F.col("s") <= sigma).selectExpr(
+            "pid AS id", "s AS cnt"
+        )
+        # equi semi join on the parent id (hash join — an OR-of-children
+        # condition would plan as a nested loop over domain-sized levels)
+        kept = level.join(
+            groups.filter(F.col("s") > sigma).select("pid"),
+            F.expr("id DIV 2") == F.col("pid"),
+            "left_semi",
+        )
+        # lineage cut per pass: 20 chained unions would otherwise replay
+        # the whole chain on every subsequent action
+        cur = truncate_lineage(rest.unionByName(kept).unionByName(merged))
+    digest = sorted((int(r.id), int(r.cnt)) for r in cur.collect())
+    rows = [
+        (p, est, n, len(digest), sigma)
+        for p, est in qdigest_quantiles(digest, n)
+    ]
+    return spark.createDataFrame(rows, OUT_COLS).orderBy("pct")
+
+
+def qdigest_oracle_sql() -> str:
+    """The identical build as a DuckDB unrolled CTE chain (one pass per
+    level, sigma from a one-row CTE entering every pass by CROSS JOIN —
+    never a scalar subquery in a scan, the round-10 oracle rule), then
+    the post-order quantile query as a window over the final digest."""
+    parts = [
+        f"vals AS MATERIALIZED (SELECT {VALUE_EXPR} AS v FROM orders)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n, COUNT(*) // "
+        f"{K} AS sigma FROM vals)",
+        f"cur{B} AS MATERIALIZED (SELECT v + {1 << B} AS id, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY v)",
+    ]
+    for d in range(B, 0, -1):
+        lo, hi = 1 << d, 1 << (d + 1)
+        parts.append(
+            f"g{d} AS MATERIALIZED (\n"
+            f"      SELECT id // 2 AS pid, SUM(cnt) AS s FROM cur{d}\n"
+            f"      WHERE id >= {lo} AND id < {hi} GROUP BY id // 2)"
+        )
+        parts.append(
+            f"cur{d - 1} AS MATERIALIZED (\n"
+            f"      SELECT id, cnt FROM cur{d} WHERE id < {lo} OR id >= {hi}\n"
+            "      UNION ALL\n"
+            f"      SELECT c.id, c.cnt FROM cur{d} c JOIN g{d} g ON c.id // 2 = g.pid, nn\n"
+            f"      WHERE c.id >= {lo} AND c.id < {hi} AND g.s > nn.sigma\n"
+            "      UNION ALL\n"
+            f"      SELECT g.pid AS id, CAST(g.s AS BIGINT) AS cnt FROM g{d} g, nn\n"
+            "      WHERE g.s <= nn.sigma)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    spans AS (
+      SELECT id, cnt, length(bin(id)) - 1 AS d,
+             ((id - (1 << (length(bin(id)) - 1)) + 1)
+              << ({B} - (length(bin(id)) - 1))) - 1 AS hi
+      FROM cur0
+    ),
+    ordered AS (
+      SELECT hi, cnt,
+             SUM(cnt) OVER (ORDER BY hi, id DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM spans
+    ),
+    pcts AS (SELECT unnest([{", ".join(str(p) for p in PCTS)}]) AS pct),
+    answers AS (
+      SELECT pct,
+             (SELECT MIN(hi) FROM ordered, nn
+               WHERE cum >= (pct * nn.n + 99) // 100) AS est_value
+      FROM pcts
+    )
+    SELECT CAST(pct AS BIGINT) AS pct, CAST(est_value AS BIGINT) AS est_value,
+           CAST(nn.n AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM cur0) AS BIGINT) AS digest_nodes,
+           CAST(nn.sigma AS BIGINT) AS sigma
+    FROM answers, nn WHERE nn.n > 0 ORDER BY pct"""
+    )
