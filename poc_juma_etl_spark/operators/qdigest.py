@@ -114,11 +114,16 @@ def q_sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").selectExpr(f"{VALUE_EXPR} AS v")
     # leaf histogram: ONE aggregation over the fact table; everything after
     # operates on (at most) domain-sized node tables
-    cur = truncate_lineage(
-        o.groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).selectExpr(
-            f"v + {1 << B} AS id", "cnt"
-        )
-    )
+    leaves = o.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    return digest_result(spark, leaves)
+
+
+def digest_result(spark: SparkSession, leaves: DataFrame) -> DataFrame:
+    """The digest build + quantile query over a (v, cnt) leaf histogram —
+    shared by the batch gate above and the streaming twin
+    (streaming/quantile.py), whose gate is exactly this output computed
+    from an incrementally-maintained histogram."""
+    cur = truncate_lineage(leaves.selectExpr(f"v + {1 << B} AS id", "cnt"))
     n = int(cur.agg(F.sum("cnt")).collect()[0][0] or 0)
     sigma = n // K
     for d in range(B, 0, -1):
