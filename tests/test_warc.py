@@ -1,0 +1,70 @@
+"""WARC ingestion (operators/warc.py): the full Spark-vs-DuckDB parity its
+future (round-12) gate will run, parser pins, the corrupt-stream fuzz
+contract, and the empty guard."""
+
+import duckdb
+import pytest
+
+from poc_juma_etl_spark.operators.warc import (
+    WARC_ORACLE,
+    encode_warc,
+    parse_warc,
+    q_multimodal_warc_ingest,
+)
+
+from .conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_warc_ingest_matches_duckdb_oracle(spark):
+    got = [tuple(r) for r in q_multimodal_warc_ingest(spark, SF_ORACLE).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_ORACLE}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(WARC_ORACLE).fetchall()]
+    assert got == want
+    assert len(got) == 500
+
+
+def test_parse_warc_record_structure():
+    recs = parse_warc(encode_warc(5))
+    assert recs[0]["warc_type"] == "warcinfo" and recs[0]["body"] is None
+    responses = [r for r in recs if r["warc_type"] == "response"]
+    assert len(responses) == 1 + 5 % 3
+    assert responses[0]["body"] == "page 5-0 " * (3 + 5 % 5)
+
+
+def test_parse_warc_corruption_fails_typed():
+    """Byte flips in headers/lengths/separators and truncations at every
+    boundary fail as ValueError — never a raw slice/decode error (the
+    shared multimodal fuzz contract)."""
+    base = encode_warc(9)
+    # truncations at every prefix length on a coarse stride + boundaries
+    for cut in list(range(1, len(base), 97)) + [len(base) - 1, len(base) - 4]:
+        try:
+            parse_warc(base[:cut])
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            pytest.fail(f"truncation at {cut} raised {type(e).__name__}: {e}")
+    # single-byte corruptions
+    for pos in range(0, len(base), 53):
+        mutated = bytearray(base)
+        mutated[pos] ^= 0xFF
+        try:
+            recs = parse_warc(bytes(mutated))
+            # a flip inside body text parses fine — that's what the hash
+            # gate is for; structural flips must raise ValueError
+            assert isinstance(recs, list)
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            pytest.fail(f"flip at {pos} raised {type(e).__name__}: {e}")
+
+
+def test_warc_ingest_empty_input(spark, tmp_path):
+    empty = str(tmp_path / "sf_empty")
+    spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(0).write.parquet(
+        f"{empty}/documents.parquet"
+    )
+    assert q_multimodal_warc_ingest(spark, empty).collect() == []
