@@ -188,14 +188,6 @@ def main() -> None:
     # otherwise-identical bench invocations)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    # driver-JVM GC nudge only; in local mode driver == executor so this is
-    # the whole heap. Against a real cluster master it would touch only the
-    # driver (and _jvm is a private API), so it is gated to local masters.
-    if spark.sparkContext.master.startswith("local"):
-        jvm_gc = spark.sparkContext._jvm.System.gc
-    else:
-        def jvm_gc():
-            return None
     for name in names:
         best = float("inf")
         for _ in range(runs):
@@ -204,11 +196,11 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = best
         # release between queries (not between runs — later runs legitimately
-        # reuse the first run's cache, as any warm session would), then nudge
-        # the JVM to collect so one query's garbage doesn't bill the next
-        # query's samples with a mid-stage full GC
+        # reuse the first run's cache, as any warm session would);
+        # release_caches itself nudges the JVM GC so one query's garbage —
+        # including dead localCheckpoint blocks — doesn't bill the next
+        # query's samples (a second gc() here would double the pause)
         release_caches()
-        jvm_gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The consumer captures only the LAST 2000 characters of output (the r05

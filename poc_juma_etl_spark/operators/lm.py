@@ -197,17 +197,20 @@ def q_sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_group = assigned.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        # split is functionally determined by source; MIN/MAX pick the
+        # same deterministic value in both engines AND double as the
+        # leakage audit (split_min != split_max -> a leaked group)
         F.min("split").alias("split_min"),
         F.max("split").alias("split_max"),
-        # split is functionally determined by source; MIN picks the same
-        # deterministic value in both engines (the oracle mirrors it)
-        F.min("split").alias("split"),
     )
+    # after the rename below, split IS split_min; a group leaked iff its
+    # max disagrees
     leaked = F.sum(
-        F.when(F.col("split_min") != F.col("split_max"), 1).otherwise(0)
+        F.when(F.col("split") != F.col("split_max"), 1).otherwise(0)
     ).cast("bigint")
     return (
-        per_group.groupBy("split")
+        per_group.withColumnRenamed("split_min", "split")
+        .groupBy("split")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_groups"),
             F.sum("n_docs").cast("bigint").alias("n_docs"),
@@ -230,8 +233,6 @@ def _split_sql_expr() -> str:
 
 
 def group_split_oracle_sql() -> str:
-    from .text import SQL_MD5_LONG  # noqa: F401  (via _split_sql_expr)
-
     return f"""
     WITH assigned AS (
       SELECT source, {_split_sql_expr()} AS split,
@@ -241,15 +242,14 @@ def group_split_oracle_sql() -> str:
     per_group AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-             MIN(split) AS split_min, MAX(split) AS split_max,
-             MIN(split) AS split
+             MIN(split) AS split_min, MAX(split) AS split_max
       FROM assigned GROUP BY source
     )
-    SELECT split,
+    SELECT split_min AS split,
            CAST(COUNT(*) AS BIGINT) AS n_groups,
            CAST(SUM(n_docs) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            CAST(SUM(CASE WHEN split_min != split_max THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_leaked_groups
-    FROM per_group GROUP BY split ORDER BY split
+    FROM per_group GROUP BY split_min ORDER BY split
     """

@@ -42,6 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
+from .text import SQL_MD5_LONG
 
 # fixture geometry: 1 warcinfo + (1 + doc_id % 3) response records; body
 # text "page {doc_id}-{r} " repeated 3 + (doc_id + r) % 5 times
@@ -117,6 +118,11 @@ def parse_warc(payload: bytes) -> list[dict]:
             clen = int(headers["content-length"])
         except (KeyError, ValueError) as e:
             raise ValueError(f"bad or missing Content-Length: {e}") from e
+        if clen < 0:
+            # a negative length would move pos BACKWARD: a crafted
+            # self-referential record then re-parses forever (hung task,
+            # unbounded memory) — reproduced in review; lengths are sizes
+            raise ValueError(f"negative Content-Length: {clen}")
         body_start = hdr_end + 4
         body_end = body_start + clen
         if body_end + 4 > n:
@@ -205,7 +211,7 @@ WARC_ORACLE = f"""
              -- 'Content-Length: ' (16) + digits + CRLF (2) + CRLF (2) + body
              17 + 26 + 16 + length(CAST(length(body) AS VARCHAR)) + 2 + 2
                + length(body) AS http_len,
-             CAST(('0x' || substr(md5(body), 1, 15)) AS BIGINT) AS bh
+             {SQL_MD5_LONG.format(x="body")} AS bh
       FROM bodies
     )
     SELECT doc_id,

@@ -133,7 +133,10 @@ def release_caches() -> None:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
-        if spark is not None:
+        # gated to local masters: there driver == executor, so the nudge
+        # reclaims the whole heap; on a cluster it would touch only the
+        # driver through a private API for no executor-side benefit
+        if spark is not None and spark.sparkContext.master.startswith("local"):
             spark._jvm.System.gc()
     except Exception:
         pass  # no JVM (session stopped) — nothing to reclaim

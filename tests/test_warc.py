@@ -68,3 +68,12 @@ def test_warc_ingest_empty_input(spark, tmp_path):
         f"{empty}/documents.parquet"
     )
     assert q_multimodal_warc_ingest(spark, empty).collect() == []
+
+
+def test_parse_warc_negative_content_length_fails_typed():
+    """A crafted self-referential negative Content-Length must raise, not
+    loop forever re-parsing the same offset (review repro)."""
+    base = encode_warc(3)
+    evil = base + b"WARC/1.0\r\nWARC-Type: junk\r\nContent-Length: -44\r\n\r\n"
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(bytes(evil))
