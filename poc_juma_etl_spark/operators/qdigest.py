@@ -122,9 +122,24 @@ def digest_result(spark: SparkSession, leaves: DataFrame) -> DataFrame:
     """The digest build + quantile query over a (v, cnt) leaf histogram —
     shared by the batch gate above and the streaming twin
     (streaming/quantile.py), whose gate is exactly this output computed
-    from an incrementally-maintained histogram."""
+    from an incrementally-maintained histogram.
+
+    The tree covers EXACTLY [0, 2^B): an out-of-domain value would land
+    its leaf id outside every level pass (silently dropped mass) or, if
+    negative, collide with internal-node ids — so the domain is enforced
+    here at ingestion, in the same aggregation that already computes n
+    (one extra min/max, no extra pass), and violations fail loudly."""
     cur = truncate_lineage(leaves.selectExpr(f"v + {1 << B} AS id", "cnt"))
-    n = int(cur.agg(F.sum("cnt")).collect()[0][0] or 0)
+    stats = cur.agg(
+        F.sum("cnt").alias("n"), F.min("id").alias("lo"), F.max("id").alias("hi")
+    ).collect()[0]
+    n = int(stats["n"] or 0)
+    if n and (stats["lo"] < (1 << B) or stats["hi"] >= (1 << (B + 1))):
+        raise ValueError(
+            f"q-digest domain violation: values must lie in [0, {1 << B}) "
+            f"but the histogram spans "
+            f"[{stats['lo'] - (1 << B)}, {stats['hi'] - (1 << B)}]"
+        )
     sigma = n // K
     for d in range(B, 0, -1):
         lo, hi = 1 << d, 1 << (d + 1)

@@ -108,6 +108,13 @@ def parse_warc(payload: bytes) -> list[dict]:
         if hdr_end < 0:
             raise ValueError("unterminated WARC header block")
         lines = payload[pos:hdr_end].split(b"\r\n")
+        if lines[0] != b"WARC/1.0":
+            # the module contract is a WARC/1.0 parser: a mangled version
+            # line (WARC/0.9, WARC/garbage) must fail typed, not be
+            # silently accepted as if it were a header
+            raise ValueError(
+                f"unsupported WARC version line: {lines[0][:32]!r}"
+            )
         headers: dict[str, str] = {}
         for ln in lines[1:]:
             if b":" not in ln:

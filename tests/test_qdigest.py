@@ -139,3 +139,23 @@ def test_qdigest_empty_input(spark, tmp_path):
         "WHERE 1 = 0"
     )
     assert con.execute(qdigest_oracle_sql()).fetchall() == []
+
+
+def test_qdigest_out_of_domain_fails_typed(spark):
+    """Values outside [0, 2^B) violate the tree invariant (leaf ids
+    escape every level pass / collide with internal nodes); they must
+    fail loudly at ingestion, not as an opaque downstream shift error
+    (round-10 ADVICE)."""
+    from poc_juma_etl_spark.operators.qdigest import digest_result
+
+    too_big = spark.createDataFrame([(1 << B, 3)], "v long, cnt long")
+    with pytest.raises(ValueError, match="domain violation"):
+        digest_result(spark, too_big)
+    negative = spark.createDataFrame([(-1, 3), (7, 2)], "v long, cnt long")
+    with pytest.raises(ValueError, match="domain violation"):
+        digest_result(spark, negative)
+    # boundary values are fine: 0 and 2^B - 1 both build
+    edge = spark.createDataFrame(
+        [(0, 5), ((1 << B) - 1, 5)], "v long, cnt long"
+    )
+    assert len(digest_result(spark, edge).collect()) == len(PCTS)

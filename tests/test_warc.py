@@ -77,3 +77,14 @@ def test_parse_warc_negative_content_length_fails_typed():
     evil = base + b"WARC/1.0\r\nWARC-Type: junk\r\nContent-Length: -44\r\n\r\n"
     with pytest.raises(ValueError, match="Content-Length"):
         parse_warc(bytes(evil))
+
+
+def test_parse_warc_bad_version_line_fails_typed():
+    """The module contract is WARC/1.0: any other version string after
+    the WARC/ prefix (WARC/0.9, WARC/garbage) must raise the typed
+    ValueError, not be silently treated as a header (round-10 ADVICE)."""
+    base = encode_warc(2)
+    for bad in (b"WARC/0.9", b"WARC/1.1", b"WARC/garbage"):
+        evil = bad + base[len(b"WARC/1.0") :]
+        with pytest.raises(ValueError, match="version"):
+            parse_warc(bytes(evil))

@@ -65,8 +65,11 @@ def main() -> int:
             flush=True,
         )
         con = duckdb.connect()
-        for t in ("lineitem", "orders"):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF10}/{t}.parquet'")
+        # views for EVERY table present in the probe dir, so any registry
+        # name works as argv (graph probes read lineitem/orders; scd2/text
+        # probes read documents/customer/...)
+        for p in sorted(Path(SF10).glob("*.parquet")):
+            con.execute(f"CREATE VIEW {p.stem} AS SELECT * FROM '{p}'")
         t0 = time.time()
         want = [tuple(r) for r in con.execute(spec.oracle).fetchall()]
         ok = got == want
