@@ -45,7 +45,7 @@ parity the gate will run.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -63,59 +63,84 @@ OUT_COLS = (
 
 
 def _bigram_pairs(df: DataFrame) -> DataFrame:
-    """(doc_id, w1, bigram) per bigram occurrence, in-row explode."""
+    """(doc_id, bigram) per bigram occurrence, in-row explode. The context
+    word is NOT carried: the bigram string embeds it ("w1 w2"), and tokens
+    never contain whitespace, so ``split_part(bigram, ' ', 1)`` recovers
+    it exactly wherever it is needed (type-level, not per occurrence)."""
     ts = tokens("text")
     pairs = F.when(
         F.size(ts) >= 2,
         F.zip_with(
             F.slice(ts, 1, F.size(ts) - 1),
             F.slice(ts, 2, F.size(ts) - 1),
-            lambda a, b: F.struct(a.alias("w1"), F.concat(a, F.lit(" "), b).alias("bigram")),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
-    ).otherwise(F.array().cast("array<struct<w1:string,bigram:string>>"))
-    return df.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", "p.w1", "p.bigram"
-    )
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select("doc_id", F.explode(pairs).alias("bigram"))
 
 
 def q_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 recut (r10 verdict #4 cost audit): the score s depends only
+    on the bigram TYPE, so scoring moved from the occurrence stream to the
+    type domain. The old plan pushed the occurrence stream through TWO
+    equi-joins (by bigram, then by context word) and re-scanned the cached
+    occurrences a third time for the context counts; this plan joins the
+    occurrences ONCE against a pre-scored types table (context counts roll
+    up from the bigram-count table itself — a types-sized window, never a
+    second pass over occurrences), and drops s = 0 types (singleton and
+    deterministic contexts: c1 < 2*c12, i.e. P > 1/2) from the scoring
+    join's build side — they contribute nothing to total or max by
+    construction. n_bigrams comes in-row from the token count
+    (size(ts) - 1), zero shuffle. At bench SFs AQE broadcasts the filtered
+    types table; at 100 TB it is a standard hash join whose probe side
+    ships once instead of twice."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # the explode feeds three plan subtrees (both LM aggregations and the
+    # the explode feeds two plan subtrees (the LM aggregation and the
     # scoring join's probe side) — cache it once or the full-corpus
-    # tokenize+explode recomputes three times (the cms.py idiom)
+    # tokenize+explode recomputes twice (the cms.py idiom)
     bg = scoped_cache(_bigram_pairs(d))
-    # corpus LM: bigram counts and context counts (both hash-partitioned
-    # aggregations on the n-gram key; context count derives from the same
-    # bigram stream so the two engines can never disagree on tail tokens)
+    # corpus LM: bigram counts from ONE map-side-combined aggregation of
+    # the occurrence stream; context counts roll up FROM that types table
+    # (same stream, engines can never disagree on tail tokens) — the old
+    # plan re-scanned the cached occurrences for them
     lm_bg = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
-    lm_ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    scored = (
-        bg.join(lm_bg, "bigram")
-        .join(lm_ctx, "w1")
+    lm = (
+        lm_bg.withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+        .withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+        # c1 >= c12 >= 1 by construction: q >= 1, floor-log2 is exact;
+        # s = 0 types (c1 DIV c12 = 1) can't move total or max — drop
+        # them before the scoring join
         .selectExpr(
-            "doc_id",
-            # c1 >= c12 >= 1 by construction: q >= 1, floor-log2 is exact
-            "CAST(length(bin(c1 DIV c12)) - 1 AS BIGINT) AS s",
+            "bigram", "CAST(length(bin(c1 DIV c12)) - 1 AS BIGINT) AS s"
         )
+        .filter(F.col("s") > 0)
+    )
+    scored = (
+        bg.join(lm, "bigram")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             F.sum("s").cast("long").alias("total_surprisal"),
             F.max("s").cast("long").alias("max_surprisal"),
         )
     )
-    # documents with < 2 tokens score zero, not disappear (left join back)
+    # n_bigrams is a row-local property of the token array — no shuffle,
+    # and documents with < 2 tokens score zero, not disappear (left join)
+    nb = d.select(
+        "doc_id",
+        F.greatest(F.size(tokens("text")) - 1, F.lit(0))
+        .cast("long")
+        .alias("n_bigrams"),
+    )
     return (
-        d.select("doc_id")
-        .join(scored, "doc_id", "left")
+        nb.join(scored, "doc_id", "left")
         .selectExpr(
             "doc_id",
-            "CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams",
+            "n_bigrams",
             "CAST(COALESCE(total_surprisal, 0) AS BIGINT) AS total_surprisal",
             "CAST(COALESCE(max_surprisal, 0) AS BIGINT) AS max_surprisal",
-            f"CAST(CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0 ELSE "
-            f"(total_surprisal * {MEAN_SCALE}) DIV n_bigrams END AS BIGINT) "
-            "AS mean_surprisal_x1000",
+            f"CAST(CASE WHEN n_bigrams = 0 THEN 0 ELSE "
+            f"(COALESCE(total_surprisal, 0) * {MEAN_SCALE}) DIV n_bigrams "
+            "END AS BIGINT) AS mean_surprisal_x1000",
         )
         .orderBy("doc_id")
     )

@@ -109,3 +109,65 @@ def test_shuffle_write_within_budget(spark, name):
         f" unchanged plan shape? See SCALING.md 'Shuffle byte budgets'."
     )
     assert used > 0, f"{name} reported zero shuffle bytes — meter broken?"
+
+
+# --- round-12 registration queue (not yet in all_queries()) -----------------
+# Budgets land BEFORE registration (r10 verdict #2) so the r12 drain is a
+# one-commit registry edit with the volume guard already armed. Measured
+# 2026-08 (round 11), same rig, via .collect() — the queue-probe rule:
+# .count() lets Catalyst prune the scoring/final-join work entirely (the
+# bigram gate metered 59 bytes under count vs 52 KB under collect).
+# Baselines: bigram surprisal 52.5 KB (recut type-level plan); group split
+# 1.6 KB; ORC round-trip 1.4 KB; q-digest 1.33 MB (20 level passes over
+# the shrinking node table — domain-bounded, so sf-invariant above sf0.1);
+# streaming q-digest 1.91 MB (the same build + per-epoch histogram
+# aggregations); WARC ingest 19.2 KB / WARC file e2e 8.7 KB (stat rows
+# only — payload bytes never enter an Exchange, the decode-family rule).
+QUEUE_BUDGETS = {
+    "q_text_bigram_surprisal": 110_000,
+    "q_sample_group_split": 4_000,
+    "etl_orc_roundtrip_e2e": 3_000,
+    "q_sketch_quantile_digest": 2_700_000,
+    "q_stream_quantile_digest": 3_900_000,
+    "q_multimodal_warc_ingest": 40_000,
+    "etl_warc_file_ingest_e2e": 20_000,
+}
+
+
+def _queue_fn(name):
+    from poc_juma_etl_spark.operators.lm import (
+        q_sample_group_split,
+        q_text_bigram_surprisal,
+    )
+    from poc_juma_etl_spark.operators.qdigest import q_sketch_quantile_digest
+    from poc_juma_etl_spark.operators.warc import (
+        etl_warc_file_ingest_e2e,
+        q_multimodal_warc_ingest,
+    )
+    from poc_juma_etl_spark.plans.extra10 import etl_orc_roundtrip_e2e
+    from poc_juma_etl_spark.streaming.quantile import q_stream_quantile_digest
+
+    return {
+        "q_text_bigram_surprisal": q_text_bigram_surprisal,
+        "q_sample_group_split": q_sample_group_split,
+        "etl_orc_roundtrip_e2e": etl_orc_roundtrip_e2e,
+        "q_sketch_quantile_digest": q_sketch_quantile_digest,
+        "q_stream_quantile_digest": q_stream_quantile_digest,
+        "q_multimodal_warc_ingest": q_multimodal_warc_ingest,
+        "etl_warc_file_ingest_e2e": etl_warc_file_ingest_e2e,
+    }[name]
+
+
+@pytest.mark.parametrize("name", sorted(QUEUE_BUDGETS), ids=str)
+def test_queue_shuffle_write_within_budget(spark, name):
+    fn = _queue_fn(name)
+    try:
+        used = shuffle_bytes_of(spark, lambda: fn(spark, SF_ORACLE).collect())
+    finally:
+        release_caches()
+    assert used <= QUEUE_BUDGETS[name], (
+        f"{name} shuffled {used:,} bytes at sf0.01 — over the"
+        f" {QUEUE_BUDGETS[name]:,} ceiling (2x the round-11 baseline)."
+        f" A volume regression with an unchanged plan shape?"
+        f" See SCALING.md 'Shuffle byte budgets'."
+    )
