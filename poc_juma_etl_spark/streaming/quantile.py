@@ -69,14 +69,29 @@ def stream_quantile_state(
     import shutil
     import tempfile
 
-    ev = load_table(spark, sf_dir, "orders")
+    # round-11 staging recut (r10 verdict #7): project to the ONE column
+    # the digest reads BEFORE the staging copy (a write boundary defeats
+    # scan-level column pruning — staging all 9 order columns shipped ~10x
+    # the bytes), and keep the copy SHUFFLE-FREE when the scan already has
+    # enough splits to slice into micro-batches: the round-robin
+    # repartition was a full shuffle of the fact table, paid only to
+    # manufacture file boundaries a multi-split scan provides for free.
+    # Tiny single-split fixtures still repartition so the multi-epoch fold
+    # stays exercised at every SF.
+    ev = load_table(spark, sf_dir, "orders").select("o_totalprice")
     tmp = tempfile.mkdtemp(prefix="stream_qdigest_")
     src, state, ckpt = f"{tmp}/src", f"{tmp}/state", f"{tmp}/ckpt"
     try:
-        ev.repartition(n_batches).write.parquet(src)
+        parts = ev.rdd.getNumPartitions()
+        if parts >= n_batches:
+            ev.write.parquet(src)
+            files_per_trigger = -(-parts // n_batches)  # ceil
+        else:
+            ev.repartition(n_batches).write.parquet(src)
+            files_per_trigger = 1
         stream = (
             spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", str(files_per_trigger))
             .parquet(src)
         )
         q = (
