@@ -272,6 +272,21 @@ SQL_PIPELINE_RANKED = f"""
     tags=("dedup", "pipeline", "components", "quality"),
 )
 def q_dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline_keep_ranked(spark, sf_dir).select(
+        "component",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("quality_score").alias("kept_quality"),
+        "n_members",
+    ).orderBy("component")
+
+
+def pipeline_keep_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-best-per-component core, one row per KEPT document with
+    ``n_tokens`` carried from the same scored projection — shared by the
+    q_dedup_pipeline_keep gate (which prunes n_tokens away, so its plan is
+    unchanged) and the export manifest (round-11 recut: it previously
+    re-tokenized the whole corpus a second time and paid a doc-scale join
+    just to re-attach token counts the quality pass already had in hand)."""
     from pyspark.sql import Window as W
 
     from ..catalog import load_table
@@ -290,7 +305,11 @@ def q_dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = (0.4 * ttr) + (0.3 * stop_ratio) + (0.3 * length_ok)
 
     scored = (
-        d.select("doc_id", quality.alias("quality_score"))
+        d.select(
+            "doc_id",
+            quality.alias("quality_score"),
+            n_tokens.cast("bigint").alias("n_tokens"),
+        )
         .join(membership, "doc_id", "left")
         .withColumn("component", F.coalesce("component", "doc_id"))
     )
@@ -300,11 +319,5 @@ def q_dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
         .withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") == 1)
-        .select(
-            "component",
-            F.col("doc_id").alias("kept_doc_id"),
-            F.col("quality_score").alias("kept_quality"),
-            "n_members",
-        )
-        .orderBy("component")
+        .select("component", "doc_id", "quality_score", "n_tokens", "n_members")
     )

@@ -1160,16 +1160,17 @@ def _export_manifest_sql() -> str:
     tags=("export", "pipeline", "manifest", "composition"),
 )
 def q_corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.components import q_dedup_pipeline_keep
+    from ..operators.components import pipeline_keep_ranked
     from ..operators.sampling import budget_select
 
-    keep = q_dedup_pipeline_keep(spark, sf_dir).select(
-        F.col("kept_doc_id").alias("doc_id"), F.col("kept_quality").alias("quality")
+    # round-11 recut: the keep stage's scored projection already tokenized
+    # every document for the quality score — carry n_tokens out of it
+    # instead of re-tokenizing the corpus and re-attaching counts with a
+    # doc-scale join (one full scan + one shuffle join removed; the oracle
+    # is unchanged because ntok-join-kept == kept-with-ntok row for row)
+    scored = pipeline_keep_ranked(spark, sf_dir).select(
+        "doc_id", F.col("quality_score").alias("quality"), "n_tokens"
     )
-    ntok = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
-    )
-    scored = keep.join(ntok, "doc_id")
     sel = budget_select(spark, scored, EXPORT_BUDGET)
     return (
         sel.withColumn(
