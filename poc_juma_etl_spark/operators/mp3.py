@@ -189,15 +189,65 @@ def q_multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(mp3_probe_kernel, schema=OUT_SCHEMA).orderBy("doc_id")
 
 
+# --- real-file e2e sibling: one .mp3 per document on disk ------------------
+
+N_MP3_FILES = 200  # the N_BINFILES posture: bounded file count at every sf
+
+
+def etl_mp3_file_probe_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof the frame walk applies verbatim to real FILES: one
+    .mp3 per document written to disk, read back through Spark's
+    binaryFile source (doc_id from the filename, the
+    etl_binaryfile_decode_e2e idiom), probed inside an Arrow batch."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ids = [
+        int(r.doc_id)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(N_MP3_FILES)
+        .collect()
+    ]
+    if not ids:
+        return spark.createDataFrame([], OUT_SCHEMA)
+    d = tempfile.mkdtemp(prefix="mp3files_")
+    try:
+        for did in ids:
+            with open(f"{d}/doc_{did:06d}.mp3", "wb") as fh:
+                fh.write(encode_mp3(did))
+        scanned = (
+            spark.read.format("binaryFile")
+            .load(f"{d}/*.mp3")
+            .select(
+                F.regexp_extract(F.col("path"), r"doc_(\d+)\.mp3", 1)
+                .cast("long")
+                .alias("doc_id"),
+                F.col("content").alias("payload"),
+            )
+        )
+        out = scanned.mapInPandas(mp3_probe_kernel, schema=OUT_SCHEMA).orderBy(
+            "doc_id"
+        )
+        # materialize before the temp files vanish
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # closed-form replay of the fixture formulas: per-frame bitrate index,
 # padding, and the integer frame-length / duration math
-MP3_ORACLE = f"""
+def mp3_oracle_sql(doc_source: str = "documents") -> str:
+    return f"""
     WITH d AS (
       SELECT doc_id,
              {FR_BASE} + doc_id % {FR_MOD} AS n_frames,
              CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
                              ELSE 32000 END AS sr
-      FROM documents
+      FROM {doc_source}
     ),
     fr AS (
       SELECT doc_id, n_frames, sr, unnest(range(0, n_frames)) AS i FROM d
@@ -220,3 +270,10 @@ MP3_ORACLE = f"""
            COUNT(DISTINCT br) > 1 AS is_vbr
     FROM per_frame GROUP BY doc_id ORDER BY doc_id
     """
+
+
+MP3_ORACLE = mp3_oracle_sql()
+
+MP3_FILE_ORACLE = mp3_oracle_sql(
+    f"(SELECT doc_id FROM documents ORDER BY doc_id LIMIT {N_MP3_FILES}) docs"
+)

@@ -101,3 +101,32 @@ def test_mp3_probe_empty_input(spark, tmp_path):
         "WHERE 1 = 0"
     )
     assert con.execute(MP3_ORACLE).fetchall() == []
+
+
+def test_mp3_file_e2e_matches_duckdb_oracle(spark):
+    """Real-file sibling: one .mp3 per document on disk, read back through
+    binaryFile — value parity on the same closed-form oracle family."""
+    from poc_juma_etl_spark.operators.mp3 import (
+        MP3_FILE_ORACLE,
+        N_MP3_FILES,
+        etl_mp3_file_probe_e2e,
+    )
+
+    got = [tuple(r) for r in etl_mp3_file_probe_e2e(spark, SF_ORACLE).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_ORACLE}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(MP3_FILE_ORACLE).fetchall()]
+    assert got == want
+    assert len(got) == N_MP3_FILES
+
+
+def test_mp3_file_e2e_empty_input(spark, tmp_path):
+    empty = str(tmp_path / "sf_empty")
+    spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(0).write.parquet(
+        f"{empty}/documents.parquet"
+    )
+    from poc_juma_etl_spark.operators.mp3 import etl_mp3_file_probe_e2e
+
+    assert etl_mp3_file_probe_e2e(spark, empty).collect() == []
