@@ -131,9 +131,20 @@ def digest_result(spark: SparkSession, leaves: DataFrame) -> DataFrame:
     (one extra min/max, no extra pass), and violations fail loudly."""
     cur = truncate_lineage(leaves.selectExpr(f"v + {1 << B} AS id", "cnt"))
     stats = cur.agg(
-        F.sum("cnt").alias("n"), F.min("id").alias("lo"), F.max("id").alias("hi")
+        F.sum("cnt").alias("n"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+        # a NULL value would count into n but silently fall out of every
+        # level pass (NULL fails both the level and rest filters) — mass
+        # the quantile ranks then misattribute; catch it here too
+        F.sum(F.when(F.col("id").isNull(), F.col("cnt"))).alias("null_mass"),
     ).collect()[0]
     n = int(stats["n"] or 0)
+    if stats["null_mass"]:
+        raise ValueError(
+            f"q-digest domain violation: {stats['null_mass']} rows carry a "
+            "NULL value — filter or impute before sketching"
+        )
     if n and (stats["lo"] < (1 << B) or stats["hi"] >= (1 << (B + 1))):
         raise ValueError(
             f"q-digest domain violation: values must lie in [0, {1 << B}) "

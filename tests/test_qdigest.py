@@ -159,3 +159,14 @@ def test_qdigest_out_of_domain_fails_typed(spark):
         [(0, 5), ((1 << B) - 1, 5)], "v long, cnt long"
     )
     assert len(digest_result(spark, edge).collect()) == len(PCTS)
+
+
+def test_qdigest_null_values_fail_typed(spark):
+    """NULL values count into n but would silently fall out of every level
+    pass (NULL fails both the level filter and its complement), so the
+    quantile ranks would misattribute their mass — they must fail loudly."""
+    from poc_juma_etl_spark.operators.qdigest import digest_result
+
+    with_null = spark.createDataFrame([(None, 4), (7, 2)], "v long, cnt long")
+    with pytest.raises(ValueError, match="NULL"):
+        digest_result(spark, with_null)

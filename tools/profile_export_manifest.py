@@ -24,16 +24,13 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/soak_sf1"
 
 
 def main() -> int:
-    import os
-
     from pyspark.sql import functions as F
 
     from poc_juma_etl_spark.session import get_spark
     from poc_juma_etl_spark.plans.queries import release_caches
 
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g")
+    # driver memory comes from $SPARK_GRAFT_DRIVER_MEM inside get_spark
     spark = get_spark("profile-manifest", master="local[32]", shuffle_partitions=32)
-    _ = mem  # session memory comes from SPARK_GRAFT_DRIVER_MEM in get_spark
 
     from poc_juma_etl_spark import all_queries
     from poc_juma_etl_spark.catalog import load_table
