@@ -40,6 +40,12 @@ def main() -> int:
         q_text_bigram_surprisal,
     )
     from poc_juma_etl_spark.operators.mp3 import MP3_ORACLE, q_multimodal_mp3_probe
+    from poc_juma_etl_spark.operators.tar import (
+        TAR_ORACLE,
+        TAR_SHARD_ORACLE,
+        etl_tar_shard_ingest_e2e,
+        q_multimodal_tar_ingest,
+    )
     from poc_juma_etl_spark.operators.qdigest import (
         q_sketch_quantile_digest,
         qdigest_oracle_sql,
@@ -65,6 +71,8 @@ def main() -> int:
         ("q_multimodal_warc_ingest", q_multimodal_warc_ingest, WARC_ORACLE),
         ("etl_warc_file_ingest_e2e", etl_warc_file_ingest_e2e, WARC_FILE_ORACLE),
         ("q_multimodal_mp3_probe", q_multimodal_mp3_probe, MP3_ORACLE),
+        ("q_multimodal_tar_ingest", q_multimodal_tar_ingest, TAR_ORACLE),
+        ("etl_tar_shard_ingest_e2e", etl_tar_shard_ingest_e2e, TAR_SHARD_ORACLE),
     ]
     if len(sys.argv) > 2:
         want = set(sys.argv[2:])
