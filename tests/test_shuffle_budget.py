@@ -131,6 +131,13 @@ QUEUE_BUDGETS = {
     "q_stream_quantile_digest": 3_900_000,
     "q_multimodal_warc_ingest": 40_000,
     "etl_warc_file_ingest_e2e": 20_000,
+    # round-13 candidates (measured 2026-08, round 11, same rig/protocol):
+    # mp3 25.7 KB / mp3 file e2e 11.4 KB, tar 20.8 KB / tar shard e2e
+    # 10.4 KB — stat rows only, payload bytes never enter an Exchange
+    "q_multimodal_mp3_probe": 55_000,
+    "etl_mp3_file_probe_e2e": 25_000,
+    "q_multimodal_tar_ingest": 45_000,
+    "etl_tar_shard_ingest_e2e": 25_000,
 }
 
 
@@ -139,7 +146,15 @@ def _queue_fn(name):
         q_sample_group_split,
         q_text_bigram_surprisal,
     )
+    from poc_juma_etl_spark.operators.mp3 import (
+        etl_mp3_file_probe_e2e,
+        q_multimodal_mp3_probe,
+    )
     from poc_juma_etl_spark.operators.qdigest import q_sketch_quantile_digest
+    from poc_juma_etl_spark.operators.tar import (
+        etl_tar_shard_ingest_e2e,
+        q_multimodal_tar_ingest,
+    )
     from poc_juma_etl_spark.operators.warc import (
         etl_warc_file_ingest_e2e,
         q_multimodal_warc_ingest,
@@ -155,6 +170,10 @@ def _queue_fn(name):
         "q_stream_quantile_digest": q_stream_quantile_digest,
         "q_multimodal_warc_ingest": q_multimodal_warc_ingest,
         "etl_warc_file_ingest_e2e": etl_warc_file_ingest_e2e,
+        "q_multimodal_mp3_probe": q_multimodal_mp3_probe,
+        "etl_mp3_file_probe_e2e": etl_mp3_file_probe_e2e,
+        "q_multimodal_tar_ingest": q_multimodal_tar_ingest,
+        "etl_tar_shard_ingest_e2e": etl_tar_shard_ingest_e2e,
     }[name]
 
 
