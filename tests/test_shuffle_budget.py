@@ -138,6 +138,9 @@ QUEUE_BUDGETS = {
     "etl_mp3_file_probe_e2e": 25_000,
     "q_multimodal_tar_ingest": 45_000,
     "etl_tar_shard_ingest_e2e": 25_000,
+    # gzip JSONL round-trip: the repartition(8) staging shuffle of the
+    # document corpus + the bucket rollup; measured 101.6 KB
+    "etl_jsonl_gzip_roundtrip_e2e": 220_000,
 }
 
 
@@ -160,6 +163,7 @@ def _queue_fn(name):
         q_multimodal_warc_ingest,
     )
     from poc_juma_etl_spark.plans.extra10 import etl_orc_roundtrip_e2e
+    from poc_juma_etl_spark.plans.extra11 import etl_jsonl_gzip_roundtrip_e2e
     from poc_juma_etl_spark.streaming.quantile import q_stream_quantile_digest
 
     return {
@@ -174,6 +178,7 @@ def _queue_fn(name):
         "etl_mp3_file_probe_e2e": etl_mp3_file_probe_e2e,
         "q_multimodal_tar_ingest": q_multimodal_tar_ingest,
         "etl_tar_shard_ingest_e2e": etl_tar_shard_ingest_e2e,
+        "etl_jsonl_gzip_roundtrip_e2e": etl_jsonl_gzip_roundtrip_e2e,
     }[name]
 
 

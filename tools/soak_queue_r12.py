@@ -56,6 +56,10 @@ def main() -> int:
         etl_warc_file_ingest_e2e,
         q_multimodal_warc_ingest,
     )
+    from poc_juma_etl_spark.plans.extra11 import (
+        JSONL_GZ_ORACLE,
+        etl_jsonl_gzip_roundtrip_e2e,
+    )
     from poc_juma_etl_spark.plans.extra10 import (
         ORC_ROUNDTRIP_ORACLE,
         etl_orc_roundtrip_e2e,
@@ -73,6 +77,7 @@ def main() -> int:
         ("q_multimodal_mp3_probe", q_multimodal_mp3_probe, MP3_ORACLE),
         ("q_multimodal_tar_ingest", q_multimodal_tar_ingest, TAR_ORACLE),
         ("etl_tar_shard_ingest_e2e", etl_tar_shard_ingest_e2e, TAR_SHARD_ORACLE),
+        ("etl_jsonl_gzip_roundtrip_e2e", etl_jsonl_gzip_roundtrip_e2e, JSONL_GZ_ORACLE),
     ]
     if len(sys.argv) > 2:
         want = set(sys.argv[2:])
