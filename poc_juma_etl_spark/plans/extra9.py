@@ -969,6 +969,16 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.u", "p.v")
         .distinct()
     )
+    # NOTE (round-11, measured): the BFS half-size-cache idiom
+    # (plans/extra8.bfs_hops) does NOT transfer here — an interleaved sf1
+    # A/B measured the lazy-symmetric-view variant at 122s warm vs 52.5s
+    # for this checkpoint (0.43x, values identical). BFS re-joins the
+    # frontier against the cache every round, amortizing the cache build;
+    # kcore's prelude scans sym exactly three times (node count, deg0,
+    # the alive-edges re-cut) and then abandons it for its own cache, so
+    # the union-over-cache view just re-pays the pair-generation subtree's
+    # cache fill against three competing consumers. The materialized
+    # checkpoint stays.
     sym = truncate_lineage(
         pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
