@@ -94,3 +94,62 @@ JSONL_GZ_ORACLE = f"""
            CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
     FROM documents GROUP BY 1 ORDER BY bucket
     """
+
+
+# --- XML sink+source round-trip (Spark 4 native XML) ------------------------
+
+XML_ROW_TAG = "part"
+
+
+def etl_xml_roundtrip_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink+source round-trip — the fourth text interchange format
+    (after CSV/JSON/gzip-JSONL) using Spark 4's NATIVE XML source (no
+    external package): write part through the XML writer, read the files
+    back with the ORIGINAL explicit schema and the same rowTag (XML field
+    order is element-name-based, so the schema also proves name binding),
+    and aggregate per brand against a parquet-side oracle. Doubles ride
+    the decimal-cast sum discipline, so any loss in the text
+    serialization breaks the hash. Scan parallelism survives: XML splits
+    by file and the write preserves the upstream partition count."""
+    from .queries import dsum
+
+    p = load_table(spark, sf_dir, "part")
+    tmp = tempfile.mkdtemp(prefix="xml_rt_")
+    try:
+        path = f"{tmp}/part_xml"
+        p.write.mode("overwrite").format("xml").option(
+            "rowTag", XML_ROW_TAG
+        ).save(path)
+        back = (
+            spark.read.schema(p.schema)
+            .format("xml")
+            .option("rowTag", XML_ROW_TAG)
+            .load(path)
+        )
+        out = (
+            back.groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+                dsum("p_retailprice", "total_price"),
+                F.sum(F.col("p_size").cast("bigint"))
+                .cast("bigint")
+                .alias("total_size"),
+                F.min("p_name").alias("first_name"),
+            )
+            .orderBy("p_brand")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+XML_ROUNDTRIP_ORACLE = """
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6))) AS STRING)
+                AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size,
+           MIN(p_name) AS first_name
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """

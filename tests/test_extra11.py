@@ -56,3 +56,31 @@ def test_jsonl_gz_empty_input(spark, tmp_path):
         "WHERE 1 = 0"
     )
     assert con.execute(JSONL_GZ_ORACLE).fetchall() == []
+
+
+def test_xml_roundtrip_matches_duckdb_oracle(spark):
+    """Spark 4 native XML round-trip: value parity against the parquet
+    oracle (any serialization loss in doubles/ints/strings breaks it)."""
+    from poc_juma_etl_spark.plans.extra11 import (
+        XML_ROUNDTRIP_ORACLE,
+        etl_xml_roundtrip_e2e,
+    )
+
+    got = [tuple(r) for r in etl_xml_roundtrip_e2e(spark, SF_ORACLE).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM '{SF_ORACLE}/part.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(XML_ROUNDTRIP_ORACLE).fetchall()]
+    assert got == want
+    assert len(got) > 0
+
+
+def test_xml_roundtrip_empty_input(spark, tmp_path):
+    empty = str(tmp_path / "sf_empty")
+    spark.read.parquet(f"{SF_SMOKE}/part.parquet").limit(0).write.parquet(
+        f"{empty}/part.parquet"
+    )
+    from poc_juma_etl_spark.plans.extra11 import etl_xml_roundtrip_e2e
+
+    assert etl_xml_roundtrip_e2e(spark, empty).collect() == []

@@ -141,6 +141,8 @@ QUEUE_BUDGETS = {
     # gzip JSONL round-trip: the repartition(8) staging shuffle of the
     # document corpus + the bucket rollup; measured 101.6 KB
     "etl_jsonl_gzip_roundtrip_e2e": 220_000,
+    # XML round-trip: one brand rollup exchange; measured 3.1 KB
+    "etl_xml_roundtrip_e2e": 8_000,
 }
 
 
@@ -163,7 +165,10 @@ def _queue_fn(name):
         q_multimodal_warc_ingest,
     )
     from poc_juma_etl_spark.plans.extra10 import etl_orc_roundtrip_e2e
-    from poc_juma_etl_spark.plans.extra11 import etl_jsonl_gzip_roundtrip_e2e
+    from poc_juma_etl_spark.plans.extra11 import (
+        etl_jsonl_gzip_roundtrip_e2e,
+        etl_xml_roundtrip_e2e,
+    )
     from poc_juma_etl_spark.streaming.quantile import q_stream_quantile_digest
 
     return {
@@ -179,6 +184,7 @@ def _queue_fn(name):
         "q_multimodal_tar_ingest": q_multimodal_tar_ingest,
         "etl_tar_shard_ingest_e2e": etl_tar_shard_ingest_e2e,
         "etl_jsonl_gzip_roundtrip_e2e": etl_jsonl_gzip_roundtrip_e2e,
+        "etl_xml_roundtrip_e2e": etl_xml_roundtrip_e2e,
     }[name]
 
 

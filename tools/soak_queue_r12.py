@@ -58,7 +58,9 @@ def main() -> int:
     )
     from poc_juma_etl_spark.plans.extra11 import (
         JSONL_GZ_ORACLE,
+        XML_ROUNDTRIP_ORACLE,
         etl_jsonl_gzip_roundtrip_e2e,
+        etl_xml_roundtrip_e2e,
     )
     from poc_juma_etl_spark.plans.extra10 import (
         ORC_ROUNDTRIP_ORACLE,
@@ -78,6 +80,7 @@ def main() -> int:
         ("q_multimodal_tar_ingest", q_multimodal_tar_ingest, TAR_ORACLE),
         ("etl_tar_shard_ingest_e2e", etl_tar_shard_ingest_e2e, TAR_SHARD_ORACLE),
         ("etl_jsonl_gzip_roundtrip_e2e", etl_jsonl_gzip_roundtrip_e2e, JSONL_GZ_ORACLE),
+        ("etl_xml_roundtrip_e2e", etl_xml_roundtrip_e2e, XML_ROUNDTRIP_ORACLE),
     ]
     if len(sys.argv) > 2:
         want = set(sys.argv[2:])
