@@ -415,6 +415,11 @@ def all_queries():
         "poc_juma_etl_spark.operators.entity",
         "poc_juma_etl_spark.operators.basket",
         "poc_juma_etl_spark.operators.compact",
+        "poc_juma_etl_spark.operators.lm",
+        "poc_juma_etl_spark.operators.qdigest",
+        "poc_juma_etl_spark.operators.warc",
+        "poc_juma_etl_spark.plans.extra10",
+        "poc_juma_etl_spark.streaming.quantile",
         "poc_juma_etl_spark.operators.logreg",
         "poc_juma_etl_spark.operators.pca",
         "poc_juma_etl_spark.operators.kmv",

@@ -278,3 +278,29 @@ def group_split_oracle_sql() -> str:
                 AS BIGINT) AS n_leaked_groups
     FROM per_group GROUP BY split_min ORDER BY split
     """
+
+
+def _register_lm_gates() -> None:
+    """Round-12 drain: registry entries for both corpus-prep stages."""
+    from ..plans.queries import register
+
+    register(
+        "q_text_bigram_surprisal",
+        oracle=BIGRAM_SURPRISAL_ORACLE,
+        doc="Bigram-LM surprisal scoring (the CCNet perplexity-filter "
+        "stage, self-trained on the corpus): exact integer floor-log2 "
+        "surprisal per bigram type, type-level scoring join, n_bigrams "
+        "in-row.",
+        tags=("text", "lm", "quality"),
+    )(q_text_bigram_surprisal)
+    register(
+        "q_sample_group_split",
+        oracle=group_split_oracle_sql(),
+        doc="Group-disjoint train/val/test split with leakage audit: "
+        "hash(source) buckets so every group's documents land in one "
+        "split; n_leaked_groups pinned to 0.",
+        tags=("sampling", "split", "decontamination"),
+    )(q_sample_group_split)
+
+
+_register_lm_gates()

@@ -238,3 +238,19 @@ def qdigest_oracle_sql() -> str:
            CAST(nn.sigma AS BIGINT) AS sigma
     FROM answers, nn WHERE nn.n > 0 ORDER BY pct"""
     )
+
+
+def _register_qdigest_gate() -> None:
+    from ..plans.queries import register
+
+    register(
+        "q_sketch_quantile_digest",
+        oracle=qdigest_oracle_sql(),
+        doc="Deterministic mergeable q-digest quantile sketch: digest "
+        "CONTENTS replay bit-for-bit in DuckDB's unrolled CTE chain; "
+        "typed domain guard on [0, 2^20).",
+        tags=("sketch", "quantile"),
+    )(q_sketch_quantile_digest)
+
+
+_register_qdigest_gate()

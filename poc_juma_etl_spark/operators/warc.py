@@ -345,3 +345,25 @@ WARC_ORACLE = warc_oracle_sql()
 WARC_FILE_ORACLE = warc_oracle_sql(
     f"(SELECT doc_id FROM documents ORDER BY doc_id LIMIT {N_WARC_DOCS}) docs"
 )
+
+
+def _register_warc_gates() -> None:
+    from ..plans.queries import register
+
+    register(
+        "q_multimodal_warc_ingest",
+        oracle=WARC_ORACLE,
+        doc="WARC/1.0 ingestion: independent record walk + nested "
+        "HTTP/1.1 parse; body content pinned by portable md5.",
+        tags=("multimodal", "warc", "source"),
+    )(q_multimodal_warc_ingest)
+    register(
+        "etl_warc_file_ingest_e2e",
+        oracle=WARC_FILE_ORACLE,
+        doc="Multi-record .warc shard files on disk read back through "
+        "binaryFile; records attributed to documents via WARC-Record-ID.",
+        tags=("multimodal", "warc", "e2e"),
+    )(etl_warc_file_ingest_e2e)
+
+
+_register_warc_gates()

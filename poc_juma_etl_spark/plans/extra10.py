@@ -86,3 +86,19 @@ def etl_orc_roundtrip_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _register_extra10_gates() -> None:
+    from .queries import register
+
+    register(
+        "etl_orc_roundtrip_e2e",
+        oracle=ORC_ROUNDTRIP_ORACLE,
+        doc="ORC sink+source round-trip: first columnar interchange "
+        "format; filter pushdown + column pruning pinned on the "
+        "read-back scan.",
+        tags=("etl", "orc", "source", "e2e"),
+    )(etl_orc_roundtrip_e2e)
+
+
+_register_extra10_gates()

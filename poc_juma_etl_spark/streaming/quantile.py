@@ -116,3 +116,20 @@ def q_stream_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram coming from the incremental stream instead of one batch
     pass."""
     return digest_result(spark, stream_quantile_state(spark, sf_dir))
+
+
+def _register_stream_quantile_gate() -> None:
+    from ..operators.qdigest import qdigest_oracle_sql
+    from ..plans.queries import register
+
+    register(
+        "q_stream_quantile_digest",
+        oracle=qdigest_oracle_sql(),
+        doc="Streaming q-digest maintenance: epoch-keyed histogram log "
+        "(exact under at-least-once), fold + the shared digest build; "
+        "gate is batch equality on the batch operator's own oracle.",
+        tags=("streaming", "sketch", "quantile"),
+    )(q_stream_quantile_digest)
+
+
+_register_stream_quantile_gate()

@@ -65,6 +65,36 @@ BUDGETS = {
     "q_multimodal_jpeg_prog_decode": 50_000,
     "q_multimodal_audio_features": 35_000,
     "q_multimodal_video_frames": 45_000,
+    # round-12 registrations (measured 2026-08, round 11, same rig, via
+    # .collect() — the queue-probe rule below; these stay collect-metered
+    # after the flip, see COLLECT_METERED): bigram surprisal 52.5 KB
+    # (recut type-level plan); group split 1.6 KB; ORC round-trip 1.4 KB;
+    # q-digest 1.33 MB (20 level passes over the shrinking node table —
+    # domain-bounded, so sf-invariant above sf0.1); streaming q-digest
+    # 1.91 MB (same build + per-epoch histogram aggregations); WARC ingest
+    # 19.2 KB / WARC file e2e 8.7 KB (stat rows only — payload bytes never
+    # enter an Exchange, the decode-family rule)
+    "q_text_bigram_surprisal": 110_000,
+    "q_sample_group_split": 4_000,
+    "etl_orc_roundtrip_e2e": 3_000,
+    "q_sketch_quantile_digest": 2_700_000,
+    "q_stream_quantile_digest": 3_900_000,
+    "q_multimodal_warc_ingest": 40_000,
+    "etl_warc_file_ingest_e2e": 20_000,
+}
+
+# Names whose ceilings were calibrated under .collect() (queue-probe rule:
+# .count() lets Catalyst prune scoring/final-join work — the bigram gate
+# metered 59 bytes under count vs 52 KB under collect). Metering them under
+# count after registration would make the ceiling vacuous.
+COLLECT_METERED = {
+    "q_text_bigram_surprisal",
+    "q_sample_group_split",
+    "etl_orc_roundtrip_e2e",
+    "q_sketch_quantile_digest",
+    "q_stream_quantile_digest",
+    "q_multimodal_warc_ingest",
+    "etl_warc_file_ingest_e2e",
 }
 
 
@@ -99,8 +129,11 @@ def shuffle_bytes_of(spark, fn, *args) -> int:
 @pytest.mark.parametrize("name", sorted(BUDGETS), ids=str)
 def test_shuffle_write_within_budget(spark, name):
     spec = SPECS[name]
+    action = "collect" if name in COLLECT_METERED else "count"
     try:
-        used = shuffle_bytes_of(spark, lambda: spec.fn(spark, SF_ORACLE).count())
+        used = shuffle_bytes_of(
+            spark, lambda: getattr(spec.fn(spark, SF_ORACLE), action)()
+        )
     finally:
         release_caches()
     assert used <= BUDGETS[name], (
@@ -111,26 +144,12 @@ def test_shuffle_write_within_budget(spark, name):
     assert used > 0, f"{name} reported zero shuffle bytes — meter broken?"
 
 
-# --- round-12 registration queue (not yet in all_queries()) -----------------
-# Budgets land BEFORE registration (r10 verdict #2) so the r12 drain is a
+# --- round-13 registration queue (not yet in all_queries()) -----------------
+# Budgets land BEFORE registration (r10 verdict #2) so the r13 drain is a
 # one-commit registry edit with the volume guard already armed. Measured
 # 2026-08 (round 11), same rig, via .collect() — the queue-probe rule:
-# .count() lets Catalyst prune the scoring/final-join work entirely (the
-# bigram gate metered 59 bytes under count vs 52 KB under collect).
-# Baselines: bigram surprisal 52.5 KB (recut type-level plan); group split
-# 1.6 KB; ORC round-trip 1.4 KB; q-digest 1.33 MB (20 level passes over
-# the shrinking node table — domain-bounded, so sf-invariant above sf0.1);
-# streaming q-digest 1.91 MB (the same build + per-epoch histogram
-# aggregations); WARC ingest 19.2 KB / WARC file e2e 8.7 KB (stat rows
-# only — payload bytes never enter an Exchange, the decode-family rule).
+# .count() lets Catalyst prune the scoring/final-join work entirely.
 QUEUE_BUDGETS = {
-    "q_text_bigram_surprisal": 110_000,
-    "q_sample_group_split": 4_000,
-    "etl_orc_roundtrip_e2e": 3_000,
-    "q_sketch_quantile_digest": 2_700_000,
-    "q_stream_quantile_digest": 3_900_000,
-    "q_multimodal_warc_ingest": 40_000,
-    "etl_warc_file_ingest_e2e": 20_000,
     # round-13 candidates (measured 2026-08, round 11, same rig/protocol):
     # mp3 25.7 KB / mp3 file e2e 11.4 KB, tar 20.8 KB / tar shard e2e
     # 10.4 KB — stat rows only, payload bytes never enter an Exchange
@@ -147,38 +166,20 @@ QUEUE_BUDGETS = {
 
 
 def _queue_fn(name):
-    from poc_juma_etl_spark.operators.lm import (
-        q_sample_group_split,
-        q_text_bigram_surprisal,
-    )
     from poc_juma_etl_spark.operators.mp3 import (
         etl_mp3_file_probe_e2e,
         q_multimodal_mp3_probe,
     )
-    from poc_juma_etl_spark.operators.qdigest import q_sketch_quantile_digest
     from poc_juma_etl_spark.operators.tar import (
         etl_tar_shard_ingest_e2e,
         q_multimodal_tar_ingest,
     )
-    from poc_juma_etl_spark.operators.warc import (
-        etl_warc_file_ingest_e2e,
-        q_multimodal_warc_ingest,
-    )
-    from poc_juma_etl_spark.plans.extra10 import etl_orc_roundtrip_e2e
     from poc_juma_etl_spark.plans.extra11 import (
         etl_jsonl_gzip_roundtrip_e2e,
         etl_xml_roundtrip_e2e,
     )
-    from poc_juma_etl_spark.streaming.quantile import q_stream_quantile_digest
 
     return {
-        "q_text_bigram_surprisal": q_text_bigram_surprisal,
-        "q_sample_group_split": q_sample_group_split,
-        "etl_orc_roundtrip_e2e": etl_orc_roundtrip_e2e,
-        "q_sketch_quantile_digest": q_sketch_quantile_digest,
-        "q_stream_quantile_digest": q_stream_quantile_digest,
-        "q_multimodal_warc_ingest": q_multimodal_warc_ingest,
-        "etl_warc_file_ingest_e2e": etl_warc_file_ingest_e2e,
         "q_multimodal_mp3_probe": q_multimodal_mp3_probe,
         "etl_mp3_file_probe_e2e": etl_mp3_file_probe_e2e,
         "q_multimodal_tar_ingest": q_multimodal_tar_ingest,
