@@ -224,9 +224,18 @@ def compact_execute(
             fmap = F.broadcast(fmap)
         routed = tagged.join(fmap, "__fpath")
         staging = f"{path}__compact_staging"
-        writer = routed.repartition(max(int(groups), 1), "__pdir", "__grp").select(
-            *data_cols
-        )
+        # Range partitioning, not hash: hash(pdir, grp) % n_groups lands
+        # distinct plan groups in shared reduce tasks (~1/e of tasks empty
+        # at scale, collided groups co-write one ~2x-target file, and the
+        # output file count varies with the path string's hash — observed
+        # as a rare test flake). Range sampling over the group keys gives
+        # each key its own contiguous task; a boundary miss can only merge
+        # ADJACENT groups of the same directory, never arbitrary ones. The
+        # partition count stays explicit so AQE cannot coalesce the
+        # exchange back below n_groups.
+        writer = routed.repartitionByRange(
+            max(int(groups), 1), "__pdir", "__grp"
+        ).select(*data_cols)
         wtr = writer.write.mode("overwrite")
         if partition_cols:
             wtr = wtr.partitionBy(*partition_cols)

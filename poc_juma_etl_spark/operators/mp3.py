@@ -149,7 +149,10 @@ def mp3_probe_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, payload in zip(b["doc_id"], b["payload"]):
             frames = parse_mp3(bytes(payload))
             if not frames:
-                continue
+                # fail-loud contract (ADVICE r11): a zero-frame payload must
+                # not vanish as row-count drift — it is a malformed input
+                # like any truncation/sync failure
+                raise ValueError(f"no frames in payload (doc_id={int(doc_id)})")
             srs = {f["sample_rate"] for f in frames}
             if len(srs) != 1:
                 raise ValueError("mixed samplerates in one stream")

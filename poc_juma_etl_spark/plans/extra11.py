@@ -25,6 +25,7 @@ reads REST/JSON only; interchange-format breadth extends SURVEY.md
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -60,10 +61,19 @@ def etl_jsonl_gzip_roundtrip_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (and would shift the sums below anyway)
         # (input_file_name is non-deterministic, so Spark 4 rejects it
         # inside an aggregate — project it to a column first)
+        # a fixture with fewer docs than shards leaves some round-robin
+        # partitions empty, and empty partitions write no part file — so
+        # the expectation is the file count the WRITE actually produced,
+        # not the shard constant (ADVICE r11)
+        n_written = sum(
+            1
+            for f in os.listdir(path)
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
         n_files = back.select(F.input_file_name().alias("f")).distinct().count()
-        if n_files != GZ_SHARDS:
+        if n_files != n_written:
             raise ValueError(
-                f"gzip JSONL scan saw {n_files} files, wrote {GZ_SHARDS}"
+                f"gzip JSONL scan saw {n_files} files, wrote {n_written}"
             )
         out = (
             back.groupBy((F.col("doc_id") % GZ_BUCKETS).alias("bucket"))
