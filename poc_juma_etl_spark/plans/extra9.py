@@ -979,6 +979,17 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the union-over-cache view just re-pays the pair-generation subtree's
     # cache fill against three competing consumers. The materialized
     # checkpoint stays.
+    # NOTE (round-12, measured): a degree-UPPER-BOUND prefilter (sum of
+    # basket_size-1 per part; 66% of sf1 parts are provably sub-K, so
+    # pairs between two such parts — ~40% of raw pair volume — can be
+    # dropped pre-distinct without changing the round trajectory, given
+    # an independent node-universe count for round 1) was interleave-
+    # A/B'd at sf1 in BOTH shapes and REJECTED: tagged-basket rebuild
+    # 0.83x, broadcast-probe filter on the raw pair stream 0.82x
+    # (tools/ab_kcore_prefilter.py; values identical, 8 rounds). The
+    # distinct's shuffle rows are two longs — too cheap for the
+    # prefilter's own jobs (ub aggregation + universe count + probes)
+    # to pay for themselves. Candidate generation stays as-is.
     sym = truncate_lineage(
         pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
@@ -991,6 +1002,7 @@ def kcore_peel(
     k: int,
     max_rounds: int,
     recut_threshold: float = 0.5,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Exactly ``max_rounds`` k-core peels over a SYMMETRIC edge list
     (u, v) — the delta-peeling engine behind q_graph_kcore, factored so
@@ -1010,7 +1022,11 @@ def kcore_peel(
     incremental degree table is the state; the cache only ever loses
     edges incident to already-removed nodes, whose decrements can no
     longer reach an alive row."""
-    prev_n = sym.select("u").distinct().count()
+    # n_nodes: callers that PREFILTER the edge list (drop edges between two
+    # provably-sub-k nodes) must pass the true node-universe count — such a
+    # node can vanish from sym entirely yet still belongs in round 1's
+    # alive-then-removed accounting.
+    prev_n = sym.select("u").distinct().count() if n_nodes is None else n_nodes
     # -- round 1: bulk peel (most nodes die here at any K worth peeling) --
     deg0 = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     surv = deg0.filter(F.col("d") >= k).select(F.col("u").alias("node"))
