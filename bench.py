@@ -142,6 +142,12 @@ HEADLINE: list[str] = [
     "q_multimodal_video_frames",
     "q_quality_filter",
     "etl_incremental_join_e2e",
+    # round-12 registrations (one per new family: bigram-LM scoring,
+    # q-digest rank sketch, WARC container ingest, ORC interchange)
+    "q_text_bigram_surprisal",
+    "q_sketch_quantile_digest",
+    "q_multimodal_warc_ingest",
+    "etl_orc_roundtrip_e2e",
 ]
 
 
