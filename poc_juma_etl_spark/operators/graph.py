@@ -317,3 +317,169 @@ def triangle_top(li: DataFrame, top: int = TRI_TOP) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "node")
         .limit(top)
     )
+
+
+# --- within-brand triangle census (round-12 build; registration queued) -----
+#
+# Triangle counting is the third classic graph primitive (after components
+# and centrality) a warehouse is asked for — community density, spam-ring
+# and collusion detection all start from it. Graph: parts co-purchased in
+# one order, restricted to WITHIN-BRAND edges, which partitions the graph
+# into 25 independent subgraphs — the operator's scale story is that brand
+# acts as a graph-partition key carried through every join, so wedge
+# enumeration never crosses partition boundaries (the community-local
+# counting shape; at 100 TB the brand key is whatever community/tenant id
+# the graph already has).
+#
+# Algorithm: canonical u<v edges -> per-node degrees -> undirected wedge
+# count per brand (sum of d*(d-1)/2, exact integers) -> DEGREE-ORDERED
+# orientation (each edge points low->high in (deg, node) order, so
+# out-degrees are O(sqrt(m))-bounded and the wedge join is sub-quadratic
+# on skewed graphs — the Schank/Wagner forward algorithm) -> wedge join on
+# the shared LOW endpoint -> semi-join against the oriented edge set for
+# the closing edge. Every join keys on (brand, node) or (brand, u, v);
+# nothing driver-side, no UDFs.
+
+TRI_TOP = 25  # one row per brand at every SF
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand triangle census over the within-brand co-purchase graph:
+    (brand, n_nodes, n_edges, n_wedges, n_triangles, closed_x3) with
+    closed_x3 = 3 * n_triangles (the closed-wedge numerator as an exact
+    integer; the ratio itself would be a float). Reference behavior: none —
+    beyond-reference graph family (SURVEY §2 relational layer is owned
+    natively; this extends the pagerank/BFS/kcore suite)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lb = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", F.col("p_brand").alias("brand"), "l_partkey"
+    )
+    # canonical within-brand co-occurrence edges, u < v, deduplicated
+    baskets = lb.groupBy("l_orderkey", "brand").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    edges = (
+        baskets.select(
+            "brand",
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e"),
+        )
+        .select("brand", "e.u", "e.v")
+        .distinct()
+    )
+    edges = truncate_lineage(edges)
+    # per-node degree within its brand subgraph
+    deg = (
+        edges.select("brand", F.col("u").alias("node"))
+        .union(edges.select("brand", F.col("v").alias("node")))
+        .groupBy("brand", "node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    per_brand_nodes = deg.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    per_brand_edges = edges.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
+    # degree-ordered orientation: lo -> hi in (d, node) order
+    du = deg.select("brand", F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select("brand", F.col("node").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        edges.join(du, ["brand", "u"])
+        .join(dv, ["brand", "v"])
+        .select(
+            "brand",
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
+            .alias("e"),
+        )
+        .select("brand", F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
+    )
+    oriented = truncate_lineage(oriented)
+    # wedges around the shared LOW endpoint; closing edge is oriented
+    # b -> c where b precedes c in the same (deg, node) order — but after
+    # projecting away degrees the cheap sufficient check is to test BOTH
+    # orientations of (b, c) against the oriented set via one semi-join on
+    # a canonicalized key (b < c by node id), matching the canonical edges.
+    w = (
+        oriented.alias("e1")
+        .join(
+            oriented.alias("e2"),
+            (F.col("e1.brand") == F.col("e2.brand"))
+            & (F.col("e1.lo") == F.col("e2.lo"))
+            & (F.col("e1.hi") < F.col("e2.hi")),
+        )
+        .select(
+            F.col("e1.brand").alias("brand"),
+            F.least("e1.hi", "e2.hi").alias("u"),
+            F.greatest("e1.hi", "e2.hi").alias("v"),
+        )
+    )
+    tri = (
+        w.join(edges, ["brand", "u", "v"], "left_semi")
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        per_brand_edges.join(per_brand_nodes, "brand")
+        .join(tri, "brand", "left")
+        .select(
+            "brand",
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            (F.coalesce("n_triangles", F.lit(0)) * 3).cast("bigint").alias("closed_x3"),
+        )
+        .orderBy("brand")
+    )
+
+
+TRIANGLES_ORACLE = """
+    WITH lb AS MATERIALIZED (
+      SELECT l_orderkey, p_brand AS brand, l_partkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.brand, a.l_partkey AS u, b.l_partkey AS v
+      FROM lb a JOIN lb b
+        ON a.l_orderkey = b.l_orderkey AND a.brand = b.brand
+       AND a.l_partkey < b.l_partkey
+    ),
+    deg AS MATERIALIZED (
+      SELECT brand, node, COUNT(*) AS d FROM (
+        SELECT brand, u AS node FROM edges
+        UNION ALL SELECT brand, v FROM edges
+      ) GROUP BY brand, node
+    ),
+    tri AS (
+      SELECT e1.brand, COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.brand = e1.brand AND e2.u = e1.u AND e2.v > e1.v
+      JOIN edges e3 ON e3.brand = e1.brand AND e3.u = e1.v AND e3.v = e2.v
+      GROUP BY e1.brand
+    )
+    SELECT d.brand,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(ec.n_edges) AS BIGINT) AS n_edges,
+           CAST(SUM(d.d * (d.d - 1) // 2) AS BIGINT) AS n_wedges,
+           CAST(COALESCE(MIN(tri.n_triangles), 0) AS BIGINT) AS n_triangles,
+           CAST(COALESCE(MIN(tri.n_triangles), 0) * 3 AS BIGINT) AS closed_x3
+    FROM deg d
+    JOIN (SELECT brand, COUNT(*) AS n_edges FROM edges GROUP BY brand) ec
+      ON ec.brand = d.brand
+    LEFT JOIN tri ON tri.brand = d.brand
+    GROUP BY d.brand
+    ORDER BY d.brand
+    """
