@@ -67,11 +67,24 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_keys = build.count()
     m = _bloom_m(n_keys)
     n_words = m // 32
-    # build: k hash positions per key -> OR-fold into words
-    hashes = build.select(
-        F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("i"), "k"
-    ).select(
-        (md5_long(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("k").cast("string"))) % m).alias("pos")
+    # ONE md5 per key; the k positions derive by Kirsch-Mitzenmacher double
+    # hashing pos_i = (h1 + i*h2) % m with h1 = low 30 bits, h2 = high 30
+    # bits forced odd — same fp guarantees as k independent hashes at 1/k
+    # the hashing cost (the probe side pays this per FACT row)
+    hashes = (
+        build.select(md5_long(F.col("k").cast("string")).alias("h"))
+        .select(
+            F.expr(f"h % {1 << 30}").alias("h1"),
+            F.expr(f"(h div {1 << 30}) | 1").alias("h2"),
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {BLOOM_K - 1}),"
+                    f" i -> (h1 + i * h2) % {m})"
+                )
+            ).alias("pos")
+        )
     )
     words_rows = (
         hashes.select(
@@ -91,20 +104,21 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.lit(dense)
     # probe: in-row membership test (k word lookups ANDed), then the
     # verification join scoring candidates against exact membership
-    probe = li.withColumn("__bloom", arr)
-    sql_h = (
-        "conv(substring(md5(concat('{i}:', CAST(l_orderkey AS STRING))), 1, 15),"
-        " 16, 10)"
+    probe = li.withColumn("__bloom", arr).withColumn(
+        "__h",
+        md5_long(F.col("l_orderkey").cast("string")),
     )
     cand_expr = None
     for i in range(BLOOM_K):
-        pos = f"(CAST({sql_h.format(i=i)} AS BIGINT) % {m})"
+        pos = (
+            f"((__h % {1 << 30}) + {i} * ((__h div {1 << 30}) | 1)) % {m}"
+        )
         test = F.expr(
-            f"(element_at(__bloom, CAST({pos} div 32 AS INT) + 1)"
-            f" & shiftleft(CAST(1 AS BIGINT), CAST({pos} % 32 AS INT))) > 0"
+            f"(element_at(__bloom, CAST(({pos}) div 32 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(({pos}) % 32 AS INT))) > 0"
         )
         cand_expr = test if cand_expr is None else (cand_expr & test)
-    flagged = probe.withColumn("cand", cand_expr).drop("__bloom")
+    flagged = probe.withColumn("cand", cand_expr).drop("__bloom", "__h")
     scored = flagged.join(
         build.select(F.col("k").alias("l_orderkey")).withColumn("hit", F.lit(True)),
         "l_orderkey",
@@ -133,14 +147,12 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bloom_prefilter_oracle_sql() -> str:
     """Replays the filter bit-for-bit: same build keys, same m sizing, same
-    k md5-slice positions, same 32-bit words — candidacy is a pure function
-    of the orderkey, so the oracle scores it once per DISTINCT probe key and
-    joins the verdict back to the fact rows."""
+    double-hashed positions (one md5 per key; pos_i = (h1 + i*h2) % m),
+    same 32-bit words — candidacy is a pure function of the orderkey, so
+    the oracle scores it once per DISTINCT probe key and joins the verdict
+    back to the fact rows."""
     lo, hi = BLOOM_QUARTER
-    h = SQL_MD5_LONG.format(x="(CAST(hs.i AS VARCHAR) || ':' || CAST(k AS VARCHAR))")
-    hp = SQL_MD5_LONG.format(
-        x="(CAST(hs.i AS VARCHAR) || ':' || CAST(pk.k AS VARCHAR))"
-    )
+    h = SQL_MD5_LONG.format(x="CAST(k AS VARCHAR)")
     return f"""
     WITH build AS MATERIALIZED (
       SELECT DISTINCT o_orderkey AS k FROM orders
@@ -156,16 +168,24 @@ def bloom_prefilter_oracle_sql() -> str:
       SELECT pos // 32 AS w,
              bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
       FROM (
-        SELECT ({h}) % sz.m AS pos FROM build CROSS JOIN sz CROSS JOIN hs
+        SELECT (bh.h1 + hs.i * bh.h2) % sz.m AS pos
+        FROM (
+          SELECT ({h}) % {1 << 30} AS h1,
+                 (({h}) // {1 << 30}) | 1 AS h2
+          FROM build
+        ) bh CROSS JOIN sz CROSS JOIN hs
       ) GROUP BY 1
     ),
     probe_keys AS MATERIALIZED (
       SELECT pk.k, bool_and(
                (COALESCE(words.bits, 0)
                 & (CAST(1 AS BIGINT) << CAST(t.pos % 32 AS INT))) > 0) AS cand
-      FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem) pk
+      FROM (
+        SELECT k, ({h}) % {1 << 30} AS h1, (({h}) // {1 << 30}) | 1 AS h2
+        FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem)
+      ) pk
       CROSS JOIN sz CROSS JOIN hs
-      CROSS JOIN LATERAL (SELECT ({hp}) % sz.m AS pos) t
+      CROSS JOIN LATERAL (SELECT (pk.h1 + hs.i * pk.h2) % sz.m AS pos) t
       LEFT JOIN words ON words.w = t.pos // 32
       GROUP BY pk.k
     ),
