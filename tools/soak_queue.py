@@ -1,11 +1,12 @@
-"""sf1 re-soak for the round-12 QUEUE operators on the round-11 closing
-tree (r10 verdict #2: keep the queue's soak evidence fresh so the r12
-drain is a one-commit registry edit). Runs each against the replicated
-sf1 fixture with full Spark-vs-DuckDB value parity and prints wall
-times — the same evidence the on-arrival rule records for registered
-gates. The round-13 MP3 candidate rides along.
+"""sf1 re-soak for the registration QUEUE (r10 verdict #2: keep the
+queue's soak evidence fresh each round so every drain stays a one-commit
+registry edit). Covers the round-13 queue (six format gates built r11)
+and the round-14 queue (triangle census, naive Bayes, bloom prefilter,
+built r12), each with full Spark-vs-DuckDB value parity against the
+replicated sf1 fixture; prints wall times — the same evidence the
+on-arrival rule records for registered gates.
 
-Usage: SPARK_GRAFT_DRIVER_MEM=64g python tools/soak_queue_r12.py [sf_dir] [names...]
+Usage: SPARK_GRAFT_DRIVER_MEM=64g python tools/soak_queue.py [sf_dir] [names...]
 """
 
 from __future__ import annotations
@@ -28,33 +29,30 @@ def main() -> int:
     from poc_juma_etl_spark.plans.queries import release_caches
     from poc_juma_etl_spark.session import get_spark
 
-    spark = get_spark("soak-queue-r12")
+    spark = get_spark("soak-queue")
     con = duckdb.connect()
     for p in sorted(Path(SF).glob("*.parquet")):
         con.execute(f"CREATE VIEW {p.stem} AS SELECT * FROM '{p}'")
 
-    from poc_juma_etl_spark.operators.lm import (
-        BIGRAM_SURPRISAL_ORACLE,
-        group_split_oracle_sql,
-        q_sample_group_split,
-        q_text_bigram_surprisal,
+    from poc_juma_etl_spark.operators.graph import (
+        TRIANGLES_ORACLE,
+        q_graph_triangles,
     )
-    from poc_juma_etl_spark.operators.mp3 import MP3_ORACLE, q_multimodal_mp3_probe
+    from poc_juma_etl_spark.operators.lm import (
+        NB_LANGID_ORACLE,
+        q_ml_naive_bayes_langid,
+    )
+    from poc_juma_etl_spark.operators.mp3 import (
+        MP3_FILE_ORACLE,
+        MP3_ORACLE,
+        etl_mp3_file_probe_e2e,
+        q_multimodal_mp3_probe,
+    )
     from poc_juma_etl_spark.operators.tar import (
         TAR_ORACLE,
         TAR_SHARD_ORACLE,
         etl_tar_shard_ingest_e2e,
         q_multimodal_tar_ingest,
-    )
-    from poc_juma_etl_spark.operators.qdigest import (
-        q_sketch_quantile_digest,
-        qdigest_oracle_sql,
-    )
-    from poc_juma_etl_spark.operators.warc import (
-        WARC_FILE_ORACLE,
-        WARC_ORACLE,
-        etl_warc_file_ingest_e2e,
-        q_multimodal_warc_ingest,
     )
     from poc_juma_etl_spark.plans.extra11 import (
         JSONL_GZ_ORACLE,
@@ -62,25 +60,23 @@ def main() -> int:
         etl_jsonl_gzip_roundtrip_e2e,
         etl_xml_roundtrip_e2e,
     )
-    from poc_juma_etl_spark.plans.extra10 import (
-        ORC_ROUNDTRIP_ORACLE,
-        etl_orc_roundtrip_e2e,
+    from poc_juma_etl_spark.plans.extra12 import (
+        bloom_prefilter_oracle_sql,
+        q_join_bloom_prefilter,
     )
-    from poc_juma_etl_spark.streaming.quantile import q_stream_quantile_digest
 
     jobs = [
-        ("q_text_bigram_surprisal", q_text_bigram_surprisal, BIGRAM_SURPRISAL_ORACLE),
-        ("q_sample_group_split", q_sample_group_split, group_split_oracle_sql()),
-        ("etl_orc_roundtrip_e2e", etl_orc_roundtrip_e2e, ORC_ROUNDTRIP_ORACLE),
-        ("q_sketch_quantile_digest", q_sketch_quantile_digest, qdigest_oracle_sql()),
-        ("q_stream_quantile_digest", q_stream_quantile_digest, qdigest_oracle_sql()),
-        ("q_multimodal_warc_ingest", q_multimodal_warc_ingest, WARC_ORACLE),
-        ("etl_warc_file_ingest_e2e", etl_warc_file_ingest_e2e, WARC_FILE_ORACLE),
+        # round-13 queue (format gates, built r11)
         ("q_multimodal_mp3_probe", q_multimodal_mp3_probe, MP3_ORACLE),
+        ("etl_mp3_file_probe_e2e", etl_mp3_file_probe_e2e, MP3_FILE_ORACLE),
         ("q_multimodal_tar_ingest", q_multimodal_tar_ingest, TAR_ORACLE),
         ("etl_tar_shard_ingest_e2e", etl_tar_shard_ingest_e2e, TAR_SHARD_ORACLE),
         ("etl_jsonl_gzip_roundtrip_e2e", etl_jsonl_gzip_roundtrip_e2e, JSONL_GZ_ORACLE),
         ("etl_xml_roundtrip_e2e", etl_xml_roundtrip_e2e, XML_ROUNDTRIP_ORACLE),
+        # round-14 queue (built r12)
+        ("q_graph_triangles", q_graph_triangles, TRIANGLES_ORACLE),
+        ("q_ml_naive_bayes_langid", q_ml_naive_bayes_langid, NB_LANGID_ORACLE),
+        ("q_join_bloom_prefilter", q_join_bloom_prefilter, bloom_prefilter_oracle_sql()),
     ]
     if len(sys.argv) > 2:
         want = set(sys.argv[2:])
