@@ -31,10 +31,13 @@ O(K log D) rows, so the query runs driver-side on the collected sketch
 over the same few hundred rows).
 
 Scale shape: ONE hash-partitioned aggregation over the fact table (leaf
-histogram, bounded by the value domain), then B = 20 passes over the
-shrinking node table — each pass a small groupBy whose input is at most
-domain-sized and after a few passes K-sized. No global sort, no window,
-no corpus-sized collect.
+histogram, bounded by the value domain at 2^B = 1M rows, ~16 MB), then
+the B bottom-up passes run DRIVER-SIDE on the collected histogram
+(round-12 recut, measured 4.7-6.2x: the former level-synchronous Spark
+loop computed the identical digest but paid 20 scheduled jobs of fixed
+overhead — the collect is bounded by the DOMAIN, never the data, the
+same posture as the quantile query and KMV's k-row set algebra). No
+global sort, no window, no corpus-sized collect.
 
 Reference behavior: the reference pipeline (fe-malveira-87/poc-juma-etl)
 delegates this to BigQuery (APPROX_QUANTILES); this implements it
@@ -51,7 +54,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..checkpoint import truncate_lineage
 
 B = 20  # domain bits: values in [0, 2^20); o_totalprice dollars < ~600k
 K = 1024  # compression factor: sigma = n DIV K, rank error <= B*n/K (~2% of n)
@@ -127,57 +129,45 @@ def digest_result(spark: SparkSession, leaves: DataFrame) -> DataFrame:
     The tree covers EXACTLY [0, 2^B): an out-of-domain value would land
     its leaf id outside every level pass (silently dropped mass) or, if
     negative, collide with internal-node ids — so the domain is enforced
-    here at ingestion, in the same aggregation that already computes n
-    (one extra min/max, no extra pass), and violations fail loudly."""
-    cur = truncate_lineage(leaves.selectExpr(f"v + {1 << B} AS id", "cnt"))
-    stats = cur.agg(
-        F.sum("cnt").alias("n"),
-        F.min("id").alias("lo"),
-        F.max("id").alias("hi"),
-        # a NULL value would count into n but silently fall out of every
-        # level pass (NULL fails both the level and rest filters) — mass
-        # the quantile ranks then misattribute; catch it here too
-        F.sum(F.when(F.col("id").isNull(), F.col("cnt"))).alias("null_mass"),
-    ).collect()[0]
-    n = int(stats["n"] or 0)
-    if stats["null_mass"]:
+    here at ingestion and violations fail loudly.
+
+    Build placement (round-12 recut, measured): the histogram is DOMAIN-
+    bounded — at most 2^B = 1M (v, cnt) rows, ~16 MB — so after the one
+    distributed aggregation the build runs driver-side via qdigest_build,
+    the same bounded-collect posture the quantile query below has always
+    used (and KMV's k-row set algebra). The previous level-synchronous
+    Spark loop computed the identical digest (it is a pure function of
+    the histogram, pinned in tests) but paid 20 scheduled jobs + 20
+    lineage checkpoints of fixed overhead, making the query ~sf-invariant
+    slow; the interleaved A/B measured the driver build at 4.7x (sf0.1)
+    to 6.2x (sf1) with values identical (tools/ab_qdigest_driverbuild.py).
+    Mergeability at 1000 executors is unchanged: partitions sketch
+    independently and merge by histogram/node-list concatenation + one
+    rebuild (tests pin the merge property)."""
+    rows = leaves.select("v", "cnt").collect()  # <= 2^B rows by contract
+    null_mass = sum(int(r.cnt) for r in rows if r.v is None)
+    if null_mass:
         raise ValueError(
-            f"q-digest domain violation: {stats['null_mass']} rows carry a "
+            f"q-digest domain violation: {null_mass} rows carry a "
             "NULL value — filter or impute before sketching"
         )
-    if n and (stats["lo"] < (1 << B) or stats["hi"] >= (1 << (B + 1))):
-        raise ValueError(
-            f"q-digest domain violation: values must lie in [0, {1 << B}) "
-            f"but the histogram spans "
-            f"[{stats['lo'] - (1 << B)}, {stats['hi'] - (1 << B)}]"
-        )
+    hist = [(int(r.v), int(r.cnt)) for r in rows]
+    n = sum(c for _, c in hist)
+    if hist:
+        lo = min(v for v, _ in hist)
+        hi = max(v for v, _ in hist)
+        if lo < 0 or hi >= (1 << B):
+            raise ValueError(
+                f"q-digest domain violation: values must lie in [0, {1 << B}) "
+                f"but the histogram spans [{lo}, {hi}]"
+            )
     sigma = n // K
-    for d in range(B, 0, -1):
-        lo, hi = 1 << d, 1 << (d + 1)
-        level = cur.filter((F.col("id") >= lo) & (F.col("id") < hi))
-        rest = cur.filter((F.col("id") < lo) | (F.col("id") >= hi))
-        groups = level.selectExpr("id DIV 2 AS pid", "cnt").groupBy("pid").agg(
-            F.sum("cnt").alias("s")
-        )
-        merged = groups.filter(F.col("s") <= sigma).selectExpr(
-            "pid AS id", "s AS cnt"
-        )
-        # equi semi join on the parent id (hash join — an OR-of-children
-        # condition would plan as a nested loop over domain-sized levels)
-        kept = level.join(
-            groups.filter(F.col("s") > sigma).select("pid"),
-            F.expr("id DIV 2") == F.col("pid"),
-            "left_semi",
-        )
-        # lineage cut per pass: 20 chained unions would otherwise replay
-        # the whole chain on every subsequent action
-        cur = truncate_lineage(rest.unionByName(kept).unionByName(merged))
-    digest = sorted((int(r.id), int(r.cnt)) for r in cur.collect())
-    rows = [
+    digest = qdigest_build(hist, n)
+    rows_out = [
         (p, est, n, len(digest), sigma)
         for p, est in qdigest_quantiles(digest, n)
     ]
-    return spark.createDataFrame(rows, OUT_COLS).orderBy("pct")
+    return spark.createDataFrame(rows_out, OUT_COLS).orderBy("pct")
 
 
 def qdigest_oracle_sql() -> str:

@@ -69,16 +69,17 @@ BUDGETS = {
     # .collect() — the queue-probe rule below; these stay collect-metered
     # after the flip, see COLLECT_METERED): bigram surprisal 52.5 KB
     # (recut type-level plan); group split 1.6 KB; ORC round-trip 1.4 KB;
-    # q-digest 1.33 MB (20 level passes over the shrinking node table —
-    # domain-bounded, so sf-invariant above sf0.1); streaming q-digest
-    # 1.91 MB (same build + per-epoch histogram aggregations); WARC ingest
-    # 19.2 KB / WARC file e2e 8.7 KB (stat rows only — payload bytes never
-    # enter an Exchange, the decode-family rule)
+    # q-digest 105 KB / streaming q-digest 338 KB (re-baselined after the
+    # round-12 driver-build recut removed the 20 level-pass exchanges —
+    # what remains is the leaf-histogram aggregation, and for the stream
+    # twin the per-epoch histogram maintenance); WARC ingest 19.2 KB /
+    # WARC file e2e 8.7 KB (stat rows only — payload bytes never enter an
+    # Exchange, the decode-family rule)
     "q_text_bigram_surprisal": 110_000,
     "q_sample_group_split": 4_000,
     "etl_orc_roundtrip_e2e": 3_000,
-    "q_sketch_quantile_digest": 2_700_000,
-    "q_stream_quantile_digest": 3_900_000,
+    "q_sketch_quantile_digest": 230_000,
+    "q_stream_quantile_digest": 700_000,
     "q_multimodal_warc_ingest": 40_000,
     "etl_warc_file_ingest_e2e": 20_000,
 }
