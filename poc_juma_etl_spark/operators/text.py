@@ -1490,3 +1490,101 @@ def q_text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- corpus frequency spectrum / hapax profile (round-12 build; queued) -----
+#
+# The Zipf-law diagnostic without the global rank sort: instead of ranking
+# the vocabulary (a vocabulary-wide total order — exactly the partition-less
+# window the registry-wide plan sweep bans), bucket every type by
+# floor(log2(frequency)) — the frequency SPECTRUM. On a healthy natural
+# corpus the log2-band type counts fall near-geometrically (Zipf alpha~1);
+# boilerplate-heavy or template-generated corpora show a hollowed-out
+# singleton band. The hapax share (band 0: types occurring once) is the
+# classic corpus-health number data curation reports track. Everything is
+# exact integers via the house floor-log2 idiom (length(bin(f)) - 1), and
+# the whole operator is two groupBy chains — token frequency (shuffle on
+# the token key) then a ~40-row band rollup. At 100 TB: one vocab-sized
+# exchange, no sort, no window, no collect.
+
+def q_text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-spectrum profile of the corpus's unigram AND bigram
+    vocabularies: per (gram, log2-frequency band) — n_types,
+    total_occurrences, min/max freq, and the band's share of that gram's
+    vocabulary in exact per-million integers. Band 0 of each gram is the
+    hapax count. Bigrams ride the in-row zip_with shift (the
+    bigram-surprisal idiom) — never a positional self-join. Reference
+    behavior: none (beyond-reference corpus-stats family)."""
+    d = load_table(spark, sf_dir, "documents").select("text")
+    ts = tokens("text")
+    uni = d.select(F.explode(ts).alias("t")).filter(F.length("t") > 0)
+    bi_pairs = F.when(
+        F.size(ts) >= 2,
+        F.zip_with(
+            F.slice(ts, 1, F.size(ts) - 1),
+            F.slice(ts, 2, F.size(ts) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = d.select(F.explode(bi_pairs).alias("t"))
+    typed = uni.withColumn("gram", F.lit(1)).unionByName(
+        bi.withColumn("gram", F.lit(2))
+    )
+    freq = typed.groupBy("gram", "t").agg(F.count(F.lit(1)).alias("f"))
+    vocab = {
+        int(r.gram): int(r.n)
+        for r in freq.groupBy("gram").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    v1, v2 = max(vocab.get(1, 0), 1), max(vocab.get(2, 0), 1)
+    return (
+        freq.select("gram", F.expr("length(bin(f)) - 1").alias("band"), "f")
+        .groupBy("gram", "band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("f").cast("bigint").alias("total_occurrences"),
+            F.min("f").cast("bigint").alias("min_freq"),
+            F.max("f").cast("bigint").alias("max_freq"),
+        )
+        .withColumn(
+            "types_ppm",
+            F.expr(
+                f"CAST(n_types * 1000000 div "
+                f"(CASE WHEN gram = 1 THEN {v1} ELSE {v2} END) AS BIGINT)"
+            ),
+        )
+        .orderBy("gram", "band")
+    )
+
+
+ZIPF_PROFILE_ORACLE = """
+    WITH doc AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    uni AS (
+      SELECT 1 AS gram, t FROM (SELECT unnest(ts) AS t FROM doc)
+      WHERE length(t) > 0
+    ),
+    bi AS (
+      SELECT 2 AS gram,
+             unnest(list_transform(range(1, len(ts)),
+                                   i -> ts[i] || ' ' || ts[i+1])) AS t
+      FROM doc
+    ),
+    freq AS MATERIALIZED (
+      SELECT gram, t, COUNT(*) AS f
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      GROUP BY gram, t
+    ),
+    v AS MATERIALIZED (
+      SELECT gram, GREATEST(COUNT(*), 1) AS n FROM freq GROUP BY gram
+    )
+    SELECT freq.gram AS gram,
+           length(bin(f)) - 1 AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(f) AS BIGINT) AS total_occurrences,
+           CAST(MIN(f) AS BIGINT) AS min_freq,
+           CAST(MAX(f) AS BIGINT) AS max_freq,
+           CAST(COUNT(*) * 1000000 // MIN(v.n) AS BIGINT) AS types_ppm
+    FROM freq JOIN v ON v.gram = freq.gram
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """

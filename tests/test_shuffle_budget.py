@@ -172,12 +172,15 @@ QUEUE_BUDGETS = {
     "q_graph_triangles": 3_000_000,
     "q_ml_naive_bayes_langid": 60_000,
     "q_join_bloom_prefilter": 45_000,
+    # zipf/hapax spectrum 32.6 KB (uni+bigram type frequency exchange)
+    "q_text_zipf_profile": 70_000,
 }
 
 
 def _queue_fn(name):
     from poc_juma_etl_spark.operators.graph import q_graph_triangles
     from poc_juma_etl_spark.operators.lm import q_ml_naive_bayes_langid
+    from poc_juma_etl_spark.operators.text import q_text_zipf_profile
     from poc_juma_etl_spark.operators.mp3 import (
         etl_mp3_file_probe_e2e,
         q_multimodal_mp3_probe,
@@ -194,6 +197,7 @@ def _queue_fn(name):
 
     return {
         "q_graph_triangles": q_graph_triangles,
+        "q_text_zipf_profile": q_text_zipf_profile,
         "q_ml_naive_bayes_langid": q_ml_naive_bayes_langid,
         "q_join_bloom_prefilter": q_join_bloom_prefilter,
         "q_multimodal_mp3_probe": q_multimodal_mp3_probe,

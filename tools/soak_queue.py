@@ -42,6 +42,10 @@ def main() -> int:
         NB_LANGID_ORACLE,
         q_ml_naive_bayes_langid,
     )
+    from poc_juma_etl_spark.operators.text import (
+        ZIPF_PROFILE_ORACLE,
+        q_text_zipf_profile,
+    )
     from poc_juma_etl_spark.operators.mp3 import (
         MP3_FILE_ORACLE,
         MP3_ORACLE,
@@ -77,6 +81,7 @@ def main() -> int:
         ("q_graph_triangles", q_graph_triangles, TRIANGLES_ORACLE),
         ("q_ml_naive_bayes_langid", q_ml_naive_bayes_langid, NB_LANGID_ORACLE),
         ("q_join_bloom_prefilter", q_join_bloom_prefilter, bloom_prefilter_oracle_sql()),
+        ("q_text_zipf_profile", q_text_zipf_profile, ZIPF_PROFILE_ORACLE),
     ]
     if len(sys.argv) > 2:
         want = set(sys.argv[2:])
