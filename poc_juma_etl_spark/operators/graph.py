@@ -94,6 +94,15 @@ def _oracle_sql() -> str:
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # NOTE (round-12, measured and REJECTED): de-duplicating this subtree —
+    # the union below evaluates the join+distinct once per edge direction —
+    # was A/B'd two ways (tools/ab_r12.py, values identical): scoped_cache
+    # 0.71x (both union branches materialize inside pagerank_top's ONE
+    # checkpoint job and race the cache fill), eager truncate_lineage(cp)
+    # 1.04x wash (the serial materialization job costs what the concurrent
+    # duplicate evaluation costs — idle cores make the recompute ~free at
+    # bench scale). Kept as-is; on a cluster where the edge build is
+    # corpus-bound, the eager cut is the known recut to re-measure.
     cp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))

@@ -483,14 +483,23 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign_expr(cents: list[list[list[int]]]) -> str:
-        per_m = []
-        for mi in range(M):
-            structs = ",".join(
-                f"named_struct('d', {_sq_dist_sql('sv', cents[mi][k])}, 'cid', {k})"
-                for k in range(len(cb[mi]))
+        # CASE on m, not element_at(array(...), m+1): CreateArray evaluates
+        # ALL M subspace distance arrays per row before element_at picks
+        # one, so every training row paid M*K distance computations for
+        # the K it needs; CASE evaluates only the matched branch — a 4x
+        # cut in per-row assignment arithmetic (guide §1.2 step 2,
+        # measured round 12). Values identical: m is always in [0, M).
+        branches = " ".join(
+            "WHEN {mi} THEN array_min(array({structs})).cid".format(
+                mi=mi,
+                structs=",".join(
+                    f"named_struct('d', {_sq_dist_sql('sv', cents[mi][k])}, 'cid', {k})"
+                    for k in range(len(cents[mi]))
+                ),
             )
-            per_m.append(f"array({structs})")
-        return f"array_min(element_at(array({','.join(per_m)}), m + 1)).cid"
+            for mi in range(M)
+        )
+        return f"CASE m {branches} END"
 
     for _ in range(ITERS):
         per = (

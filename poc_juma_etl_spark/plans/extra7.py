@@ -215,6 +215,13 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     src = d.select("doc_id", "source")
+    # NOTE (round-12, measured and REJECTED): ds feeds two consumers (per-
+    # source totals, the pair explode) and is evaluated twice — both a
+    # scoped_cache (0.82x) and an eager truncate_lineage (0.78x) LOST to
+    # the duplicate evaluation (tools/ab_r12.py, values identical): one
+    # action runs both subtrees concurrently on idle cores, while
+    # materializing the distinct shingle domain serializes its write onto
+    # the critical path. Same finding as pagerank's edge build this round.
     ds = (
         _shingles(d)
         # doc->source map is CORPUS-sized (one row per document) — no

@@ -331,6 +331,19 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "median", "window"),
 )
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE (round-12, measured and REJECTED): recutting the cumulative
+    # window onto the range-partitioned global-prefix-sum idiom
+    # (budget_select: repartitionByRange(grp, val) + cached pid layout +
+    # per-partition totals collect + broadcast offsets + min_by final
+    # aggregate) A/B'd at 0.60x (best 5.12s vs 3.06s, values identical,
+    # tools/ab_r12.py) — the recut's fixed jobs (range sampling, cache
+    # fill, offsets collect) cost more at bench SFs than the 3-task
+    # window they replace. The grp-partitioned window stays; it IS the
+    # known parallelism ceiling here (3 l_returnflag groups), but its
+    # input is the (grp, val) DISTINCT domain — groupBy'd first, so the
+    # window walks value-domain rows, not raw lineitem — and the
+    # budget_select idiom remains the documented recut if the value
+    # domain ever outgrows a task.
     li = load_table(spark, sf_dir, "lineitem")
     per_val = li.groupBy(
         F.col("l_returnflag").alias("grp"), F.col("l_extendedprice").alias("val")
@@ -779,32 +792,43 @@ def _ri_sql(name: str, ct: str, ck: str, pt: str, pk: str) -> str:
     tags=("dq", "integrity", "ops"),
 )
 def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-12 recut (guide §2.3 "aggregate before you shuffle"): each
+    # relationship used to scan its child TWICE (row/key totals with a
+    # countDistinct Expand, plus an anti-join orphan recount — 112
+    # Exchanges across the 8 checks). Now the child collapses to its key
+    # domain in ONE map-side-combinable groupBy, LEFT-joins the parent
+    # key set (broadcast when dim-sized, hash otherwise — AQE decides),
+    # and all four stats fall out of one aggregate over key-domain rows:
+    # child_rows = Σ counts, child_keys = non-null key groups,
+    # orphan_* = the unmatched groups. Half the fact-table scans, no
+    # Expand, no anti join; values are identical by construction.
     out = None
     for name, ct, ck, pt, pk in _RI_RELS:
         child = load_table(spark, sf_dir, ct).select(F.col(ck).alias("k"))
-        parent = load_table(spark, sf_dir, pt).select(F.col(pk).alias("k")).distinct()
-        tot = child.agg(
-            F.count(F.lit(1)).cast("bigint").alias("child_rows"),
-            F.countDistinct("k").cast("bigint").alias("child_keys"),
+        parent = (
+            load_table(spark, sf_dir, pt)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("__m", F.lit(1))
         )
-        orph = (
-            child.filter(F.col("k").isNotNull())
-            .join(parent, "k", "left_anti")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("orphan_rows"),
-                F.countDistinct("k").cast("bigint").alias("orphan_keys"),
-            )
-        )
+        keyed = child.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+        orphan = F.col("k").isNotNull() & F.col("__m").isNull()
         row = (
-            tot.crossJoin(F.broadcast(orph))
-            .select(
+            keyed.join(parent, "k", "left")
+            .agg(
                 F.lit(name).alias("relationship"),
-                "child_rows",
-                "child_keys",
-                "orphan_rows",
-                "orphan_keys",
-                (F.col("orphan_rows") == 0).alias("ok"),
+                F.sum("c").cast("bigint").alias("child_rows"),
+                F.count(F.when(F.col("k").isNotNull(), 1))
+                .cast("bigint")
+                .alias("child_keys"),
+                F.coalesce(F.sum(F.when(orphan, F.col("c"))), F.lit(0))
+                .cast("bigint")
+                .alias("orphan_rows"),
+                F.coalesce(F.sum(F.when(orphan, 1)), F.lit(0))
+                .cast("bigint")
+                .alias("orphan_keys"),
             )
+            .withColumn("ok", F.col("orphan_rows") == 0)
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("relationship")
