@@ -23,7 +23,27 @@ DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 
 def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
-    """(n_data_files, total_bytes) for a parquet table directory."""
+    """(n_data_files, total_bytes) for a parquet table directory.
+
+    Local paths walk the directory in-process: the Hadoop ``listFiles``
+    remote iterator costs ~3 py4j round-trips PER FILE (hasNext/next/
+    getPath/getLen), which round-12 profiling measured at ~1 s for a
+    180-file table — pure driver-side RPC chatter (guide §5: the driver
+    should do almost no data work, and listing IS driver work, so make
+    it one process instead of two). Non-local URIs keep the Hadoop
+    filesystem path unchanged."""
+    import os
+
+    if "://" not in path and not path.startswith("file:"):
+        if not os.path.isdir(path):  # never-written table (S6 empty-guard)
+            return 0, 0
+        n, total = 0, 0
+        for root, _dirs, files in os.walk(path):
+            for name in files:
+                if name.endswith(".parquet") and not name.startswith("_"):
+                    n += 1
+                    total += os.path.getsize(os.path.join(root, name))
+        return n, total
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -212,16 +232,41 @@ def compact_execute(
         )
         .distinct()
     )
-    # the plan is file-count-bounded: persist it so the groups count and the
-    # provenance join reuse ONE metadata pass (column pruning keeps that scan
-    # footer-cheap — no data columns are read) instead of recomputing it as
-    # the join's build side during the rewrite
-    plan = plan_output_groups(meta, target_bytes).persist()
-    try:
+    # The plan is file-count-bounded. While the table is manifest-scale
+    # (same 100k bound the broadcast below already uses), COLLECT the
+    # (fpath, pdir, bytes) rows once and run the start-offset rule as
+    # driver-side integer math: the distributed form paid a persist plus
+    # three shuffle stages (distinct → window → distinct-count) over a
+    # few-hundred-row metadata table — ~1 s of pure stage latency at the
+    # bench gate (round-12 profile; guide §1.2: fixed scheduler cost is
+    # per-stage, so stop scheduling stages over driver-sized data).
+    # Python's str sort == Spark's UTF8 binary sort here (UTF-8 byte
+    # order preserves code-point order), and the floor-div grouping is
+    # the identical exact-integer rule plan_output_groups applies — the
+    # distributed path stays, and stays THE path past the bound.
+    plan = None
+    if before <= 100_000:
+        rows = sorted(
+            ((r["__pdir"], r["__fpath"], int(r["__bytes"])) for r in meta.collect())
+        )
+        plan_rows, cum, cur_dir = [], 0, None
+        for pdir, fpath, nbytes in rows:
+            if pdir != cur_dir:
+                cur_dir, cum = pdir, 0
+            plan_rows.append((fpath, pdir, cum // int(target_bytes)))
+            cum += nbytes
+        groups = len({(p_, g) for _f, p_, g in plan_rows})
+        fmap = F.broadcast(
+            spark.createDataFrame(
+                [(f, g) for f, p_, g in plan_rows],
+                "__fpath string, __grp bigint",
+            )
+        )
+    else:
+        plan = plan_output_groups(meta, target_bytes).persist()
         groups = plan.select("__pdir", "__grp").distinct().count()
         fmap = plan.select("__fpath", "__grp")
-        if before <= 100_000:
-            fmap = F.broadcast(fmap)
+    try:
         routed = tagged.join(fmap, "__fpath")
         staging = f"{path}__compact_staging"
         # Range partitioning, not hash: hash(pdir, grp) % n_groups lands
@@ -241,7 +286,8 @@ def compact_execute(
             wtr = wtr.partitionBy(*partition_cols)
         wtr.parquet(staging)
     finally:
-        plan.unpersist()
+        if plan is not None:
+            plan.unpersist()
     _swap_into(spark, staging, path)
     after, _ = table_file_stats(spark, path)
     return {

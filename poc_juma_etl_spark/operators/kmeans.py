@@ -477,10 +477,19 @@ def _lloyd_oracle() -> str:
     tags=("kmeans", "iterative", "clustering"),
 )
 def q_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.queries import scoped_cache
+
     e = spread(load_table(spark, sf_dir, "embeddings"))
     from .dedup import SPARK_QVEC
 
-    vecs = e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
+    # cached (round-12, measured): the seed collect, every Lloyd round,
+    # and the final membership pass are each their OWN action over this
+    # projection — without the cache each re-scans parquet and re-runs
+    # the spread shuffle + quantize (the pq_topk vecs / MLlib cache-the-
+    # training-set idiom; DISK_ONLY on a cluster).
+    vecs = scoped_cache(
+        e.select("vec_id", F.expr(SPARK_QVEC.format(a="embedding")).alias("qv"))
+    )
     cents: list[list[int]] = [[int(x) for x in r.qv] for r in qv_seeds(vecs, K)]
     for _ in range(LLOYD_ITERS):
         best = F.expr(f"array_min({_int_cell_struct_array(cents)})")

@@ -96,9 +96,17 @@ def logreg_gd(spark: SparkSession, sf_dir: str, steps: int = STEPS) -> DataFrame
     row per step: the squared-error and accuracy metrics computed with the
     weights ENTERING the step, plus the updated weights leaving it —
     integer-exact, so the whole trace is hash-comparable across engines."""
-    feats = load_table(spark, sf_dir, "orders").selectExpr(
-        *(f"{expr} AS {name}" for name, expr in FEATURES),
-        f"{LABEL} AS y",
+    from ..plans.queries import scoped_cache
+
+    # cached (round-12, measured): each GD step is its OWN action, so
+    # steps 2..K read the projected feature columns from memory instead
+    # of re-scanning parquet and re-deriving the features (the pq_topk
+    # vecs / pca feats idiom; DISK_ONLY on a cluster).
+    feats = scoped_cache(
+        load_table(spark, sf_dir, "orders").selectExpr(
+            *(f"{expr} AS {name}" for name, expr in FEATURES),
+            f"{LABEL} AS y",
+        )
     )
     weights = [0] * len(FEATURES)
     rows = []

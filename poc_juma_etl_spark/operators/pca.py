@@ -91,8 +91,17 @@ def pca_power_iteration(
     |gradient| computed WITH the direction entering the step, plus the
     renormalized direction leaving it — integer-exact, so the whole trace
     is hash-comparable across engines."""
-    feats = load_table(spark, sf_dir, "embeddings").selectExpr(
-        *_q_exprs("element_at(embedding, {i})")
+    from ..plans.queries import scoped_cache
+
+    # cached (round-12): every step is its OWN action (collect), so unlike
+    # the single-action subtree-dedup cases rejected this round, the cache
+    # is actually hit — steps 2..K read the quantized columns from memory
+    # instead of re-scanning parquet and re-quantizing (the pq_topk vecs /
+    # MLlib cache-the-training-set idiom; DISK_ONLY on a cluster).
+    feats = scoped_cache(
+        load_table(spark, sf_dir, "embeddings").selectExpr(
+            *_q_exprs("element_at(embedding, {i})")
+        )
     )
     v = [VS] * DIM
     rows = []
