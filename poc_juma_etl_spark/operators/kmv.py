@@ -140,25 +140,30 @@ def setops_result(
         est_i = n_i * MAXH // theta_u
         est_d = n_d * MAXH // theta_u
 
-    # exact ground truth rides the same distinct-aggregation shape
+    # exact ground truth in ONE pass (round-12, measured): the old shape
+    # ran a triple count_distinct (an Expand ×3 of the scan) plus a SECOND
+    # scan+shuffle for the intersection count. Collapsing the custkey
+    # domain first makes u/a/b/i plain conditional sums over one
+    # map-side-combined groupBy — same values by construction (max-flags
+    # per custkey ≡ distinct membership), half the scans, no Expand
+    # (guide §2.3 "aggregate before you shuffle").
     o = load_table(spark, sf_dir, "orders").selectExpr(
         "o_custkey",
         f"CASE WHEN {PRED_A} THEN 1 ELSE 0 END AS in_a",
         f"CASE WHEN {PRED_B} THEN 1 ELSE 0 END AS in_b",
     )
-    ex = o.agg(
-        F.count_distinct(F.when(F.col("in_a") == 1, F.col("o_custkey"))).alias("a"),
-        F.count_distinct(F.when(F.col("in_b") == 1, F.col("o_custkey"))).alias("b"),
-        F.count_distinct(
-            F.when((F.col("in_a") == 1) | (F.col("in_b") == 1), F.col("o_custkey"))
-        ).alias("u"),
-    ).collect()[0]
-    ex_i = (
-        o.groupBy("o_custkey")
+    per = (
+        o.filter("in_a = 1 OR in_b = 1")
+        .groupBy("o_custkey")
         .agg(F.max("in_a").alias("a"), F.max("in_b").alias("b"))
-        .where("a = 1 AND b = 1")
-        .count()
     )
+    ex = per.agg(
+        F.coalesce(F.sum("a"), F.lit(0)).alias("a"),
+        F.coalesce(F.sum("b"), F.lit(0)).alias("b"),
+        F.count(F.lit(1)).alias("u"),
+        F.coalesce(F.sum(F.col("a") * F.col("b")), F.lit(0)).alias("i"),
+    ).collect()[0]
+    ex_i = int(ex.i)
 
     rows = [
         ("est_a", est_a),
