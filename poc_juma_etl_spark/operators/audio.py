@@ -120,6 +120,12 @@ def feature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE (round-12, measured and REJECTED): spread() here A/B'd 0.80x
+    # (tools/ab_r12.py, values identical) — the PCM16 feature walk is
+    # cheap enough that 32-way task fan-out overhead exceeds the
+    # single-core kernel time, unlike the PNG/AVI decode gates where the
+    # same guard won 1.6-3.0x. Kernel weight decides; re-measure if the
+    # feature set ever grows a real DSP stage.
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     media = d.mapInPandas(synth_wav_kernel, schema="doc_id long, payload binary")
     return media.mapInPandas(feature_kernel, schema=OUT_SCHEMA).orderBy("doc_id")

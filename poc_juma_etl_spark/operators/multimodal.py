@@ -2132,7 +2132,11 @@ def decode_media(df: DataFrame) -> DataFrame:
     tags=("multimodal", "pandas-udf", "decode"),
 )
 def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    from ..catalog import spread
+
+    # spread() (round-12, measured): one-partition fixture scan would run
+    # both kernels on one core; no-op at scale (catalog.spread docstring)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     media = d.mapInPandas(synth_kernel, schema="doc_id long, payload binary")
     return decode_media(media).orderBy("doc_id")
 
@@ -2355,7 +2359,13 @@ def image_ahash(df: DataFrame) -> DataFrame:
     tags=("multimodal", "dedup", "phash", "pandas-udf"),
 )
 def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    from ..catalog import spread
+
+    # spread() (round-12, measured): the single-file fixture scan yields
+    # ONE input partition, so the synth+decode+hash kernel ran on one
+    # core while its JPEG/WARC/MP3 siblings already spread; no-op at
+    # scale (catalog.spread docstring)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     hashed = image_ahash(d)
     return (
         hashed.groupBy("ahash")

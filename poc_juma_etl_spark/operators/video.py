@@ -315,7 +315,12 @@ def frame_sample_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 
 def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    from ..catalog import spread
+
+    # spread() (round-12, measured): one-partition fixture scan would run
+    # the AVI synth + frame-walk kernels on one core; no-op at scale
+    # (catalog.spread docstring)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     media = d.mapInPandas(synth_avi_kernel, schema="doc_id long, payload binary")
     return media.mapInPandas(frame_sample_kernel, schema=OUT_SCHEMA).orderBy("doc_id")
 
