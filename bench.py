@@ -151,6 +151,43 @@ HEADLINE: list[str] = [
 ]
 
 
+# The consumer's 1950-char line cannot carry all 107 per-query entries, and
+# the old slowest-first cut let run noise rotate sub-second queries in and
+# out of view (read as phantom drops, round-12 verdict item 1). These are the
+# names the round-12 line carried: they are emitted UNCONDITIONALLY so the
+# consumer's visible set is stable round-over-round; remaining width shows
+# the slowest of the rest. Strictly additive — grow it when width allows,
+# never remove a name that has been visible.
+PINNED_VISIBLE: frozenset[str] = frozenset({
+    "etl_compact_plan_exec_e2e", "etl_dpp_prune_e2e",
+    "etl_incremental_join_e2e", "etl_orc_roundtrip_e2e",
+    "etl_wap_publish_e2e", "q12_return_rate_by_status",
+    "q21_suppliers_kept_waiting", "q3_top_unshipped_revenue",
+    "q5_region_nation_revenue", "q8_market_share", "q_ann_bruteforce_topk",
+    "q_ann_ivfpq_topk", "q_ann_lsh_topk", "q_ann_pq_adc", "q_ann_pq_topk",
+    "q_ann_recall_at_k", "q_arrow_vector_norms", "q_bpe_train_merges",
+    "q_broadcast_brand_volume", "q_corpus_export_manifest",
+    "q_dedup_containment", "q_dedup_levenshtein_grouped",
+    "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_dedup_simhash",
+    "q_dedup_winnow_overlap", "q_dq_audit", "q_dq_referential_integrity",
+    "q_embedding_gram_stats", "q_equidepth_histogram", "q_event_anomaly_mad",
+    "q_event_funnel", "q_event_trigram_paths", "q_graph_bfs_hops",
+    "q_graph_kcore", "q_graph_pagerank", "q_hybrid_rank_fusion",
+    "q_kmeans_lloyd_exact", "q_logreg_gd", "q_multimodal_decode_real",
+    "q_multimodal_jpeg420_decode", "q_multimodal_jpeg_decode",
+    "q_multimodal_phash_dedup", "q_multimodal_video_frames",
+    "q_multimodal_warc_ingest", "q_pca_power_iteration", "q_quality_filter",
+    "q_rfm_segments", "q_sample_token_budget", "q_scd2_dimension_build",
+    "q_scd2_incremental_apply", "q_scd2_point_in_time_join",
+    "q_shuffle_hash_join", "q_sketch_cms_heavy_hitters",
+    "q_sketch_kmv_setops", "q_sketch_quantile_digest", "q_source_overlap",
+    "q_text_bigram_logprob", "q_text_decontaminate", "q_text_ngram_novelty",
+    "q_text_pmi_collocations", "q_text_span_dedup", "q_text_tfidf_search",
+    "q_text_unigram_logprob", "q_vector_scalar_quantize",
+    "q_weighted_median", "q_window_topk_per_brand",
+})
+
+
 def _sized_shuffle_partitions(sf_dir: str, cpus: int) -> int:
     """Size shuffle partitions to the data, not the machine: target ~64 MiB
     per partition (the session's AQE advisory), clamped to [8, cpus].
@@ -238,17 +275,39 @@ def main() -> None:
         if len(line) <= 1950:
             break
     else:
-        # the line no longer fits even at 1 decimal: keep the SLOWEST queries
-        # (the ones worth reading) up to the width budget instead of dropping
-        # the whole map
+        # The line no longer fits even at 1 decimal. Round-12 verdict item:
+        # a slowest-first cut makes the visible set CHANGE with every run's
+        # noise, so sub-second queries flicker in and out of the consumer's
+        # view and read as phantom drops round-over-round. Emit a STABLE
+        # visible set instead: the r12-visible names (PINNED_VISIBLE) go in
+        # unconditionally, remaining width takes the slowest of the rest
+        # (strictly additive — a name once visible stays visible), and only
+        # a pathological width blowup trims pinned names, fastest first.
         slowest = sorted(timings.items(), key=lambda kv: -kv[1])
-        kept: dict[str, float] = {"n_queries_not_shown": len(timings)}
-        for k, v in slowest:
-            trial = {**kept, k: round(v, 1)}
-            payload["queries"] = trial
-            if len(json.dumps(payload, separators=(",", ":"))) > 1950:
+        kept: dict[str, float] = {
+            k: round(v, 1) for k, v in slowest if k in PINNED_VISIBLE
+        }
+        kept["n_queries_not_shown"] = len(timings) - len(kept)
+
+        def width(d: dict) -> int:
+            payload["queries"] = d
+            return len(json.dumps(payload, separators=(",", ":")))
+
+        for k, v in slowest:  # additive pass: more visibility if it fits
+            if k in kept:
+                continue
+            trial = dict(kept)
+            trial[k] = round(v, 1)
+            trial["n_queries_not_shown"] = len(timings) - (len(trial) - 1)
+            if width(trial) > 1950:
                 break
             kept = trial
+        while width(kept) > 1950 and len(kept) > 1:  # safety valve
+            fastest = min(
+                (k for k in kept if k != "n_queries_not_shown"),
+                key=lambda k: kept[k],
+            )
+            del kept[fastest]
             kept["n_queries_not_shown"] = len(timings) - (len(kept) - 1)
         payload["queries"] = kept
         line = json.dumps(payload, separators=(",", ":"))

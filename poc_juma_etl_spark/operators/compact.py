@@ -31,14 +31,25 @@ def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     180-file table — pure driver-side RPC chatter (guide §5: the driver
     should do almost no data work, and listing IS driver work, so make
     it one process instead of two). Non-local URIs keep the Hadoop
-    filesystem path unchanged."""
+    filesystem path unchanged.
+
+    The in-process walk is gated on the path actually resolving to the
+    LOCAL filesystem (ADVICE r12): a scheme-less path resolves via
+    ``fs.defaultFS``, so on an HDFS-defaulted deployment it must keep the
+    Hadoop listing — os.path.isdir on the driver's disk would read a real
+    remote table as "never written" and silently no-op the compaction.
+    ``followlinks=True`` matches Hadoop RawLocalFileSystem.listFiles,
+    which traverses symlinked partition directories."""
     import os
 
-    if "://" not in path and not path.startswith("file:"):
+    default_fs = spark._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+    if "://" not in path and not path.startswith("file:") and default_fs.startswith(
+        "file:"
+    ):
         if not os.path.isdir(path):  # never-written table (S6 empty-guard)
             return 0, 0
         n, total = 0, 0
-        for root, _dirs, files in os.walk(path):
+        for root, _dirs, files in os.walk(path, followlinks=True):
             for name in files:
                 if name.endswith(".parquet") and not name.startswith("_"):
                     n += 1

@@ -71,7 +71,11 @@ def _frame_len(br_idx: int, sr: int, padding: int) -> int:
 
 def encode_mp3(doc_id: int) -> bytes:
     """Spec-valid MPEG-1 Layer III frame sequence (headers + deterministic
-    filler payloads — no audio content, framing only)."""
+    filler payloads — no audio content, framing only). Filler bytes are
+    vectorized (round-13, guide §4.2): the per-byte genexpr was ~60% of
+    the probe kernel's CPU; (arange + c) % 251 is byte-identical."""
+    import numpy as np
+
     sr_idx = doc_id % 3
     sr = SAMPLE_RATES[sr_idx]
     out = bytearray()
@@ -88,7 +92,9 @@ def encode_mp3(doc_id: int) -> bytes:
                 0xC0,  # mono, no mode extension, no copyright/original bits
             )
         )
-        body = bytes((doc_id + i + j) % 251 for j in range(flen - 4))
+        body = (
+            ((np.arange(flen - 4) + (doc_id + i)) % 251).astype(np.uint8).tobytes()
+        )
         out += hdr + body
     return bytes(out)
 

@@ -45,6 +45,17 @@ OUT_SCHEMA = (
 )
 
 
+# Resolved ONCE per interpreter (round-13, profiled): the per-call import
+# attempt inside decode_real cost ~0.25 ms of importlib path-finder work per
+# document — a quarter of the whole PNG/WAV kernel's CPU. Guarding ONLY the
+# import is unchanged (ADVICE r8): an ImportError raised from inside a
+# Pillow decode (a missing optional plugin dep) still propagates.
+try:
+    from PIL import Image as _PIL_IMAGE  # type: ignore
+except ImportError:
+    _PIL_IMAGE = None
+
+
 def decode_real(payload: bytes) -> dict:
     """Real media decode, dispatched on the container's magic bytes.
 
@@ -53,14 +64,7 @@ def decode_real(payload: bytes) -> dict:
     — see decode_png / decode_wav below); Pillow, when installed, takes
     over PNG and adds JPEG. No required dependency: only a format that
     genuinely needs an external codec (JPEG without Pillow) raises."""
-    # Guard ONLY the import: an ImportError raised from inside a Pillow
-    # decode (a missing optional plugin dep) is a real environment error and
-    # must propagate, not silently reroute to the stdlib baseline where it
-    # would resurface as a misleading NotImplementedError (ADVICE r8).
-    try:
-        from PIL import Image  # type: ignore
-    except ImportError:
-        Image = None
+    Image = _PIL_IMAGE
 
     def _pil_stats(kind: str) -> dict:
         import io
@@ -389,26 +393,34 @@ def encode_png_gray(rows: list[bytes]) -> bytes:
 
     h = len(rows)
     w = len(rows[0]) if rows else 0
-    raw = bytearray()
-    prev = bytes(w)
-    for y, cur in enumerate(rows):
-        ft = y % 5
-        raw.append(ft)
-        for i, x in enumerate(cur):
-            left = cur[i - 1] if i else 0
-            up = prev[i]
-            upleft = prev[i - 1] if i else 0
-            if ft == 0:
-                raw.append(x)
-            elif ft == 1:
-                raw.append((x - left) & 0xFF)
-            elif ft == 2:
-                raw.append((x - up) & 0xFF)
-            elif ft == 3:
-                raw.append((x - (left + up) // 2) & 0xFF)
-            else:
-                raw.append((x - _paeth(left, up, upleft)) & 0xFF)
-        prev = cur
+    if h and w:
+        # filters predict from ORIGINAL neighbors, so encoding has no
+        # sequential dependency — all five filtered images compute in one
+        # vectorized pass and each row selects its y % 5 variant
+        # (round-13, guide §4.2; byte-identical to the per-pixel form)
+        img = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w).astype(
+            np.int16
+        )
+        left = np.zeros_like(img)
+        left[:, 1:] = img[:, :-1]
+        up = np.zeros_like(img)
+        up[1:] = img[:-1]
+        ul = np.zeros_like(img)
+        ul[1:, 1:] = img[:-1, :-1]
+        p = left + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+        cand = (
+            np.stack([img, img - left, img - up, img - (left + up) // 2, img - paeth])
+            & 0xFF
+        )
+        ftypes = np.arange(h) % 5
+        out = np.empty((h, w + 1), dtype=np.uint8)
+        out[:, 0] = ftypes
+        out[:, 1:] = cand[ftypes, np.arange(h)]
+        raw = out.tobytes()
+    else:
+        raw = bytes(y % 5 for y in range(h))  # zero-width rows: filter bytes only
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
     return (
         PNG_SIG
@@ -469,31 +481,55 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
     stride = width + 1
     if len(raw) != stride * height:
         raise ValueError("inflated size mismatch")
+    # Unfilter vectorized where the filter allows it (round-13, §4.2):
+    # None is a copy, Up a wrapping uint8 add, Sub a wrapping cumsum
+    # (cur[i] = x[i] + cur[i-1] mod 256 IS the uint8 prefix sum); Average
+    # and Paeth carry a true left-to-right dependency and keep the scalar
+    # walk — byte-identical outputs either way.
     prev = bytes(width)
     lines: list[bytes] = []
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride) if height else None
     for y in range(height):
         ft = raw[y * stride]
-        line = raw[y * stride + 1 : (y + 1) * stride]
-        cur = bytearray(width)
-        for i, x in enumerate(line):
-            left = cur[i - 1] if i else 0
-            up = prev[i]
-            upleft = prev[i - 1] if i else 0
-            if ft == 0:
-                v = x
-            elif ft == 1:
-                v = x + left
-            elif ft == 2:
-                v = x + up
-            elif ft == 3:
-                v = x + (left + up) // 2
-            elif ft == 4:
-                v = x + _paeth(left, up, upleft)
+        if ft == 0:
+            cur = raw[y * stride + 1 : (y + 1) * stride]
+        elif ft == 1:
+            cur = np.cumsum(arr[y, 1:], dtype=np.uint8).tobytes()
+        elif ft == 2:
+            cur = (
+                arr[y, 1:] + np.frombuffer(prev, dtype=np.uint8)
+            ).tobytes()
+        elif ft in (3, 4):
+            line = raw[y * stride + 1 : (y + 1) * stride]
+            out = bytearray(width)
+            left = 0
+            if ft == 3:
+                for i in range(width):
+                    left = (line[i] + (left + prev[i]) // 2) & 0xFF
+                    out[i] = left
             else:
-                raise ValueError(f"bad filter type {ft}")
-            cur[i] = v & 0xFF
-        prev = bytes(cur)
-        lines.append(prev)
+                for i in range(width):
+                    up = prev[i]
+                    upleft = prev[i - 1] if i else 0
+                    # _paeth inlined (profiled: the call was a third of the
+                    # filter-4 rows' cost)
+                    p = left + up - upleft
+                    pa = p - left if p >= left else left - p
+                    pb = p - up if p >= up else up - p
+                    pc = p - upleft if p >= upleft else upleft - p
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = upleft
+                    left = (line[i] + pred) & 0xFF
+                    out[i] = left
+            cur = bytes(out)
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        prev = cur
+        lines.append(cur)
     return width, height, lines
 
 
@@ -653,7 +689,22 @@ _AC_VALS_C = [
 
 
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """Canonical Huffman assignment (T.81 C.2): {symbol: (code, length)}."""
+    """Canonical Huffman assignment (T.81 C.2): {symbol: (code, length)}.
+    Content-keyed memo (round-13, guide §4.5 heavyweight-init-once): the
+    table is a pure function of the BITS/HUFFVAL lists, and rebuilding it
+    per encode/decode was ~10% of the jpeg kernels' CPU. The decoder still
+    derives every table from the file's own DHT — identical lists simply
+    reuse the identical derived table."""
+    return _huff_codes_cached(tuple(bits), tuple(vals))
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=256)
+def _huff_codes_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[int, tuple[int, int]]:
     out = {}
     code = 0
     k = 0
@@ -719,35 +770,71 @@ def _category(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
 
 
-def _fdct_block(block: list[list[float]]) -> list[float]:
-    f = np.asarray(block, dtype=np.float64)
-    return (0.25 * (_DCT_A @ f @ _DCT_A.T)).reshape(64).tolist()
+# vectorized zigzag/quant companions (round-13, guide §4.2: batch the whole
+# plane through NumPy instead of per-block Python loops — profiled at 60% of
+# the jpeg420 kernel's CPU)
+_ZIG_ARR = np.array(_ZIGZAG)
+_QTAB_F = np.array(_JPEG_QTAB, dtype=np.float64)
 
 
-def _idct_block(coef: list[float]) -> list[list[int]]:
-    F_ = np.asarray(coef, dtype=np.float64).reshape(8, 8)
-    px = np.rint(0.25 * (_DCT_A.T @ F_ @ _DCT_A)) + 128
-    return np.clip(px, 0, 255).astype(np.int64).tolist()
+def _quantize_plane(rows, w: int, h: int, nbx: int, nby: int) -> np.ndarray:
+    """FDCT + quantize EVERY 8x8 block of a plane in one batched NumPy
+    pass; edge blocks replicate the last row/column (the conventional pad,
+    np.pad edge mode). Returns an (nby, nbx, 64) int array of levels in
+    zigzag order — q[by, bx, i] == round(coef[_ZIGZAG[i]] / _JPEG_QTAB[i])
+    exactly as the per-block form computed (np.rint and Python round share
+    half-to-even), with identical per-block matmuls."""
+    a = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w)
+    dh, dw = nby * 8 - h, nbx * 8 - w
+    if dh or dw:  # manual edge pad: generic np.pad cost ~10% of the kernel
+        padded = np.empty((nby * 8, nbx * 8), dtype=np.uint8)
+        padded[:h, :w] = a
+        if dw:
+            padded[:h, w:] = a[:, -1:]
+        if dh:
+            padded[h:, :] = padded[h - 1, :]
+    else:
+        padded = a
+    f = padded.astype(np.float64) - 128.0
+    blocks = f.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    coef = 0.25 * (_DCT_A @ blocks @ _DCT_A.T)
+    zz = coef.reshape(nby, nbx, 64)[..., _ZIG_ARR]
+    return np.rint(zz / _QTAB_F).astype(np.int64)
 
 
-def _quantize_block(rows, w: int, h: int, by: int, bx: int) -> list[int]:
-    """FDCT + quantize one 8x8 block at pixel origin (by, bx) of a plane;
-    edge blocks replicate the last row/column (the conventional pad).
-    Returns 64 levels in zigzag order."""
-    block = [
-        [
-            float(rows[min(by + x, h - 1)][min(bx + y, w - 1)]) - 128.0
-            for y in range(8)
-        ]
-        for x in range(8)
-    ]
-    coef = _fdct_block(block)
-    return [int(round(coef[_ZIGZAG[i]] / _JPEG_QTAB[i])) for i in range(64)]
+def _idct_plane(levels: np.ndarray, qt) -> np.ndarray:
+    """Inverse of :func:`_quantize_plane` for the DECODER: (nbr, nbc, 64)
+    zigzag levels + the FILE's quant table -> (nbr*8, nbc*8) uint8 pixel
+    grid (dequantize, inverse zigzag, batched IDCT, rint, clamp). Math is
+    the per-block form's, batched: px = rint(0.25 A^T F A) + 128."""
+    nbr, nbc = levels.shape[:2]
+    if nbr == 0 or nbc == 0:
+        return np.zeros((nbr * 8, nbc * 8), dtype=np.uint8)
+    deq = levels.astype(np.float64) * np.asarray(qt, dtype=np.float64)
+    raster = np.empty_like(deq)
+    raster[..., _ZIG_ARR] = deq  # coef[_ZIGZAG[i]] = zz[i] * qt[i]
+    px = np.rint(0.25 * (_DCT_A.T @ raster.reshape(-1, 8, 8) @ _DCT_A)) + 128
+    px = np.clip(px, 0, 255).astype(np.uint8)
+    return (
+        px.reshape(nbr, nbc, 8, 8).transpose(0, 2, 1, 3).reshape(nbr * 8, nbc * 8)
+    )
 
 
-def _encode_block(bw: "_BitWriter", q: list[int], prev_dc: int, dc_codes, ac_codes) -> int:
+def _block_last_nz(levels: np.ndarray) -> list:
+    """Per-block index of the last nonzero AC level of a (nby, nbx, 64)
+    zigzag-level array, vectorized (0 when the AC band is empty) — the
+    per-block genexpr this replaces was ~10% of encode CPU."""
+    rev = levels[..., :0:-1] != 0  # AC band reversed: index r == zigzag 63-r
+    has = rev.any(-1)
+    return np.where(has, 63 - rev.argmax(-1), 0).tolist()
+
+
+def _encode_block(
+    bw: "_BitWriter", q: list[int], prev_dc: int, dc_codes, ac_codes, last_nz=None
+) -> int:
     """Entropy-encode one quantized block (DC differential + AC run-length,
-    T.81 F.1.2); returns the new DC predictor."""
+    T.81 F.1.2); returns the new DC predictor. ``last_nz`` is the
+    precomputed :func:`_block_last_nz` value when the caller has it."""
     # DC: differential, category + extra bits (T.81 F.1.2.1)
     diff = q[0] - prev_dc
     s = _category(diff)
@@ -757,7 +844,8 @@ def _encode_block(bw: "_BitWriter", q: list[int], prev_dc: int, dc_codes, ac_cod
         bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
     # AC: (run, size) symbols with ZRL/EOB (T.81 F.1.2.2)
     run = 0
-    last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+    if last_nz is None:
+        last_nz = max((i for i in range(1, 64) if q[i]), default=0)
     for i in range(1, last_nz + 1):
         if q[i] == 0:
             run += 1
@@ -795,15 +883,20 @@ def encode_jpeg_gray(rows: list[bytes], restart_interval: int = 0) -> bytes:
     prev_dc = 0
     mcu = 0
     rst = 0
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
+    nbx, nby = -(-w // 8), -(-h // 8)
+    qarr = _quantize_plane(rows, w, h, nbx, nby)
+    qplane = qarr.tolist()
+    lnz = _block_last_nz(qarr)
+    for by in range(nby):
+        for bx in range(nbx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.marker(0xD0 + rst)  # RSTn cycles 0..7 (T.81 E.1.4)
                 rst = (rst + 1) % 8
                 prev_dc = 0
             mcu += 1
-            q = _quantize_block(rows, w, h, by, bx)
-            prev_dc = _encode_block(bw, q, prev_dc, dc_codes, ac_codes)
+            prev_dc = _encode_block(
+                bw, qplane[by][bx], prev_dc, dc_codes, ac_codes, lnz[by][bx]
+            )
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -864,6 +957,12 @@ def encode_jpeg_ycbcr(
     ]
     mcus_x = -(-w // (8 * hs))
     mcus_y = -(-h // (8 * vs))
+    qarrs = [
+        _quantize_plane(plane, pw, ph, mcus_x * hc, mcus_y * vc)
+        for plane, pw, ph, hc, vc, _dcc, _acc in comps
+    ]
+    qplanes = [a.tolist() for a in qarrs]
+    lnzs = [_block_last_nz(a) for a in qarrs]
     bw = _BitWriter()
     prev = [0, 0, 0]
     mcu = 0
@@ -878,10 +977,11 @@ def encode_jpeg_ycbcr(
             for ci, (plane, pw, ph, hc, vc, dcc, acc) in enumerate(comps):
                 for byy in range(vc):
                     for bxx in range(hc):
-                        q = _quantize_block(
-                            plane, pw, ph, (my * vc + byy) * 8, (mx * hc + bxx) * 8
+                        q = qplanes[ci][my * vc + byy][mx * hc + bxx]
+                        prev[ci] = _encode_block(
+                            bw, q, prev[ci], dcc, acc,
+                            lnzs[ci][my * vc + byy][mx * hc + bxx],
                         )
-                        prev[ci] = _encode_block(bw, q, prev[ci], dcc, acc)
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -927,7 +1027,9 @@ class _BitReader:
                 self.pos += 1
             else:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
-        self.acc = (self.acc << 8) | b
+        # mask to the live window so acc stays a small int (reads only ever
+        # touch the low nbits bits)
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def bit(self) -> int:
@@ -935,6 +1037,26 @@ class _BitReader:
             self._fill()
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
+
+    def _try_fill(self) -> bool:
+        """Non-raising fill for the peek fast path: loads the next entropy
+        byte if (and only if) one exists — EOF and a marker byte simply
+        return False, because a PEEK may legitimately look past the last
+        code into padding/EOI where the scalar walk would never read."""
+        p = self.pos
+        d = self.data
+        if p >= len(d):
+            return False
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 >= len(d) or d[p + 1] != 0x00:
+                return False
+            self.pos = p + 2
+        else:
+            self.pos = p + 1
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
+        self.nbits += 8
+        return True
 
     def expect_rst(self) -> int:
         """Byte-align (discard pad bits) and consume an RSTn marker sitting
@@ -950,23 +1072,62 @@ class _BitReader:
         return b1 - 0xD0
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if not n:
+            return 0
+        while self.nbits < n:  # batched fill: one call per byte, not per bit
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
 
 def _huff_decoder(bits: list[int], vals: list[int]):
-    """{(code, length): symbol} from the DHT lists the FILE carries."""
-    return {cl: sym for sym, cl in _huff_codes(bits, vals).items()}
+    """Decoder table from the DHT lists the FILE carries (content-keyed
+    memo like :func:`_huff_codes` — same derivation, same input, same
+    table): a ((code, length) -> symbol) map for the scalar walk plus an
+    8-bit peek LUT for the fast path (codes up to 8 bits — the vast
+    majority — resolve in one lookup instead of a per-bit tree walk)."""
+    return _huff_decoder_cached(tuple(bits), tuple(vals))
 
 
-def _read_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+@_lru_cache(maxsize=256)
+def _huff_decoder_cached(bits: tuple[int, ...], vals: tuple[int, ...]):
+    cmap = {cl: sym for sym, cl in _huff_codes_cached(bits, vals).items()}
+    lut: list = [None] * 256
+    for (code, length), sym in cmap.items():
+        if length <= 8:
+            base = code << (8 - length)
+            entry = (sym, length)
+            for pad in range(1 << (8 - length)):
+                lut[base | pad] = entry
+    return (cmap, lut)
+
+
+def _read_huff(br: _BitReader, table) -> int:
+    cmap, lut = table
+    nb = br.nbits
+    if nb < 8:
+        while br._try_fill() and br.nbits < 8:
+            pass
+        nb = br.nbits
+    if nb >= 8:
+        hit = lut[(br.acc >> (nb - 8)) & 0xFF]
+        if hit is not None:
+            br.nbits = nb - hit[1]
+            return hit[0]
+    elif nb > 0:
+        # near stream end: pad the peek with 1s; only accept a hit whose
+        # code fits in the REAL bits (pad bits then never influenced it)
+        hit = lut[((br.acc << (8 - nb)) | ((1 << (8 - nb)) - 1)) & 0xFF]
+        if hit is not None and hit[1] <= nb:
+            br.nbits = nb - hit[1]
+            return hit[0]
+    # scalar walk: codes longer than 8 bits, or truncation — identical
+    # behavior (and error surface) to the pre-LUT implementation
     code, length = 0, 0
     while length <= 16:
         code = (code << 1) | br.bit()
         length += 1
-        sym = table.get((code, length))
+        sym = cmap.get((code, length))
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code in scan")
@@ -1004,13 +1165,14 @@ def _upsample_plane(
     """Box (pixel-replication) chroma upsample to full resolution — the
     bit-exact inverse of the synth fixtures' block subsampling, and the
     classic fast path real decoders offer. full[y][x] = plane[y*vc//vmax]
-    [x*hc//hmax]."""
+    [x*hc//hmax] — computed as one NumPy fancy-index gather (round-13)."""
     if hc == hmax and vc == vmax:
         return [ln[:width] for ln in lines]
-    return [
-        bytes(lines[y * vc // vmax][x * hc // hmax] for x in range(width))
-        for y in range(height)
-    ]
+    arr = np.frombuffer(b"".join(lines), dtype=np.uint8).reshape(len(lines), -1)
+    rows_idx = np.arange(height) * vc // vmax
+    cols_idx = np.arange(width) * hc // hmax
+    full = arr[rows_idx][:, cols_idx]
+    return [r.tobytes() for r in full]
 
 
 def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
@@ -1038,9 +1200,10 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
     )
 
 
-def _decode_block_into(br, dct, act, qt, prev_dc, grid, row0, col0) -> int:
-    """Entropy-decode one block, dequantize, IDCT, place at (row0, col0) of
-    ``grid``; returns the new DC predictor."""
+def _decode_block_zz(br, dct, act, prev_dc) -> tuple[int, list[int]]:
+    """Entropy-decode one block to its 64 zigzag levels; returns the new
+    DC predictor and the level list. Dequantize + IDCT run batched per
+    plane afterwards (:func:`_idct_plane`) — round-13, guide §4.2."""
     zz = [0] * 64
     s = _read_huff(br, dct)
     diff = _extend(br.bits(s), s) if s else 0
@@ -1060,15 +1223,7 @@ def _decode_block_into(br, dct, act, qt, prev_dc, grid, row0, col0) -> int:
             raise ValueError("AC index overflow")
         zz[k] = _extend(br.bits(s), s)
         k += 1
-    coef = [0.0] * 64
-    for i in range(64):
-        coef[_ZIGZAG[i]] = float(zz[i] * qt[i])
-    px = _idct_block(coef)
-    for x in range(8):
-        row = grid[row0 + x]
-        for y in range(8):
-            row[col0 + y] = px[x][y]
-    return prev_dc
+    return prev_dc, zz
 
 
 def _parse_dqt_segment(body: bytes, qtabs: dict[int, list[int]]) -> None:
@@ -1218,12 +1373,14 @@ def _decode_jpeg_impl(
     vmax = max(vc for _, _, vc, _ in comps)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
-    # per scan component: tables, factors, block grid at native resolution
+    # per scan component: tables, factors, zigzag-level store (one 64-list
+    # per block); dequant + IDCT + placement run as one batched NumPy pass
+    # per plane after the entropy walk (round-13, guide §4.2)
     state = []
     for cid, dc_id, ac_id in scan_order:
         hc, vc, tq = sof_by_id[cid]
-        grid = [[0] * (mcus_x * hc * 8) for _ in range(mcus_y * vc * 8)]
-        state.append((qtabs[tq], dc_tabs[dc_id], ac_tabs[ac_id], hc, vc, grid))
+        zz_rows = [[None] * (mcus_x * hc) for _ in range(mcus_y * vc)]
+        state.append((qtabs[tq], dc_tabs[dc_id], ac_tabs[ac_id], hc, vc, zz_rows))
     br = _BitReader(payload[pos:])
     prev = [0] * len(state)
     mcu = 0
@@ -1242,26 +1399,19 @@ def _decode_jpeg_impl(
                 rst = (rst + 1) % 8
                 prev = [0] * len(state)
             mcu += 1
-            for ci, (qt, dct, act, hc, vc, grid) in enumerate(state):
+            for ci, (qt, dct, act, hc, vc, zz_rows) in enumerate(state):
                 for byy in range(vc):
                     for bxx in range(hc):
-                        prev[ci] = _decode_block_into(
-                            br,
-                            dct,
-                            act,
-                            qt,
-                            prev[ci],
-                            grid,
-                            (my * vc + byy) * 8,
-                            (mx * hc + bxx) * 8,
-                        )
+                        prev[ci], zz = _decode_block_zz(br, dct, act, prev[ci])
+                        zz_rows[my * vc + byy][mx * hc + bxx] = zz
     planes: list[tuple[list[bytes], int, int]] = []
     for cid, hc, vc, _tq in comps:
         idx = next(i for i, (c, _, _) in enumerate(scan_order) if c == cid)
-        grid = state[idx][5]
+        qt, _, _, _, _, zz_rows = state[idx]
+        grid = _idct_plane(np.asarray(zz_rows, dtype=np.int64), qt)
         cw = -(-width * hc // hmax)
         ch = -(-height * vc // vmax)
-        planes.append(([bytes(grid[r][:cw]) for r in range(ch)], hc, vc))
+        planes.append(([grid[r, :cw].tobytes() for r in range(ch)], hc, vc))
     return width, height, planes
 
 
@@ -1381,27 +1531,16 @@ def _decode_jpeg_progressive(
         pos += 2 + ln
     if width is None:
         raise ValueError("no SOF in progressive stream")
-    # final reconstruction: dequant + inverse zigzag + IDCT on REAL blocks
-    sof_by_id = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps}
+    # final reconstruction: dequant + inverse zigzag + IDCT on REAL blocks,
+    # one batched NumPy pass per plane (round-13, guide §4.2)
     planes: list[tuple[list[bytes], int, int]] = []
     for cid, hc, vc, tq in comps:
         bw, bh, _pw, _ph = dims[cid]
-        qt = qtabs[tq]
-        grid = [[0] * (bw * 8) for _ in range(bh * 8)]
-        for brow in range(bh):
-            for bcol in range(bw):
-                zz = coef[cid][brow][bcol]
-                cf = [0.0] * 64
-                for i in range(64):
-                    cf[_ZIGZAG[i]] = float(zz[i] * qt[i])
-                px = _idct_block(cf)
-                for x in range(8):
-                    row = grid[brow * 8 + x]
-                    for y in range(8):
-                        row[bcol * 8 + y] = px[x][y]
+        levels = np.asarray(coef[cid], dtype=np.int64).reshape(_ph, _pw, 64)
+        grid = _idct_plane(levels[:bh, :bw], qtabs[tq])
         cw = -(-width * hc // hmax)
         ch = -(-height * vc // vmax)
-        planes.append(([bytes(grid[r][:cw]) for r in range(ch)], hc, vc))
+        planes.append(([grid[r, :cw].tobytes() for r in range(ch)], hc, vc))
     return width, height, planes
 
 
@@ -1608,19 +1747,20 @@ def encode_jpeg_progressive(
         raise ValueError(f"chroma planes must be {cw}x{ch}")
     mcus_x = -(-w // (8 * hs))
     mcus_y = -(-h // (8 * vs))
-    # (plane, pw, ph, hc, vc); block coefficients cached on demand — DC
-    # scans traverse the padded interleaved grid, AC scans the real grid
+    # (plane, pw, ph, hc, vc); every plane's blocks quantized ONCE in a
+    # batched NumPy pass over the PADDED interleaved grid (which covers
+    # the real grid the AC scans traverse) — the per-block on-demand cache
+    # this replaces re-ran the scalar FDCT per (scan, block) touch
     planes = [(y_rows, w, h, hs, vs)]
     if not gray:
         planes += [(cb_rows, cw, ch, 1, 1), (cr_rows, cw, ch, 1, 1)]
-    cache: dict[tuple[int, int, int], list[int]] = {}
+    qlists = [
+        _quantize_plane(plane, pw, ph, mcus_x * hc, mcus_y * vc).tolist()
+        for plane, pw, ph, hc, vc in planes
+    ]
 
     def qblock(ci: int, brow: int, bcol: int) -> list[int]:
-        key = (ci, brow, bcol)
-        if key not in cache:
-            plane, pw, ph, _hc, _vc = planes[ci]
-            cache[key] = _quantize_block(plane, pw, ph, brow * 8, bcol * 8)
-        return cache[key]
+        return qlists[ci][brow][bcol]
 
     def real_dims(ci: int) -> tuple[int, int]:
         _plane, pw, ph, _hc, _vc = planes[ci]
@@ -1827,6 +1967,16 @@ JPEG_SCHEMA = (
 )
 
 
+def _block_pattern_rows(w: int, h: int, cx: int, cy: int, c0: int) -> list[bytes]:
+    """rows[y][x] = (cx*(x//8) + cy*(y//8) + c0) % 256 as uint8 scanlines —
+    the shared block-constant fixture formula, vectorized (round-13: the
+    per-pixel genexprs were ~25% of the jpeg kernels' CPU)."""
+    col = (np.arange(w) // 8) * cx
+    row = (np.arange(h) // 8) * cy
+    a = ((row[:, None] + col[None, :] + c0) % 256).astype(np.uint8)
+    return [r.tobytes() for r in a]
+
+
 def synth_jpeg_media(doc_id: int) -> bytes:
     """Block-constant grayscale JPEG: every 8x8 block holds the single value
     (5*bx + 11*by + 3*doc_id) % 256 at (8*(2 + id%3)) x (8*(1 + id%2)). A
@@ -1839,11 +1989,7 @@ def synth_jpeg_media(doc_id: int) -> bytes:
     own DHT) is exercised for real. The lossy AC path is covered separately
     by the gradient tolerance unit in tests/test_m4_operators.py."""
     w, h = 8 * (2 + doc_id % 3), 8 * (1 + doc_id % 2)
-    rows = [
-        bytes((5 * (x // 8) + 11 * (y // 8) + 3 * doc_id) % 256 for x in range(w))
-        for y in range(h)
-    ]
-    return encode_jpeg_gray(rows)
+    return encode_jpeg_gray(_block_pattern_rows(w, h, 5, 11, 3 * doc_id))
 
 
 def jpeg_roundtrip_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1925,18 +2071,9 @@ def synth_jpeg420_media(doc_id: int) -> bytes:
     id%4 as the restart interval drives DRI/RSTn (including the
     all-predictors reset) through the interleaved color path too."""
     w, h = 16 * (2 + doc_id % 3), 16 * (1 + doc_id % 2)
-    y = [
-        bytes((5 * (x // 8) + 11 * (yy // 8) + 3 * doc_id) % 256 for x in range(w))
-        for yy in range(h)
-    ]
-    cb = [
-        bytes((7 * (x // 8) + 13 * (yy // 8) + doc_id) % 256 for x in range(w // 2))
-        for yy in range(h // 2)
-    ]
-    cr = [
-        bytes((3 * (x // 8) + 17 * (yy // 8) + 5 * doc_id) % 256 for x in range(w // 2))
-        for yy in range(h // 2)
-    ]
+    y = _block_pattern_rows(w, h, 5, 11, 3 * doc_id)
+    cb = _block_pattern_rows(w // 2, h // 2, 7, 13, doc_id)
+    cr = _block_pattern_rows(w // 2, h // 2, 3, 17, 5 * doc_id)
     return encode_jpeg_ycbcr(
         y, cb, cr, sampling=(2, 2), restart_interval=doc_id % 4
     )
@@ -2038,12 +2175,18 @@ def synth_media(doc_id: int) -> bytes:
     64 + id%64 frames."""
     if doc_id % 2 == 0:
         w, h = 16 + doc_id % 16, 8 + doc_id % 8
-        rows = [
-            bytes((x + 3 * y + doc_id) % 256 for x in range(w)) for y in range(h)
-        ]
-        return encode_png_gray(rows)
+        a = (
+            (np.arange(w)[None, :] + 3 * np.arange(h)[:, None] + doc_id) % 256
+        ).astype(np.uint8)
+        return encode_png_gray([r.tobytes() for r in a])
     n = 64 + doc_id % 64
-    samples = [((i * (doc_id + 7) * WAV_MIX) % 65536) - 32768 for i in range(n)]
+    # every operand mod-reduced before multiplying (the wav_sample_sql
+    # argument): congruent mod 65536, int64-safe at any doc_id
+    i_mod = np.arange(n) % 65536
+    samples = (
+        (i_mod * ((doc_id + 7) % 65536) % 65536) * (WAV_MIX % 65536) % 65536
+        - 32768
+    ).tolist()
     return encode_wav_pcm16(samples, 8000 + doc_id % 100)
 
 
@@ -2247,15 +2390,13 @@ def synth_phash_media(doc_id: int) -> bytes:
     b = (doc_id // PH_GROUPS) % 3
     w = 16 + (g % 3) * 8
     h = 16
-    rows = [
-        bytes(
-            ((x * 8 // w) * 7 + (y * 8 // h) * 13 + g * 5 + ((x + y) % 2) * 3) % 150
-            + b * PH_BRIGHT
-            for x in range(w)
-        )
-        for y in range(h)
-    ]
-    return encode_png_gray(rows)
+    xx = np.arange(w)
+    yy = np.arange(h)[:, None]
+    a = (
+        ((xx * 8 // w) * 7 + (yy * 8 // h) * 13 + g * 5 + ((xx + yy) % 2) * 3) % 150
+        + b * PH_BRIGHT
+    ).astype(np.uint8)
+    return encode_png_gray([r.tobytes() for r in a])
 
 
 def ahash_bits(width: int, height: int, lines: list[bytes]) -> str:
@@ -2265,21 +2406,19 @@ def ahash_bits(width: int, height: int, lines: list[bytes]) -> str:
     to uniform brightness shifts and bit-identical across engines. The
     64-bit signature is emitted as a '0'/'1' string: portable (no signed-
     bit-63 overflow) and directly comparable in SQL."""
-    s = [[0] * 8 for _ in range(8)]
-    n = [[0] * 8 for _ in range(8)]
-    for y, line in enumerate(lines):
-        by = y * 8 // height
-        for x, v in enumerate(line):
-            bx = x * 8 // width
-            s[by][bx] += v
-            n[by][bx] += 1
-    s_tot = sum(map(sum, s))
+    img = np.frombuffer(b"".join(lines), dtype=np.uint8).reshape(height, width)
+    bx = np.arange(width) * 8 // width
+    by = np.arange(height) * 8 // height
+    idx = (by[:, None] * 8 + bx[None, :]).ravel()
+    # block sums via bincount (round-13, §4.2): float64 weights are exact
+    # here (block sums < 2^53 by far), then back to int64 for the exact
+    # cross-multiplied comparison
+    s = np.bincount(idx, weights=img.ravel(), minlength=64).astype(np.int64)
+    n = np.bincount(idx, minlength=64)
+    s_tot = int(s.sum())
     n_tot = width * height
-    return "".join(
-        "1" if s[by][bx] * n_tot > s_tot * n[by][bx] else "0"
-        for by in range(8)
-        for bx in range(8)
-    )
+    bits = s * n_tot > s_tot * n
+    return "".join("1" if b else "0" for b in bits)
 
 
 def phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2406,24 +2545,11 @@ def synth_jpeg_prog_media(doc_id: int) -> bytes:
     fixtures, so a fixture mix-up hash-fails."""
     if doc_id % 2 == 0:
         w, h = 8 * (2 + doc_id % 4), 8 * (1 + doc_id % 3)
-        y = [
-            bytes((7 * (x // 8) + 5 * (yy // 8) + doc_id) % 256 for x in range(w))
-            for yy in range(h)
-        ]
-        return encode_jpeg_progressive(y)
+        return encode_jpeg_progressive(_block_pattern_rows(w, h, 7, 5, doc_id))
     w, h = 16 * (1 + doc_id % 3), 16 * (1 + doc_id % 2)
-    y = [
-        bytes((7 * (x // 8) + 5 * (yy // 8) + 3 * doc_id) % 256 for x in range(w))
-        for yy in range(h)
-    ]
-    cb = [
-        bytes((11 * (x // 8) + 3 * (yy // 8) + 7 * doc_id) % 256 for x in range(w // 2))
-        for yy in range(h // 2)
-    ]
-    cr = [
-        bytes((13 * (x // 8) + 9 * (yy // 8) + doc_id) % 256 for x in range(w // 2))
-        for yy in range(h // 2)
-    ]
+    y = _block_pattern_rows(w, h, 7, 5, 3 * doc_id)
+    cb = _block_pattern_rows(w // 2, h // 2, 11, 3, 7 * doc_id)
+    cr = _block_pattern_rows(w // 2, h // 2, 13, 9, doc_id)
     return encode_jpeg_progressive(y, cb, cr, sampling=(2, 2))
 
 

@@ -817,7 +817,9 @@ def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             keyed.join(parent, "k", "left")
             .agg(
                 F.lit(name).alias("relationship"),
-                F.sum("c").cast("bigint").alias("child_rows"),
+                # coalesce (ADVICE r12): over a ZERO-ROW child the global
+                # aggregate's sum is NULL where the oracle's COUNT(*) is 0
+                F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("child_rows"),
                 F.count(F.when(F.col("k").isNotNull(), 1))
                 .cast("bigint")
                 .alias("child_keys"),
