@@ -358,6 +358,9 @@ def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate tokenize passes run concurrently on idle cores while the
     # cache fill adds serialized write overhead. Same finding as the
     # pagerank edge build and source-overlap shingle domain this round.
+    # Round-13: re-measured at SPARK_GRAFT_CPUS=8 (core contention) —
+    # 0.86x, still a LOSS. Four consumers in one action overlap the
+    # re-tokenize passes even on 8 cores; the pin stands.
     tok = d.select("doc_id", tokens("text").alias("ts"))
     doclen = tok.select("doc_id", F.size("ts").cast("bigint").alias("dl"))
     stats = doclen.agg(

@@ -222,6 +222,9 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # action runs both subtrees concurrently on idle cores, while
     # materializing the distinct shingle domain serializes its write onto
     # the critical path. Same finding as pagerank's edge build this round.
+    # Round-13: re-measured the scoped_cache arm at SPARK_GRAFT_CPUS=8
+    # (core contention) — 1.01x, a wash. Not worth the cache's memory
+    # footprint for zero measured gain; stays as-is at both core counts.
     ds = (
         _shingles(d)
         # doc->source map is CORPUS-sized (one row per document) — no

@@ -148,6 +148,14 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             md5_long(F.col("shingle")).alias("h"),
         )
     )
+    # Round-13 (measured, LANDED): sh feeds two consumers (the corpus-wide
+    # dup-set groupBy and the per-doc hits join) and was evaluated twice —
+    # unlike the pagerank/source-overlap/hybrid sites where the r12 class
+    # rejection held (idle cores make duplicate evaluation ~free), here the
+    # duplicated subtree is the posexplode+md5 shingle generation itself and
+    # the cache wins at BOTH core counts: 1.66x at local[32], 1.41x at
+    # local[8] (tools/ab_r12.py, values identical, 477 rows).
+    sh = scoped_cache(sh)
     dup = sh.groupBy("h").agg(F.sum("gsz").alias("c")).filter(F.col("c") >= 2)
     hits = sh.join(dup.select("h"), "h").select("doc_id", "pos")
     wl = Window.partitionBy("doc_id").orderBy("pos")
