@@ -155,7 +155,23 @@ def ngram_jaccard_pairs(
 
 def _pairs_from_kept(kept: DataFrame, threshold: float) -> DataFrame:
     """(doc_a, doc_b, jaccard >= threshold) from a distinct (doc_id,
-    shingle) table that has already been document-frequency-capped."""
+    shingle) table that has already been document-frequency-capped.
+
+    Round-13, measured and REJECTED (both §3.3 levers the verdict asked
+    for, evidence below — the pair stream is inherent at this threshold):
+
+    - prefix/length candidate filtering: at t=0.10 the PPJoin prefix is
+      ⌈0.9·n⌉+1 of n shingles (no reduction by construction), and a
+      min/max length-ratio pre-filter killed 0.1% (1 672 of 1 261 621) of
+      the sf0.1 pair stream — size dist p5..p95 is 12..92 shingles, far
+      inside the 10x ratio a 0.10 threshold allows.
+    - carrying (doc_id, n) structs through the posting lists to drop the
+      two pair-table sizes joins (§2.4): interleaved A/B on
+      q_dedup_ngram_jaccard 0.47x — struct sort_array/collect_list plus
+      the widened explode and 3-field aggregate cost ~2x more than the
+      two joins, which AQE broadcasts at any SF where ``sizes`` is
+      dictionary-like. Revisit only on a deployment where the doc-count
+      is too large to broadcast AND the pair table dwarfs it."""
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     posts = (
         kept.groupBy("shingle")

@@ -489,6 +489,17 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the K it needs; CASE evaluates only the matched branch — a 4x
         # cut in per-row assignment arithmetic (guide §1.2 step 2,
         # measured round 12). Values identical: m is always in [0, M).
+        #
+        # Round-13, measured and REJECTED: replacing the per-iteration
+        # literal tensor with a broadcast codebook DataFrame + higher-order
+        # assignment (`array_min(transform(cb[m], ...))`) to amortize the
+        # ~0.2 s/iteration Catalyst cost of this M*K*d-literal tree. Codes
+        # identical, but 0.75x warm (0.57 vs 0.43 s/iteration): Spark's
+        # higher-order array lambdas evaluate interpreted, which costs more
+        # than analyzing the literal tree that whole-stage codegen then
+        # compiles to straight-line arithmetic. A trivial-assignment floor
+        # measured 0.22 s/iteration — the residual per-step cost is plan
+        # processing + scheduling, inherent to one job per Lloyd round.
         branches = " ".join(
             "WHEN {mi} THEN array_min(array({structs})).cid".format(
                 mi=mi,

@@ -195,55 +195,53 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    from .queries import scoped_cache
-
-    # fact feeds both the key-set distinct and the final rollup join —
-    # cache it so the lineitem⋈orders join runs once, not twice
-    fact = scoped_cache(
-        li.join(o, li.l_orderkey == o.o_orderkey).select(
-            "l_shipdate", "revenue", F.col("o_custkey").alias("custkey")
-        )
+    fact = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_shipdate", "revenue", F.col("o_custkey").alias("custkey")
     )
-    keys = fact.select("custkey", "l_shipdate").distinct()
     dim = scd2_dimension(spark, sf_dir).select(
         "custkey", "version", "priority", "valid_from"
     )
-    # merge-and-carry-forward: version starts and lookup keys share one
-    # per-customer timeline. Sort key (d, is_key, version): version rows
-    # (is_key=0) sort before the key row on the same date — valid_from <=
-    # shipdate is inclusive — and ascending version makes the carried
-    # last() the same-day flip winner
+    # merge-and-carry-forward DIRECTLY onto the fact rows (round-13 recut,
+    # guide §2.4): the carry window tolerates duplicate (custkey, d) rows —
+    # last(priority, ignorenulls) gives every fact row of a day the same
+    # carried version — so the distinct key set, its shuffle, the fact
+    # cache, and the two-sided re-attach sort-merge join all disappear.
+    # Plan: 20 Exchanges → 6 (plans/r13), the fact table crosses exactly one
+    # Exchange (the custkey carry window) and is scanned once. Semantics are
+    # the r8 soak fix's, unchanged: no rn=1 per-fact window anywhere (the
+    # carry never dedupes, so the non-unique fact key is still safe), and
+    # the same (d, is_key, version) sort — version rows before same-day key
+    # rows (valid_from <= shipdate inclusive), ascending version so the
+    # carried last() is the same-day flip winner.
     starts = dim.select(
         "custkey",
         F.col("valid_from").alias("d"),
         F.lit(0).alias("is_key"),
         "version",
         "priority",
+        F.lit(None).cast("double").alias("revenue"),
     )
-    keyrows = keys.select(
+    factrows = fact.select(
         "custkey",
         F.col("l_shipdate").alias("d"),
         F.lit(1).alias("is_key"),
         F.lit(None).cast("bigint").alias("version"),
         F.lit(None).cast("string").alias("priority"),
+        "revenue",
     )
     wseq = (
         W.partitionBy("custkey")
         .orderBy("d", "is_key", "version")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    lkp = (
-        starts.unionByName(keyrows)
+    return (
+        starts.unionByName(factrows)
         .withColumn("cur", F.last("priority", ignorenulls=True).over(wseq))
-        # keys before the customer's first version carry nothing — the
+        # fact rows before the customer's first version carry nothing — the
         # fixture has shipdates preceding the first order date — and the
         # candidate form (the oracle) excludes them too
         .filter((F.col("is_key") == 1) & F.col("cur").isNotNull())
-        .select("custkey", F.col("d").alias("l_shipdate"), F.col("cur").alias("priority"))
-    )
-    return (
-        fact.join(lkp, ["custkey", "l_shipdate"])
-        .groupBy(F.col("priority").alias("priority_at_ship"))
+        .groupBy(F.col("cur").alias("priority_at_ship"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
             dsum("revenue", "revenue"),
