@@ -146,10 +146,18 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "novelty", "curation"),
 )
 def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(load_table(spark, sf_dir, "documents")).alias("s")
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    from pyspark.sql.window import Window
+
+    # Round-13 recut (guide §2.4): first-appearance used to be a
+    # groupBy(shingle) + join back onto the SAME shingle stream — the
+    # shingle explode evaluated twice and two Exchanges hashed on the
+    # shingle. A min() window over the shingle partition computes the
+    # identical first_doc with ONE shingle evaluation and ONE Exchange.
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
     return (
-        sh.join(first, "shingle")
+        sh.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),

@@ -990,44 +990,35 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts)), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
+    # Round-13 representation recut (the verdict's item 4; guide §2.3/§2.4):
+    # candidate pairs never materialize as a DISTINCT edge table. Both
+    # directions of every in-basket pair are emitted in-row and collapse
+    # straight into a cached ADJACENCY LIST — one groupBy(u) whose map-side
+    # collect_set already dedupes, replacing the old chain of pair-distinct
+    # shuffle → symmetric union → localCheckpoint rewrite (the 2.4M-row edge
+    # table crossed three exchanges before the peel even started; sf0.1
+    # probe: 99.7% of raw pairs were already unique, so the distinct was a
+    # full shuffle for nothing). The exploded view of the cached adjacency
+    # feeds kcore_peel ALREADY hash-partitioned on u — exactly the layout
+    # its round-1 degree count and delta rounds want. Values identical: the
+    # edge set is the same symmetric distinct set; node universe = adjacency
+    # row count (every edge endpoint, as before). Earlier measured
+    # rejections stand unchanged and still apply to this shape: the BFS
+    # half-size-cache idiom (r11, 0.43x at sf1) and the degree-upper-bound
+    # prefilter (r12, 0.82-0.83x both shapes, tools/ab_kcore_prefilter.py).
+    per_basket = baskets.select(
+        F.explode(
+            F.expr("transform(parts, x -> struct(x AS u, filter(parts, y -> y != x) AS vs))")
+        ).alias("p")
+    ).select("p.u", "p.vs")
+    adj = scoped_cache(
+        per_basket.groupBy("u").agg(
+            F.array_distinct(F.flatten(F.collect_list("vs"))).alias("nbrs")
         )
-        .select("p.u", "p.v")
-        .distinct()
     )
-    # NOTE (round-11, measured): the BFS half-size-cache idiom
-    # (plans/extra8.bfs_hops) does NOT transfer here — an interleaved sf1
-    # A/B measured the lazy-symmetric-view variant at 122s warm vs 52.5s
-    # for this checkpoint (0.43x, values identical). BFS re-joins the
-    # frontier against the cache every round, amortizing the cache build;
-    # kcore's prelude scans sym exactly three times (node count, deg0,
-    # the alive-edges re-cut) and then abandons it for its own cache, so
-    # the union-over-cache view just re-pays the pair-generation subtree's
-    # cache fill against three competing consumers. The materialized
-    # checkpoint stays.
-    # NOTE (round-12, measured): a degree-UPPER-BOUND prefilter (sum of
-    # basket_size-1 per part; 66% of sf1 parts are provably sub-K, so
-    # pairs between two such parts — ~40% of raw pair volume — can be
-    # dropped pre-distinct without changing the round trajectory, given
-    # an independent node-universe count for round 1) was interleave-
-    # A/B'd at sf1 in BOTH shapes and REJECTED: tagged-basket rebuild
-    # 0.83x, broadcast-probe filter on the raw pair stream 0.82x
-    # (tools/ab_kcore_prefilter.py; values identical, 8 rounds). The
-    # distinct's shuffle rows are two longs — too cheap for the
-    # prefilter's own jobs (ub aggregation + universe count + probes)
-    # to pay for themselves. Candidate generation stays as-is.
-    sym = truncate_lineage(
-        pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    )
-    return kcore_peel(spark, sym, KCORE_K, KCORE_ROUNDS)
+    n_nodes = adj.count()  # materializes the cache; this IS the node universe
+    sym = adj.select("u", F.explode("nbrs").alias("v"))
+    return kcore_peel(spark, sym, KCORE_K, KCORE_ROUNDS, n_nodes=n_nodes)
 
 
 def kcore_peel(
