@@ -900,7 +900,14 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    docbg = (
+    from ..plans.queries import scoped_cache
+
+    # cached (round-13, measured): docbg feeds the whole model-stat chain
+    # (bgc -> ctx) AND the final per-doc join — without the cache the
+    # bigram explode + (doc, w1, w2) aggregation ran twice (the span_dedup
+    # finding: when the duplicated subtree is the heavy generation itself,
+    # the cache wins even on idle cores)
+    docbg = scoped_cache(
         d.select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("doc_id", "w1", "w2")
