@@ -105,33 +105,68 @@ DPP_YEAR = 1996
     tags=("graph", "bfs", "iterative"),
 )
 def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import scoped_cache
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts)), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
+    # Round-13 (the kcore adjacency recut, guide §2.3 "shuffle compressed
+    # state, not pairs"): per-basket neighbor-complement ARRAYS shuffle once
+    # into a cached symmetric adjacency list — candidate pairs never
+    # materialize as a distinct edge table (the pair-distinct shuffle was a
+    # full pass over a 99.7%-unique stream at sf0.1). The exploded view is
+    # the same symmetric distinct edge set bfs_hops' own dedup produced.
+    per_basket = baskets.select(
+        F.explode(
+            F.expr("transform(parts, x -> struct(x AS u, filter(parts, y -> y != x) AS vs))")
+        ).alias("p")
+    ).select("p.u", "p.vs")
+    adj = scoped_cache(
+        per_basket.groupBy(F.col("u").cast("bigint").alias("u")).agg(
+            F.expr("array_distinct(flatten(collect_list(vs)))").alias("nbrs")
         )
-        .select("p.u", "p.v")
-        # no distinct here: bfs_hops dedups once after the bigint cast —
-        # a second pass would shuffle the multi-million pre-distinct pair
-        # stream twice for nothing
     )
-    return bfs_hops(pairs, n_seeds=BFS_SEEDS, max_hops=BFS_MAX_HOPS)
+    adj.count()  # materialize once; rounds read the columnar cache
+    sym = adj.select("u", F.explode("nbrs").alias("v")).select(
+        "u", F.col("v").cast("bigint").alias("v")
+    )
+    return bfs_hops(sym, n_seeds=BFS_SEEDS, max_hops=BFS_MAX_HOPS, sym_ready=True)
 
 
-def bfs_hops(pairs: DataFrame, n_seeds: int, max_hops: int) -> DataFrame:
+def bfs_hops(
+    pairs: DataFrame, n_seeds: int, max_hops: int, sym_ready: bool = False
+) -> DataFrame:
     """(node, hops) for every node within ``max_hops`` of the ``n_seeds``
     smallest node ids in the undirected graph ``pairs`` (u, v). Pure
     DataFrame iteration — the driver sees only per-round emptiness checks,
-    never node or edge data."""
+    never node or edge data. ``sym_ready=True``: the caller already supplies
+    a SYMMETRIC, DISTINCT, bigint, cache-backed edge view (the round-13
+    adjacency recut) — skip the dedup/cache/mirror prelude."""
+    if sym_ready:
+        sym = pairs
+        seeds = (
+            sym.select(F.col("u").alias("node"))
+            .distinct()
+            .orderBy("node")
+            .limit(n_seeds)
+        )
+        dist = truncate_lineage(seeds.withColumn("hops", F.lit(0).cast("int")))
+        frontier = dist.select("node")
+        for h in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(sym, frontier.node == sym.u)
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(dist, "node", "left_anti")
+                .withColumn("hops", F.lit(h).cast("int"))
+            )
+            nxt = truncate_lineage(nxt)
+            if nxt.isEmpty():
+                break
+            dist = dist.union(nxt)
+            frontier = nxt.select("node")
+        return dist.orderBy("node")
     # One materialization of the distinct pair set: it feeds every round,
     # and without it each frontier join would re-execute the basket
     # pair-generation lineage — O(rounds) corpus passes at 100 TB. The
